@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001;
+``queries()`` / ``oracle_sql()`` expose the full oracle-gated catalog
+from :mod:`feray_spark.queries` (one entry per implemented SURVEY §2
+operator). See feray_spark/queries/* for implementations.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from feray_spark.queries import load_all  # noqa: E402
+from feray_spark.session import apply_semantics  # noqa: E402
+
+FLAGSHIP = "a1_groupby_q1"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H-Q1-shaped pricing summary) on sf0.001."""
+    apply_semantics(spark)
+    registry = load_all()
+    return registry[FLAGSHIP].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    registry = load_all()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(q):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_semantics(spark)
+            return q.fn(spark, sf_dir)
+
+        run.__doc__ = q.doc
+        return run
+
+    return {name: wrap(q) for name, q in registry.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    registry = load_all()
+    return {name: q.oracle for name, q in registry.items() if q.oracle is not None}

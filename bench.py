@@ -1,0 +1,73 @@
+"""Bench harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line with per-query wall-clock seconds.
+
+Each query is executed once as a warm-up-free timed run (the session
+itself is warmed by a trivial action first so JVM startup isn't
+attributed to the first query). ``--runs N`` takes the median of N.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from feray_spark.queries import load_all
+from feray_spark.session import get_spark
+
+#: queries excluded from the bench (side-effecting or trivially tiny)
+BENCH_SKIP = {"s6_csv_roundtrip", "s7_inmemory_rows"}
+
+
+def run_bench(sf_dir: str, runs: int = 1, names: list[str] | None = None) -> dict:
+    registry = load_all()
+    selected = {
+        n: q
+        for n, q in registry.items()
+        if n not in BENCH_SKIP and (names is None or n in names)
+    }
+    spark = get_spark(app_name="feray-spark-bench")
+    # warm the JVM + parquet footer cache off the clock
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, q in selected.items():
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "total_wall_clock_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "runs_per_query": runs,
+    }
+    spark.stop()
+    return result
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+    print(json.dumps(run_bench(args.sf_dir, args.runs, args.queries)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""Fixture catalog: the driver-generated TPC-H-ish star schema.
+
+Mirrors the tables described in ``TESTDATA.md`` / ``FIXTURES.md``.
+Every query in :mod:`feray_spark.queries` loads its inputs through
+here so schema handling, path layout and (later) versioned-table
+reads are uniform.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet → columnar scan with predicate
+    pushdown and column pruning for free (Catalyst handles both as
+    long as downstream code stays declarative)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # events.ts is nanosecond parquet, surfaced as a long (see
+        # session.SEMANTIC_CONF). Truncate to microseconds — exactly
+        # what DuckDB does when it reads TIMESTAMP_NS into TIMESTAMP.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL entry
+    point (SURVEY §3 EP3: we expose spark.sql over feature tables)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

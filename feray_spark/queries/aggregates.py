@@ -1,0 +1,286 @@
+"""Aggregation operators (SURVEY §2.4 A1-A11).
+
+The flagship is the TPC-H-Q1-shaped pricing summary (A1/A2) named in
+SURVEY §7.1. All money arithmetic goes through the decimal-exact
+helpers in :mod:`feray_spark.queries.util` so results are
+order-independent and hash-match the DuckDB oracle bit-for-bit.
+
+Scale notes: every groupBy here is a hash aggregate with map-side
+partial aggregation (Spark plans partial_sum/partial_count before the
+shuffle automatically); grouping keys are low-cardinality, so the
+shuffle moves only #groups × #partitions rows, not the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feray_spark.catalog import load_table
+from feray_spark.queries import register
+from feray_spark.queries.util import davg, dec, dsum, sql_davg, sql_dsum
+
+
+@register(
+    "a1_groupby_q1",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_base_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(18,4)))
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(18,4))
+                    * (1 + CAST(l_tax AS DECIMAL(8,2))))
+                    AS DOUBLE) AS sum_charge,
+               {sql_davg('l_quantity')} AS avg_qty,
+               {sql_davg('l_extendedprice')} AS avg_price,
+               {sql_davg('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "A1", "A2", "flagship"),
+)
+def a1_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2 flagship: TPC-H Q1 pricing summary. Filter pushes to the
+    parquet scan; single hash-agg with map-side combine; 6-group
+    output sorts trivially."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one_minus_disc = F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    disc_price = (dec("l_extendedprice") * one_minus_disc).cast("decimal(18,4)")
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(8,2)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "a3_statistical_aggs",
+    oracle="""
+        SELECT c_mktsegment,
+               median(c_acctbal) AS med_bal,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+                        * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_sq,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+               COUNT(c_acctbal) AS n
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    tags=("agg", "A3"),
+)
+def a3_statistical_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: median + the exact moments (sum, sum of squares, count)
+    from which stddev/variance derive deterministically. Native
+    stddev_samp/var_samp exist but their merge order is engine-
+    dependent in the low bits, so the oracle-gated form exposes the
+    exact moments; see a3b for the native functions (rows-only)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.median("c_acctbal").alias("med_bal"),
+        F.sum(dec("c_acctbal") * dec("c_acctbal")).cast("double").alias("sum_sq"),
+        dsum("c_acctbal").alias("sum_bal"),
+        F.count("c_acctbal").alias("n"),
+    )
+
+
+@register("a3b_native_stddev_var", tags=("agg", "A3"))
+def a3b_native_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (native path): stddev_samp / var_samp / percentile_approx.
+    Rows-only check — float merge order differs across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.stddev_samp("c_acctbal").alias("std_bal"),
+        F.var_samp("c_acctbal").alias("var_bal"),
+        F.percentile_approx("c_acctbal", 0.5).alias("p50_approx"),
+    )
+
+
+@register(
+    "a4_count_distinct",
+    oracle="""
+        SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+               COUNT(*) AS n_customers
+        FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("agg", "A4"),
+)
+def a4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: exact distinct count (expand + two-phase agg in Spark)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@register("a5_approx_count_distinct", tags=("agg", "A5"))
+def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: HLL++ sketch cardinality. Sketch internals differ across
+    engines, so no value-hash oracle; the test tier asserts bounded
+    relative error vs exact instead (test_aggregates.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+
+
+@register(
+    "a6_distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("agg", "A6"),
+)
+def a6_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: distinct = groupBy on all projected columns."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "a7_collect_list_set",
+    oracle="""
+        SELECT o_custkey,
+               list_sort(list(o_orderkey)) AS order_keys,
+               list_sort(list(DISTINCT o_orderpriority)) AS priorities
+        FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg", "A7"),
+)
+def a7_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: collect values to list/set; array_sort for deterministic
+    comparison (collection order is partition-order-dependent)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+    )
+
+
+@register(
+    "a8_rollup",
+    oracle="""
+        SELECT r_name, n_name,
+               CAST(GROUPING(r_name) AS INT) AS g_region,
+               CAST(GROUPING(n_name) AS INT) AS g_nation,
+               COUNT(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    tags=("agg", "A8"),
+)
+def a8_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: hierarchical rollup with GROUPING() indicators."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = n.join(r, n.n_regionkey == r.r_regionkey)
+    return j.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "a8b_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "A8"),
+)
+def a8b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: cube (all grouping-set combinations)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "a9_pivot",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click')    AS click,
+               COUNT(*) FILTER (event_type = 'view')     AS view,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup')   AS signup,
+               COUNT(*) FILTER (event_type = 'error')    AS error
+        FROM events GROUP BY user_id
+    """,
+    tags=("agg", "A9"),
+)
+def a9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: wide-format pivot with an explicit value list (avoids the
+    extra distinct-values job Spark otherwise runs — required practice
+    at scale)."""
+    e = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    p = e.groupBy("user_id").pivot("event_type", kinds).agg(F.count(F.lit(1)))
+    return p.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@register(
+    "a10_global_agg",
+    oracle=f"""
+        SELECT {sql_dsum('l_extendedprice')} AS total_price,
+               {sql_davg('l_discount')} AS mean_disc,
+               MIN(l_shipdate) AS first_ship,
+               MAX(l_shipdate) AS last_ship,
+               COUNT(*) AS n
+        FROM lineitem
+    """,
+    tags=("agg", "A10"),
+)
+def a10_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: whole-relation aggregate (no keys) — single-row result,
+    computed with partial aggregates per partition then one merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        dsum("l_extendedprice").alias("total_price"),
+        davg("l_discount").alias("mean_disc"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "a11_filtered_agg",
+    oracle=f"""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS returned_revenue,
+               COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+               {sql_dsum('l_extendedprice')} AS all_revenue
+        FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("agg", "A11"),
+)
+def a11_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: conditional aggregation — SUM(x) FILTER (WHERE p) as
+    sum(when(p, x))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = F.when(F.col("l_returnflag") == "R", dec("l_extendedprice"))
+    return li.groupBy("l_linestatus").agg(
+        F.sum(returned).cast("double").alias("returned_revenue"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        dsum("l_extendedprice").alias("all_revenue"),
+    )

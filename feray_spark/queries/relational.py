@@ -1,0 +1,228 @@
+"""Scans / sources (SURVEY §2.1 S1,S6,S7) and projection / filter /
+predicate operators (§2.2 P1-P7).
+
+The reference's relational surface is its declared polars engine
+(``projects/feray/pyproject.toml:25``); each row here re-expresses one
+polars-surface operator as a declarative Spark plan so Catalyst gets
+pushdown/pruning for free. Every query returns aliased, deterministic
+columns matching its DuckDB oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feray_spark.catalog import load_table
+from feray_spark.queries import register
+
+# ---------------------------------------------------------------- scans
+
+
+@register(
+    "s1_parquet_scan_count",
+    oracle="SELECT count(*) AS n_rows FROM lineitem",
+    tags=("source", "S1"),
+)
+def s1_parquet_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: self-describing parquet scan. COUNT(*) compiles to a
+    metadata-only scan (parquet row-group counts) — no column IO."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "s6_csv_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("source", "S6"),
+)
+def s6_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: CSV ingest. Round-trips `region` through CSV with an explicit
+    schema (inference = an extra full scan; never in production paths)."""
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), "feray_spark_csv_roundtrip")
+    region = load_table(spark, sf_dir, "region")
+    region.write.mode("overwrite").option("header", True).csv(out)
+    return (
+        spark.read.schema("r_regionkey int, r_name string")
+        .option("header", True)
+        .csv(out)
+        .select("r_regionkey", "r_name")
+    )
+
+
+@register(
+    "s7_inmemory_rows",
+    oracle="SELECT * FROM (VALUES (1), (2), (0), (3)) AS t(x)",
+    tags=("source", "S7"),
+)
+def s7_inmemory_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: driver objects -> relation. The reference example fans out
+    over the literal list [1, 2, 0, 3] (ray_integration.py:20); same
+    rows here via createDataFrame."""
+    return spark.createDataFrame([(1,), (2,), (0,), (3,)], "x int")
+
+
+# ------------------------------------------------- projection / filter
+
+
+@register(
+    "p1_project_compute",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS revenue
+        FROM lineitem
+    """,
+    tags=("projection", "P1"),
+)
+def p1_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: select + computed column. Catalyst prunes the scan to the
+    four referenced columns (check ReadSchema in explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@register(
+    "p2_rename_drop_cast",
+    oracle="""
+        SELECT l_orderkey AS order_key, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    """,
+    tags=("projection", "P2"),
+)
+def p2_rename_drop_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: rename / drop / cast. Fixture quantities are integral doubles
+    so the double->bigint cast is value-preserving in both engines
+    (engines disagree on rounding of fractional casts — avoided)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumnRenamed("l_orderkey", "order_key")
+        .withColumn("qty", F.col("l_quantity").cast("bigint"))
+        .select("order_key", "l_linenumber", "qty")
+    )
+
+
+@register(
+    "p3_filter_comparison",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_quantity > 30
+    """,
+    tags=("filter", "P3"),
+)
+def p3_filter_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: comparison predicate, pushed to the parquet scan
+    (PushedFilters: [GreaterThan(l_quantity,30.0)])."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 30).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "p4_boolean_logic",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE (o_orderstatus = 'F' AND o_totalprice > 100000)
+           OR (NOT o_orderstatus = 'F' AND o_totalprice < 50000)
+    """,
+    tags=("filter", "P4"),
+)
+def p4_boolean_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: AND / OR / NOT composition over Column expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    f = (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000)
+    other = (~(F.col("o_orderstatus") == "F")) & (F.col("o_totalprice") < 50000)
+    return o.filter(f | other).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "p5_in_between_like",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND o_totalprice BETWEEN 50000 AND 150000
+          AND o_orderpriority LIKE '%-%'
+    """,
+    tags=("filter", "P5"),
+)
+def p5_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: IN / BETWEEN / LIKE membership, range and pattern predicates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(50000, 150000)
+        & F.col("o_orderpriority").like("%-%")
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "p5b_regex_predicate",
+    oracle=r"""
+        SELECT p_partkey, p_name, p_type
+        FROM part
+        WHERE regexp_matches(p_name, '^(small|large) ')
+    """,
+    tags=("filter", "P5"),
+)
+def p5b_regex_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: regex predicate (polars str.contains -> rlike)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").rlike(r"^(small|large) ")).select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+@register(
+    "p6_null_predicates",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN nullif(c_mktsegment, 'MACHINERY') IS NULL
+                    THEN 'none' ELSE 'some' END AS seg_class
+        FROM customer
+        WHERE c_acctbal IS NOT NULL
+    """,
+    tags=("filter", "P6"),
+)
+def p6_null_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: is_null / is_not_null / null-injection via nullif. Fixtures
+    carry no natural NULLs, so nullif() manufactures them on both
+    sides identically."""
+    c = load_table(spark, sf_dir, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    return c.filter(F.col("c_acctbal").isNotNull()).select(
+        "c_custkey",
+        F.when(seg_null.isNull(), "none").otherwise("some").alias("seg_class"),
+    )
+
+
+@register(
+    "p7_case_banding",
+    oracle="""
+        SELECT c_custkey, c_acctbal,
+               CASE WHEN c_acctbal < 1000 THEN 'low'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS bal_band
+        FROM customer
+    """,
+    tags=("filter", "P7"),
+)
+def p7_case_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: conditional expression (polars when/then/otherwise)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+    )

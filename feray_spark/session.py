@@ -1,0 +1,89 @@
+"""SparkSession factory.
+
+One place for every engine-level config so local tests, the bench
+harness, and a real cluster deployment share identical semantics:
+
+- AQE on (runtime re-planning, partition coalescing, skew-join
+  splitting) — the scale path for the 100 TB posture.
+- Arrow on for every Python<->JVM exchange (pandas UDFs, toPandas).
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle (DuckDB timestamps are TZ-naive).
+- ``spark.sql.shuffle.partitions`` sized to the actual parallelism
+  instead of the 200 default (wrong in both directions).
+
+On a real cluster the same factory is used with ``master=None`` so
+spark-submit / the cluster manager supplies master & sizing; only
+the semantic configs (ANSI, TZ, Arrow, AQE) are forced.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Semantics-bearing configs: identical everywhere (tests, bench, cluster).
+SEMANTIC_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # ANSI off: the engine contract is permissive SQL semantics
+    # (NULL on bad cast / div-by-zero), matching the declared polars
+    # engine surface of the reference rather than erroring mid-job.
+    "spark.sql.ansi.enabled": "false",
+    # Fixture `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which
+    # Spark's vectorized reader rejects; read nanos as long and let
+    # the catalog convert to microsecond timestamps (matching the
+    # DuckDB oracle's ns -> us truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "feray-spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_mem: str | None = None,
+    ui: bool = False,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied.
+
+    ``cores`` — int N for ``local[N]``, "*" for all, None → env
+    ``SPARK_GRAFT_CPUS`` or all cores.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cores}]")
+    if shuffle_partitions is None:
+        ncpu = os.cpu_count() or 8
+        shuffle_partitions = ncpu if cores in ("*", None) else int(cores)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if driver_mem is None:
+        driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    builder = builder.config("spark.driver.memory", driver_mem)
+    builder = builder.config("spark.ui.enabled", "true" if ui else "false")
+    for k, v in SEMANTIC_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_semantics(spark: SparkSession) -> SparkSession:
+    """Force the semantic configs onto an externally-created session.
+
+    The driver harness hands us its own SparkSession; runtime-settable
+    semantic configs (TZ, ANSI, AQE, Arrow) are applied so query
+    results are identical to sessions built by :func:`get_spark`.
+    """
+    for k, v in SEMANTIC_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on some builds
+            pass
+    return spark

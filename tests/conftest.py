@@ -1,0 +1,29 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from feray_spark.session import get_spark
+
+#: correctness tier defaults to the t1 smoke SF for fast local loops;
+#: CI / pre-commit can export SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+#: to run at the driver's t2 scale.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="feray-spark-tests",
+        cores=8,
+        shuffle_partitions=8,
+        driver_mem=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
