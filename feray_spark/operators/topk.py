@@ -1,0 +1,32 @@
+"""Top-k per group — SURVEY §2.5 W8 (polars ``top_k_by``).
+
+Window rank + filter: Spark pushes the ``rn <= k`` predicate into the
+window's sort as a group-limit (WindowGroupLimit physical rule), so
+each partition only materializes k rows per key rather than ranking
+everything — the right shape at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str | None = "rn",
+) -> DataFrame:
+    """k best rows per key under a total order. Pass fully
+    deterministic ``order_by`` (include a unique tiebreaker) or ranks
+    are run-dependent."""
+    w = W.partitionBy(*partition_by).orderBy(*order_by)
+    ranked = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    if rank_col:
+        return ranked.withColumnRenamed("__rn", rank_col)
+    return ranked.drop("__rn")

@@ -1,0 +1,395 @@
+"""Scalar function families (SURVEY §2.8) — one oracle-gated query
+per family (string, date/time, math, null/conditional, array, struct,
+map, JSON, hashing), mapping the declared polars expression
+namespaces onto `pyspark.sql.functions`.
+
+Oracle notes: where Spark and DuckDB built-ins disagree on defaults
+the query pins the behavior explicitly (regexp_replace global flag,
+day-of-week numbering, floor/ceil return types, libm last-ulp noise
+absorbed by the harness's 1e-9 rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feray_spark.catalog import load_table
+from feray_spark.functions.hashing import row_version
+from feray_spark.functions.vectors import dot, l2_norm
+from feray_spark.queries import register
+
+
+@register(
+    "f_string_family",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name)                           AS name_upper,
+               lower(p_brand)                          AS brand_lower,
+               substring(p_name, 1, 5)                 AS name_head,
+               regexp_replace(p_name, ' ', '_', 'g')   AS name_snake,
+               CAST(length(p_name) AS INT)             AS name_len,
+               starts_with(p_name, 'small')            AS is_small,
+               contains(p_type, 'ECON')                AS is_econ,
+               regexp_extract(p_brand, '([0-9]+)', 1)  AS brand_num,
+               concat_ws('|', p_brand, p_type)         AS brand_type,
+               lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+               trim('  ' || p_name || '  ')            AS trimmed
+        FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def f_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, slice, regex replace/extract, length,
+    predicates, concat, pad, trim."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.length("p_name").alias("name_len"),
+        F.startswith(F.col("p_name"), F.lit("small")).alias("is_small"),
+        F.contains(F.col("p_type"), F.lit("ECON")).alias("is_econ"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@register(
+    "f_datetime_family",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT)    AS yr,
+               CAST(month(o_orderdate) AS INT)   AS mo,
+               CAST(day(o_orderdate) AS INT)     AS dom,
+               date_trunc('month', o_orderdate)  AS month_start,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP)
+                                                 AS due_date,
+               strftime(o_orderdate, '%Y-%m')    AS ym,
+               CAST(extract(epoch FROM o_orderdate) AS BIGINT) AS epoch_s,
+               CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow
+        FROM orders
+    """,
+    tags=("scalar", "datetime"),
+)
+def f_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract, truncate, offset, format, epoch.
+    Day-of-week pinned to Spark numbering (1=Sunday; DuckDB's dow is
+    0=Sunday, shifted in the oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("timestamp")
+        .alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    )
+
+
+@register(
+    "f_datetime_diff",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) AS INT) AS ship_lag_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    tags=("scalar", "datetime"),
+)
+def f_datetime_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date difference: ship lag in days per line item."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("ship_lag_days"),
+    )
+
+
+@register(
+    "f_math_family",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               abs(l_discount - 0.05)                  AS disc_dev,
+               CAST(floor(l_extendedprice) AS BIGINT)  AS price_floor,
+               CAST(ceil(l_extendedprice) AS BIGINT)   AS price_ceil,
+               sqrt(l_quantity)                        AS qty_sqrt,
+               ln(l_extendedprice)                     AS price_ln,
+               log10(l_extendedprice)                  AS price_log10,
+               pow(l_quantity, 2)                      AS qty_sq,
+               sign(l_discount - 0.05)                 AS disc_sign,
+               CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod7,
+               round(l_discount * 100)                 AS disc_pct
+        FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def f_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. floor/ceil cast to BIGINT on both sides (Spark
+    returns LONG, DuckDB DOUBLE); transcendentals (ln/log10) agree
+    within 1 ulp across libm implementations — inside the harness's
+    rounding tolerance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.log("l_extendedprice").alias("price_ln"),
+        F.log10("l_extendedprice").alias("price_log10"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.pmod(F.col("l_quantity").cast("bigint"), F.lit(7))
+        .cast("bigint")
+        .alias("qty_mod7"),
+        F.round(F.col("l_discount") * 100, 0).alias("disc_pct"),
+    )
+
+
+@register(
+    "f_null_family",
+    oracle="""
+        SELECT c_custkey,
+               coalesce(nullif(c_mktsegment, 'MACHINERY'), 'UNKNOWN') AS seg,
+               ifnull(nullif(c_acctbal, c_acctbal), 0.0)  AS never_null_bal,
+               (nullif(c_mktsegment, 'MACHINERY')
+                   IS NOT DISTINCT FROM c_mktsegment)     AS nullsafe_eq
+        FROM customer
+    """,
+    tags=("scalar", "null"),
+)
+def f_null_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null family: coalesce / nullif / ifnull / null-safe equality
+    (`<=>`). NULLs are manufactured with nullif since fixtures carry
+    none."""
+    c = load_table(spark, sf_dir, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    return c.select(
+        "c_custkey",
+        F.coalesce(seg_null, F.lit("UNKNOWN")).alias("seg"),
+        F.ifnull(F.nullif("c_acctbal", "c_acctbal"), F.lit(0.0)).alias(
+            "never_null_bal"
+        ),
+        seg_null.eqNullSafe(F.col("c_mktsegment")).alias("nullsafe_eq"),
+    )
+
+
+@register(
+    "f_array_strings",
+    oracle="""
+        SELECT p_partkey,
+               string_split(p_name, ' ')                    AS words,
+               CAST(len(string_split(p_name, ' ')) AS INT)  AS n_words,
+               list_sort(list_distinct(string_split(p_name, ' ')))
+                                                            AS uniq_words,
+               list_contains(string_split(p_name, ' '), 'widget')
+                                                            AS has_widget,
+               array_to_string(list_sort(string_split(p_name, ' ')), '-')
+                                                            AS joined,
+               string_split(p_name, ' ')[1:2]               AS first_two
+        FROM part
+    """,
+    tags=("scalar", "array"),
+)
+def f_array_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over string arrays: split, size, distinct, sort,
+    contains, join, slice."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        words.alias("words"),
+        F.size(words).alias("n_words"),
+        F.array_sort(F.array_distinct(words)).alias("uniq_words"),
+        F.array_contains(words, "widget").alias("has_widget"),
+        F.array_join(F.array_sort(words), "-").alias("joined"),
+        F.slice(words, 1, 2).alias("first_two"),
+    )
+
+
+@register(
+    "f_array_vectors",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS INT) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_elem,
+               sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (acc, x) -> acc + x)) AS l2,
+               list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (acc, x) -> acc + x) AS self_dot
+        FROM embeddings
+    """,
+    tags=("scalar", "array", "vector"),
+)
+def f_array_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over float vectors: higher-order fns (transform /
+    zip_with / aggregate) — sequential fold, float→double cast before
+    arithmetic, bit-identical across engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        l2_norm("embedding").alias("l2"),
+        dot("embedding", "embedding").alias("self_dot"),
+    )
+
+
+@register(
+    "f_struct_family",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_name)  AS packed_name,
+               c_acctbal + 10 AS adjusted_bal,
+               c_mktsegment   AS segment
+        FROM customer
+    """,
+    tags=("scalar", "struct"),
+)
+def f_struct_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct family — the feature-container encoding (reference
+    README.md:22: "a feature can have sub-features"): pack columns
+    into a struct, mutate a field with withField, read nested fields,
+    unpack to flat columns. The oracle validates the *values* (flat);
+    the struct machinery is all on the Spark side."""
+    c = load_table(spark, sf_dir, "customer")
+    packed = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        ).alias("container"),
+    )
+    mutated = packed.withColumn(
+        "container",
+        F.col("container")
+        .withField("name", F.upper(F.col("container.name")))
+        .withField("bal", F.col("container.bal") + 10),
+    )
+    return mutated.select(
+        "c_custkey",
+        F.col("container.name").alias("packed_name"),
+        F.col("container.bal").alias("adjusted_bal"),
+        F.col("container.seg").alias("segment"),
+    )
+
+
+@register(
+    "f_map_family",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
+               COUNT(*) FILTER (event_type = 'click')  AS n_click
+        FROM events GROUP BY user_id
+    """,
+    tags=("scalar", "map"),
+)
+def f_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: build map<event_type, count> per user from
+    grouped structs (map_from_entries), then read back size and one
+    key's value. Oracle validates the extracted values."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    return mapped.select(
+        "user_id",
+        F.size(F.map_keys("type_counts")).alias("n_types"),
+        F.coalesce(F.element_at("type_counts", "click"), F.lit(0)).alias("n_click"),
+    )
+
+
+@register(
+    "f_json_family",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS k_value,
+               json_extract_string(props, '$.k')       AS k_str,
+               CAST(len(json_keys(props)) AS INT)      AS n_keys
+        FROM events
+    """,
+    tags=("scalar", "json"),
+)
+def f_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: path extraction, typed parse via from_json,
+    key enumeration over the events.props JSON string column."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_value"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.size(F.json_object_keys("props")).alias("n_keys"),
+    )
+
+
+@register(
+    "f_hash_family",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               sha256(concat_ws(chr(31),
+                   CAST(l_orderkey AS VARCHAR),
+                   CAST(l_linenumber AS VARCHAR),
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                   coalesce(CAST(NULLIF(l_returnflag, 'N') AS VARCHAR), chr(0))
+               )) AS data_version,
+               md5(l_returnflag || l_linestatus) AS md5_flags
+        FROM lineitem
+    """,
+    tags=("scalar", "hash", "FS1"),
+)
+def f_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing family — the FS1 record-version primitive (reference
+    README.md:23, polars-hash dep): sha256 over the canonical row
+    rendering (0x1f-joined, NULL→0x00 sentinel, money via decimal),
+    recomputed identically by the DuckDB oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        row_version(
+            [
+                F.col("l_orderkey"),
+                F.col("l_linenumber"),
+                F.col("l_extendedprice").cast("decimal(18,2)"),
+                F.nullif(F.col("l_returnflag"), F.lit("N")),
+            ]
+        ).alias("data_version"),
+        F.md5(F.concat("l_returnflag", "l_linestatus")).alias("md5_flags"),
+    )
+
+
+@register("f_hash_native", tags=("scalar", "hash"))
+def f_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native hash functions (xxhash64, murmur3) — no DuckDB
+    twin, rows-only check; determinism across runs is covered by the
+    unit tier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.xxhash64("l_orderkey", "l_linenumber").alias("xx64"),
+        F.hash("l_orderkey", "l_linenumber").alias("murmur3"),
+    )

@@ -48,7 +48,9 @@ def _canon_scalar(v):
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, _dt.date):
-        return v.isoformat()
+        # render dates as midnight timestamps so a DATE on one side
+        # and a midnight TIMESTAMP on the other compare equal
+        return _dt.datetime(v.year, v.month, v.day).isoformat(timespec="microseconds")
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, (list, tuple)):
