@@ -1,0 +1,223 @@
+"""FeatureStore / FeatureView — the engine's analog of the reference's
+Dagster asset graph (``examples/.../definitions.py:17-50``), with FS3
+memoization replacing ``AutomationCondition.eager() | on_missing()``
+(``definitions.py:25-27``).
+
+A FeatureView is a named function ``(spark, {input_name: DataFrame})
+-> DataFrame`` over upstream tables or other views (SURVEY §1.1
+"Feature (asset)"). ``materialize()`` walks the dependency DAG in
+topological order; each view is recomputed only when its fingerprint
+— sha256 over (function source ‖ sorted upstream versions ‖ semantic
+config) — differs from the one stored in the latest commit's user
+metadata (FS3). A hit serves the stored table without launching a
+job; stale-hit safety is exactly the fingerprint's completeness
+(SURVEY §7.6 item 3), so *every* semantics-bearing input is folded
+in.
+
+Materialized tables carry ``_data_version``/``_code_version`` columns
+(FS1/FS2) and land in the versioned :class:`TableStore` with commit
+metadata {fingerprint, code_version, row_count} — the same contract
+the reference reports through Dagster Pipes
+(``ray_external.py:10-16``: materialization metadata + data_version).
+
+Asset checks (FS5, ``definitions.py:32``) attach per-view as callables
+``DataFrame -> Column`` (a boolean aggregate); failures are recorded
+in the commit metadata and optionally raise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feray_spark.features.versioning import (
+    CODE_VERSION_COL,
+    code_version,
+    with_data_version,
+)
+from feray_spark.session import SEMANTIC_CONF
+from feray_spark.sources.table_store import TableStore
+
+
+@dataclass
+class FeatureView:
+    name: str
+    fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+    inputs: Sequence[str] = ()  # upstream view names or source paths
+    entities: Sequence[str] = ()  # entity/join key columns
+    version_cols: Sequence[str] | None = None  # FS1 hash columns
+    checks: dict[str, Callable[[DataFrame], Column]] = field(default_factory=dict)
+
+
+class CheckFailure(RuntimeError):
+    pass
+
+
+class FeatureStore:
+    """Registry + materializer. ``sources`` maps external input names
+    to parquet paths (e.g. the fixture tables); views reference either
+    sources or other views by name."""
+
+    def __init__(self, spark: SparkSession, root: str, sources: dict[str, str] | None = None):
+        self.spark = spark
+        self.store = TableStore(root)
+        self.sources = dict(sources or {})
+        self.views: dict[str, FeatureView] = {}
+
+    # ------------------------------------------------------- registry
+
+    def register(self, view: FeatureView) -> FeatureView:
+        if view.name in self.views or view.name in self.sources:
+            raise ValueError(f"duplicate name {view.name!r}")
+        self.views[view.name] = view
+        return view
+
+    def feature_view(
+        self,
+        name: str | None = None,
+        inputs: Sequence[str] = (),
+        entities: Sequence[str] = (),
+        version_cols: Sequence[str] | None = None,
+        checks: dict[str, Callable[[DataFrame], Column]] | None = None,
+    ):
+        """Decorator form: the engine's analog of ``@dg.asset``
+        (reference ``ray_integration.py:5-9``)."""
+
+        def deco(fn):
+            view = FeatureView(
+                name=name or fn.__name__,
+                fn=fn,
+                inputs=inputs,
+                entities=entities,
+                version_cols=version_cols,
+                checks=checks or {},
+            )
+            self.register(view)
+            return view
+
+        return deco
+
+    # ------------------------------------------------------ resolve
+
+    def _load_input(self, name: str) -> DataFrame:
+        if name in self.views:
+            return self.store.read(self.spark, name)
+        if name in self.sources:
+            return self.spark.read.parquet(self.sources[name])
+        raise KeyError(f"unknown input {name!r}")
+
+    def _input_version(self, name: str) -> str:
+        """Version token for one upstream: a view's commit fingerprint,
+        or for an external parquet source a digest of its file
+        (path, size, mtime) triples — change detection without a scan."""
+        if name in self.views:
+            commit = self.store.commit_info(name)
+            if commit is None:
+                raise RuntimeError(f"upstream view {name!r} not materialized")
+            return f"view:{commit.user_metadata.get('fingerprint', commit.version)}"
+        path = self.sources[name]
+        entries = []
+        if os.path.isdir(path):
+            for fname in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, fname))
+                entries.append((fname, st.st_size, int(st.st_mtime)))
+        else:
+            st = os.stat(path)
+            entries.append((os.path.basename(path), st.st_size, int(st.st_mtime)))
+        digest = hashlib.sha256(json.dumps(entries).encode()).hexdigest()
+        return f"src:{digest}"
+
+    def fingerprint(self, view: FeatureView) -> str:
+        """FS3 cache key: code ‖ exact upstream versions ‖ the
+        semantic config (a config flip that changes results must bust
+        the cache — SURVEY §7.6 item 3)."""
+        parts = {
+            "code": code_version(view.fn),
+            "inputs": {i: self._input_version(i) for i in view.inputs},
+            "conf": SEMANTIC_CONF,
+            "version_cols": list(view.version_cols or []),
+        }
+        return hashlib.sha256(json.dumps(parts, sort_keys=True).encode()).hexdigest()
+
+    # --------------------------------------------------- materialize
+
+    def materialize(
+        self, name: str, force: bool = False, raise_on_check_failure: bool = True
+    ) -> tuple[DataFrame, bool]:
+        """Materialize a view (and, recursively, its upstream views).
+        Returns ``(table, recomputed)`` — ``recomputed=False`` is an
+        FS3 memoization hit served straight from the table store."""
+        view = self.views[name]
+        for upstream in view.inputs:
+            if upstream in self.views:
+                self.materialize(
+                    upstream, force=force, raise_on_check_failure=raise_on_check_failure
+                )
+        fp = self.fingerprint(view)
+        latest = self.store.commit_info(name)
+        if (
+            not force
+            and latest is not None
+            and latest.user_metadata.get("fingerprint") == fp
+        ):
+            return self.store.read(self.spark, name), False
+
+        inputs = {i: self._load_input(i) for i in view.inputs}
+        result = view.fn(self.spark, inputs)
+        result = with_data_version(result, view.version_cols)
+        result = result.withColumn(CODE_VERSION_COL, F.lit(code_version(view.fn)))
+
+        check_results = {}
+        for check_name, check in view.checks.items():
+            passed = bool(result.agg(check(result).alias("ok")).collect()[0]["ok"])
+            check_results[check_name] = passed
+        meta = {
+            "fingerprint": fp,
+            "code_version": code_version(view.fn),
+            "checks": check_results,
+        }
+        self.store.write(result, name, mode="overwrite", user_metadata=meta)
+        if raise_on_check_failure and not all(check_results.values()):
+            failed = [k for k, ok in check_results.items() if not ok]
+            raise CheckFailure(f"{name}: checks failed: {failed}")
+        return self.store.read(self.spark, name), True
+
+    # ------------------------------------------------------ backfill
+
+    def backfill(self, name: str, predicate: str) -> None:
+        """FS7: recompute only the slice matching ``predicate``
+        (Delta ``replaceWhere`` semantics via the table store)."""
+        view = self.views[name]
+        inputs = {i: self._load_input(i) for i in view.inputs}
+        result = view.fn(self.spark, inputs).filter(predicate)
+        result = with_data_version(result, view.version_cols)
+        result = result.withColumn(CODE_VERSION_COL, F.lit(code_version(view.fn)))
+        self.store.replace_where(
+            self.spark,
+            name,
+            result,
+            predicate,
+            user_metadata={"backfill": predicate, "fingerprint": self.fingerprint(view)},
+        )
+
+    # ------------------------------------------------------- annotate
+
+    def annotate(
+        self, name: str, labels: DataFrame, keys: Sequence[str]
+    ) -> None:
+        """FS6: human-in-the-loop flags (reference roadmap
+        ``README.md:51-52``) — merge reviewer labels into the feature
+        table keyed on the entity."""
+        target = self.store.read(self.spark, name)
+        flagged = target.join(labels, list(keys), "left")
+        prev = self.store.commit_info(name)
+        meta = dict(prev.user_metadata) if prev else {}
+        meta["annotation"] = True  # keep fingerprint → memoization hit survives
+        self.store.write(flagged, name, mode="overwrite", user_metadata=meta)

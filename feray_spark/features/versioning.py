@@ -1,0 +1,59 @@
+"""Record- and code-level versioning — SURVEY §2.11 FS1/FS2.
+
+The reference: "data and code version are tracked on the record
+level" (``README.md:23``), with ``data_version`` reported per
+materialization (``examples/.../ray_external.py:15``). Here:
+
+- ``_data_version`` (FS1): sha256 of the canonical row rendering
+  (:func:`feray_spark.functions.hashing.row_version`) — one codegen'd
+  projection appended before every sink write.
+- ``_code_version`` (FS2): sha256 fingerprint of the feature
+  function's source text — the Dagster code-version caching model
+  (reference ``README.md:31``), used by the FS3 memoization gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from feray_spark.functions.hashing import row_version
+
+DATA_VERSION_COL = "_data_version"
+CODE_VERSION_COL = "_code_version"
+
+
+def with_data_version(
+    df: DataFrame, cols: Sequence[str | Column] | None = None
+) -> DataFrame:
+    """FS1: inject the record-level content hash. ``cols`` defaults to
+    every current column in declaration order — callers with evolving
+    schemas should pass an explicit stable list."""
+    cols = list(cols) if cols is not None else [c for c in df.columns]
+    return df.withColumn(DATA_VERSION_COL, row_version(cols))
+
+
+def code_version(fn: Callable) -> str:
+    """FS2: fingerprint of a feature function. Source text (not
+    bytecode) so it is stable across interpreter versions; falls back
+    to qualname for builtins/lambdas without retrievable source."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        src = getattr(fn, "__qualname__", repr(fn))
+    return hashlib.sha256(src.encode()).hexdigest()
+
+
+def with_versions(
+    df: DataFrame,
+    fn: Callable,
+    version_cols: Sequence[str | Column] | None = None,
+) -> DataFrame:
+    """Inject both FS1 and FS2 columns."""
+    return with_data_version(df, version_cols).withColumn(
+        CODE_VERSION_COL, F.lit(code_version(fn))
+    )
