@@ -1,0 +1,172 @@
+"""Batch-parity twins of the streaming operators (SURVEY §2.9).
+
+The same plan builders from :mod:`feray_spark.streaming.fastlane` run
+here on the bounded events table and are gated against DuckDB; the
+streaming executions of the identical plans are smoke-tested in
+tests/test_streaming.py (file source, availableNow trigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feray_spark.catalog import load_table
+from feray_spark.queries import register
+from feray_spark.queries.util import sql_dsum
+from feray_spark.streaming.fastlane import (
+    sessionized,
+    sliding_counts,
+    stream_dedup,
+    tumbling_counts,
+)
+
+
+@register(
+    "t1_tumbling_window",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS win_start,
+               time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE
+                   AS win_end,
+               event_type,
+               COUNT(*) AS n,
+               {sql_dsum('value')} AS total
+        FROM events GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "T1"),
+)
+def t1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: tumbling event-time windows (batch parity)."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "t2_sliding_window",
+    oracle="""
+        WITH hops AS (SELECT * FROM (VALUES (0), (1)) AS t(k))
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE
+                   AS win_start,
+               time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE
+                   + INTERVAL 10 MINUTE AS win_end,
+               COUNT(*) AS n
+        FROM events CROSS JOIN hops
+        WHERE ts >= time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE
+          AND ts <  time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE
+                    + INTERVAL 10 MINUTE
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "T2"),
+)
+def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: sliding windows, 10-minute width / 5-minute hop — every
+    event contributes to 2 windows (oracle expands the hops
+    explicitly)."""
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "t3_session_window",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "T3"),
+)
+def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: session windows (30-minute gap) per user; the oracle
+    sessionizes classically (lag + gap-flag + cumulative sum) and must
+    produce the same [min_ts, max_ts + gap) sessions."""
+    return sessionized(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "t5_dedup",
+    oracle="""
+        SELECT event_id, user_id, event_type FROM (
+            SELECT event_id, user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+            FROM events) t
+        WHERE rn = 1
+    """,
+    tags=("streaming", "T5"),
+)
+def t5_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: dedup by event_id (batch twin of
+    dropDuplicatesWithinWatermark). event_id is unique in the
+    fixtures, so parity additionally proves nothing is dropped."""
+    e = load_table(spark, sf_dir, "events")
+    return stream_dedup(e).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "t7_stream_static_join",
+    oracle="""
+        SELECT event_id, user_id, event_type, c_mktsegment AS segment
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+    """,
+    tags=("streaming", "T7"),
+)
+def t7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: enrich the event stream with a static dimension (broadcast
+    left join — stream side never shuffles)."""
+    from feray_spark.streaming.fastlane import enrich_with_static
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return enrich_with_static(e, c, on="user_id").select(
+        "event_id", "user_id", "event_type", F.col("c_mktsegment").alias("segment")
+    )
+
+
+@register(
+    "t8_stream_stream_join",
+    oracle="""
+        SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+               a.user_id, b.value AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') a
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "T8"),
+)
+def t8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: stream-stream join with time bounds — purchases within one
+    hour after a click, per user. The time-range predicate is what
+    lets streaming bound both sides' state (with watermarks)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user)
+        & (purchases.p_ts >= clicks.c_ts)
+        & (purchases.p_ts < clicks.c_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    return clicks.join(purchases, cond).select(
+        "click_id", "purchase_id", "user_id", "purchase_value"
+    )

@@ -1,0 +1,186 @@
+"""Structured Streaming realization of the reference's "fastlane"
+serving mode (reference ``README.md:47-55``: single-row processing,
+one persistent cluster, explicitly not a priority queue).
+
+Design: every transformation here is written against an unbounded
+DataFrame and works identically on a bounded one — batch parity is
+the correctness contract (SURVEY §5.2 item 5: the oracle gates the
+batch twin; streaming execution is smoke-tested with an
+``availableNow`` file source driving the same plan).
+
+The serving sink (T9) is ``foreachBatch`` + versioned-store MERGE
+keyed on the entity — the Spark→serving handoff surface: Spark
+publishes feature tables, the serving side reads them, the contract
+is the table + its version metadata (exactly what the reference
+communicates over Dagster Pipes, ``ray_external.py:10-16``).
+
+Scale notes: windowed aggregations carry watermarks so state is
+bounded (T4); dedup uses ``dropDuplicatesWithinWatermark`` so the
+seen-keys map is evicted; the upsert sink's MERGE is idempotent per
+epoch, giving exactly-once effects on top of checkpointed offsets
+(T10).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from feray_spark.sources.table_store import TableStore
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (nanosecond int64
+    ts converted to timestamp exactly as the batch catalog does), for
+    smoke tests and availableNow parity runs. Production sources
+    (kafka etc.) plug in via the same schema."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    # the file stream source requires a directory; stage a symlink
+    tag = hashlib.sha256(src.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"feray_stream_src_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).format("parquet").load(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# ----------------------------------------------------------- windows
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """T1 (+T4): tumbling event-time windows per event_type with a
+    watermark bounding state and dropping data later than the horizon."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T2 (+T4): sliding windows — each event lands in width/slide
+    overlapping windows."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """T3 (+T4): session windows per user — events closer than ``gap``
+    merge into one session [min ts, max ts + gap)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ------------------------------------------------------- dedup / joins
+
+
+def stream_dedup(events: DataFrame, keys: Sequence[str] = ("event_id",),
+                 watermark: str = "1 hour") -> DataFrame:
+    """T5: drop duplicate events by key. Streaming uses
+    dropDuplicatesWithinWatermark so per-key state is evicted once the
+    watermark passes; the batch twin is plain dropDuplicates."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
+
+
+def enrich_with_static(events: DataFrame, dim: DataFrame, on) -> DataFrame:
+    """T7: stream-static join — the dimension is re-read per
+    micro-batch (picks up slowly-changing dims); broadcast keeps the
+    stream side shuffle-free."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+# -------------------------------------------------------------- sink
+
+
+def serve_upsert(
+    events: DataFrame,
+    store: TableStore,
+    table: str,
+    keys: Sequence[str],
+    checkpoint: str,
+):
+    """T9/T10: serving-table sink — per micro-batch MERGE keyed on the
+    entity (latest row per key wins within the batch), checkpointed
+    for exactly-once effects. Returns the StreamingQuery."""
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        latest = (
+            batch.withColumn(
+                "__rn",
+                F.row_number().over(
+                    W.partitionBy(*keys).orderBy(
+                        F.col("ts").desc(), F.col("event_id").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if store.latest_version(table) is None:
+            store.write(latest, table, mode="overwrite",
+                        user_metadata={"epoch": epoch_id})
+        else:
+            store.merge(spark, table, latest, keys=keys,
+                        user_metadata={"epoch": epoch_id})
+
+    return (
+        events.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

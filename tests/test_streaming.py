@@ -1,0 +1,184 @@
+"""Streaming execution smoke tests (SURVEY §5.2 item 5): the same
+plans gated in batch mode run under Structured Streaming with an
+availableNow file source, and must produce identical results.
+Covers T1/T4 (watermark path), T5, T6 (stateful), T9/T10 (upsert
+sink + checkpoint idempotence)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from feray_spark.catalog import load_table
+from feray_spark.sources.table_store import TableStore
+from feray_spark.streaming.fastlane import (
+    serve_upsert,
+    stream_events,
+    tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def tmp_dir():
+    d = tempfile.mkdtemp(prefix="feray_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(df, name: str) -> None:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if not df.isStreaming or True else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_dir):
+    """T1+T4: windowed agg with watermark, streaming vs batch."""
+    stream = stream_events(spark, SF_DIR)
+    agg = tumbling_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT * FROM tumbling_out ORDER BY win_start, event_type"
+    ).toPandas()
+    want = (
+        tumbling_counts(load_table(spark, SF_DIR, "events"))
+        .orderBy("win_start", "event_type")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_dedup_drops_replayed_batch(spark, tmp_dir):
+    """T5: the same file replayed as two batches must not double-count
+    events (dropDuplicatesWithinWatermark keyed on event_id)."""
+    import glob
+    import os
+    import shutil as sh
+
+    events = load_table(spark, SF_DIR, "events").limit(200)
+    events.coalesce(1).write.parquet(f"{tmp_dir}/one")
+    part = glob.glob(f"{tmp_dir}/one/part-*.parquet")[0]
+    src_dir = f"{tmp_dir}/src"
+    os.makedirs(src_dir)
+    sh.copy(part, f"{src_dir}/a.parquet")
+    sh.copy(part, f"{src_dir}/b.parquet")  # exact replay
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src_dir)
+    )
+    deduped = raw.withWatermark("ts", "100 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(DISTINCT event_id) d, count(*) n FROM dedup_out").collect()[0]
+    assert n.n == n.d == 200
+
+
+def test_stateful_running_count(spark, tmp_dir):
+    """T6: custom stateful per-key operator via applyInPandasWithState
+    — running event count per user across micro-batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def count_events(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    stream = stream_events(spark, SF_DIR)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM stateful_out GROUP BY user_id"
+    ).toPandas()
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    got = got.sort_values("user_id").reset_index(drop=True)
+    want = want.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_serving_upsert_sink_and_checkpoint_idempotence(spark, tmp_dir):
+    """T9+T10: foreachBatch MERGE produces the latest row per entity;
+    restarting on the same checkpoint with no new data is a no-op."""
+    store = TableStore(f"{tmp_dir}/store")
+    stream = stream_events(spark, SF_DIR)
+    q = serve_upsert(
+        stream, store, "serving", keys=["user_id"], checkpoint=f"{tmp_dir}/ckpt"
+    )
+    q.awaitTermination(120)
+
+    got = store.read(spark, "serving").select("user_id", "event_id").toPandas()
+    e = load_table(spark, SF_DIR, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    want = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id")
+        .toPandas()
+    )
+    got = got.sort_values("user_id").reset_index(drop=True)
+    want = want.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    v_before = store.latest_version("serving")
+    q2 = serve_upsert(
+        stream_events(spark, SF_DIR),
+        store,
+        "serving",
+        keys=["user_id"],
+        checkpoint=f"{tmp_dir}/ckpt",
+    )
+    q2.awaitTermination(120)
+    assert store.latest_version("serving") == v_before  # no new commit
