@@ -1,0 +1,104 @@
+"""External-job protocol — SURVEY §2.10 F6.
+
+The reference submits an external script as the computation and
+collects metadata / data_version back over a message channel (Dagster
+Pipes over the Ray job API: `ray_integration.py:44-55`,
+`ray_external.py:4-16`, `lazy_local_ray.py:16-44`). The engine-side
+contract is small and engine-agnostic:
+
+- a **job spec**: entrypoint + ``extras`` dict (the reference passes
+  ``{"param": "value"}``);
+- a **report channel**: the external process reports materialization
+  ``metadata`` and a ``data_version`` string back to the caller
+  (the reference's ``report_asset_materialization``,
+  `ray_external.py:10-16`).
+
+Here the channel is a JSON file handed to the subprocess via the
+``FERAY_PIPES_CHANNEL`` env var (the spirit of Dagster Pipes without
+the dependency); extras travel in ``FERAY_PIPES_EXTRAS``. In
+production the entrypoint would be ``spark-submit`` / a Spark Connect
+client; the protocol is identical, so tests drive it with plain
+``python`` entrypoints to keep JVM startup off the test clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from dataclasses import dataclass, field
+
+CHANNEL_ENV = "FERAY_PIPES_CHANNEL"
+EXTRAS_ENV = "FERAY_PIPES_EXTRAS"
+
+
+@dataclass(frozen=True)
+class ExternalResult:
+    returncode: int
+    metadata: dict = field(default_factory=dict)
+    data_version: str | None = None
+    stdout: str = ""
+    stderr: str = ""
+
+
+def report_materialization(metadata: dict, data_version: str | None = None) -> None:
+    """Called INSIDE the external script: report results back over the
+    channel (twin of `ray_external.py:10-16`)."""
+    path = os.environ.get(CHANNEL_ENV)
+    if not path:
+        raise RuntimeError("no pipes channel: run under run_external_job()")
+    with open(path, "w") as f:
+        json.dump({"metadata": metadata, "data_version": data_version}, f)
+
+
+def get_extras() -> dict:
+    """Called INSIDE the external script: the job spec's extras
+    (twin of `ray_external.py:7-9`)."""
+    return json.loads(os.environ.get(EXTRAS_ENV, "{}"))
+
+
+def run_external_job(
+    entrypoint: list[str],
+    extras: dict | None = None,
+    *,
+    timeout: float = 600,
+) -> ExternalResult:
+    """Submit an external process and harvest its materialization
+    report (twin of `ray_integration.py:49-55` + ``get_results()``).
+
+    ``entrypoint`` is an argv list (e.g. ``[sys.executable, script]``
+    or ``["spark-submit", job.py]``).
+    """
+    with tempfile.TemporaryDirectory() as td:
+        channel = os.path.join(td, "channel.json")
+        env = dict(os.environ)
+        env[CHANNEL_ENV] = channel
+        env[EXTRAS_ENV] = json.dumps(extras or {})
+        proc = subprocess.run(
+            entrypoint, env=env, capture_output=True, text=True, timeout=timeout
+        )
+        report = {}
+        if os.path.exists(channel):
+            with open(channel) as f:
+                report = json.load(f)
+        return ExternalResult(
+            returncode=proc.returncode,
+            metadata=report.get("metadata", {}),
+            data_version=report.get("data_version"),
+            stdout=proc.stdout,
+            stderr=proc.stderr,
+        )
+
+
+def _self_test_entrypoint() -> None:  # pragma: no cover — subprocess target
+    extras = get_extras()
+    report_materialization(
+        metadata={"rows": 3, "echo": extras.get("param")}, data_version="alpha"
+    )
+
+
+if __name__ == "__main__":  # allows `python -m feray_spark.external` as a job
+    _self_test_entrypoint()
+    sys.exit(0)

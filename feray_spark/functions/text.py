@@ -1,0 +1,121 @@
+"""Text analysis primitives — SURVEY §2.12 L4/L5 and the shingle /
+fingerprint machinery behind the dedup family (L1/L2).
+
+Everything here is built from JVM-side `pyspark.sql.functions`
+(split / transform / aggregate / md5) — no Python UDFs — so the text
+pipeline stays inside whole-stage codegen at 100 TB. The hash basis
+is md5-prefix (16 hex chars = 64 bits) rather than xxhash64 so the
+DuckDB oracle can recompute identical values (both engines ship
+md5; neither shares an xxhash seed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny deterministic stopword list used by lang-id and quality ops
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+#: BPE-ish token pattern: letter runs, digit runs, or single symbols
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def words(col: str | Column) -> Column:
+    """Whitespace tokens of the lowercased text (empty strings
+    filtered — Spark's split keeps a trailing empty token)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), "\\s+"), lambda w: w != "")
+
+
+def token_count(col: str | Column) -> Column:
+    """L4: whitespace token count."""
+    return F.size(words(col))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """L4: sub-word-ish token count via the BPE-flavored regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles (the MinHash basis). Sequence indices are
+    0-based inside expr-land; documents shorter than n words yield an
+    empty array."""
+    w = words(col)
+    return F.when(F.size(w) >= n, _shingles_of(w, n)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _shingles_of(w: Column, n: int) -> Column:
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]
+        ),
+    )
+
+
+def hash64(col: Column, seed: int) -> Column:
+    """Seeded 64-bit-ish hash as a 16-hex-char string: md5 prefix of
+    ``seed|value``. Oracle-reproducible (DuckDB md5) and uniform
+    enough for MinHash / fingerprinting."""
+    return F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), col)), 1, 16)
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature: for each of ``num_hashes`` seeded hash
+    functions, the minimum hash over the shingle set. Entirely
+    higher-order-function based: one pass per hash function over the
+    in-row array, no explode, no shuffle."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: hash64(s, i)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lang_id(col: str | Column) -> Column:
+    """L4: n-gram-heuristic language ID. Deterministic stopword-vote:
+    classify 'en' when at least 2 distinct English stopwords occur,
+    else 'und'. (The fixtures' text is synthetic English-like for all
+    lang labels, so this is exercised as an operator, not an accuracy
+    benchmark; a production model slots in as a pandas UDF.)"""
+    w = words(col)
+    hits = F.size(F.array_intersect(F.array_distinct(w), F.array(*[F.lit(s) for s in EN_STOPWORDS])))
+    return F.when(hits >= 2, F.lit("en")).otherwise(F.lit("und"))
+
+
+def quality_score(col: str | Column) -> Column:
+    """L4: composite quality score in [0,1]: mean of
+    (length in bounds, stopword ratio >= 0.05, mean word length in
+    [2, 12]). All-integer/ratio arithmetic — deterministic."""
+    c = F.col(col) if isinstance(col, str) else col
+    w = words(c)
+    n = F.size(w)
+    stop_hits = F.size(
+        F.filter(w, lambda x: x.isin(*[F.lit(s) for s in EN_STOPWORDS]))
+    )
+    len_ok = (F.length(c) >= 20) & (F.length(c) <= 100000)
+    stop_ok = (stop_hits.cast("double") / n) >= 0.05
+    mean_wlen = (F.length(c) - n + 1).cast("double") / n
+    wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
+    return (
+        len_ok.cast("int") + stop_ok.cast("int") + wlen_ok.cast("int")
+    ).cast("double") / 3.0
+
+
+def doc_fingerprint(col: str | Column, gram: int = 8) -> Column:
+    """L4: document fingerprint — the minimum seeded hash over all
+    ``gram``-char rolling character windows (winnowing-style, window
+    = whole doc). Robust to small appends/prepends unlike a full-text
+    hash; identical docs ⇒ identical fingerprint."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(low) - gram + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substr(low, i, F.lit(gram)))
+    return F.array_min(F.transform(grams, lambda g: hash64(g, 0)))

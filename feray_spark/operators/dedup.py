@@ -1,0 +1,192 @@
+"""Deduplication family — SURVEY §2.12 L1/L2 (north-star: the core
+of a 100 TB training-data pipeline).
+
+Four tiers, cheapest first:
+
+- :func:`exact_dedup` — content-hash groupBy; one shuffle on the
+  64-hex sha256 (uniform keys → no skew), keeps the lowest doc id
+  per hash deterministically.
+- :func:`minhash_lsh_pairs` — near-dup candidates with Jaccard ≥ τ
+  over word shingles: explode shingles → ONE hash-aggregate builds
+  the per-doc MinHash signature (map-side partial mins), band into
+  ``bands`` hashes, self-join on (band_idx, band_hash). Join key is
+  a hash → uniform; candidate verification (exact Jaccard) touches
+  only colliding pairs.
+- :func:`simhash` — 60-bit per-doc sketch where near-identical docs
+  differ in few bits; Hamming-ball lookup joins on rotated prefix
+  blocks (here: sketch only; the banding trick reuses
+  minhash_lsh_pairs' machinery).
+- embedding cosine near-dup — see operators.similarity.
+
+All hash bases are md5-prefix so the DuckDB oracle can recompute
+signatures bit-for-bit (functions.text.hash64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from feray_spark.functions.text import hash64, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """L1: drop byte-identical texts, keeping the lowest id per
+    content hash (deterministic winner — required for reproducible
+    pipelines)."""
+    h = F.sha2(F.col(text_col), 256)
+    w = W.partitionBy(h).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows for every doc with at least
+    ``shingle_n`` words (shorter docs have no shingles and drop out
+    of LSH).
+
+    Scale shape — the classic explode->groupBy MinHash: explode
+    shingles, hash each shingle exactly once per seed, take per-doc
+    mins in ONE hash aggregate (map-side partials apply), then emit
+    ``bands`` band hashes per doc. One shuffle on the doc id. The
+    tempting explode-free alternative (signature as a nested
+    higher-order expression feeding band hashes) re-evaluates the
+    whole signature once per reference — Catalyst does not CSE
+    across lambda functions — and is ~30x slower at sf0.001.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("__s"),
+    )
+    sig = shingled.groupBy("__id").agg(
+        *[F.min(hash64(F.col("__s"), j)).alias(f"mh{j}") for j in range(num_hashes)]
+    )
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        "__id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """L2: candidate near-duplicate pairs (id_a < id_b) that collide
+    in at least one LSH band; optionally verified with exact shingle
+    Jaccard >= ``jaccard_threshold``.
+
+    Returns columns: ``id_a, id_b`` (+ ``jaccard`` when verifying).
+    Texts are joined back only for colliding pairs, so the exact-
+    Jaccard verification cost scales with candidates, not the
+    corpus.
+    """
+    banded = minhash_bands(
+        df,
+        text_col,
+        id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    left = banded.select(
+        F.col("__id").alias("id_a"), "band_idx", "band_hash"
+    )
+    right = banded.select(
+        F.col("__id").alias("id_b"), "band_idx", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if jaccard_threshold is None:
+        return pairs
+    texts = df.select(F.col(id_col).alias("__tid"), F.col(text_col).alias("__text"))
+    pairs = (
+        pairs.join(texts.select(F.col("__tid").alias("id_a"), F.col("__text").alias("text_a")), "id_a")
+        .join(texts.select(F.col("__tid").alias("id_b"), F.col("__text").alias("text_b")), "id_b")
+    )
+    sh_a = F.array_distinct(word_shingles("text_a", shingle_n))
+    sh_b = F.array_distinct(word_shingles("text_b", shingle_n))
+    jac = F.size(F.array_intersect(sh_a, sh_b)).cast("double") / F.size(
+        F.array_union(sh_a, sh_b)
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
+    """L2 variant: SimHash sketch (60 bits, md5-prefix-derived) —
+    per-bit majority vote over the hashes of the doc's distinct
+    words. Near-identical docs land within a few bits of Hamming
+    distance.
+
+    Single-pass shape: ONE aggregate over the word-hash array keeps
+    a ``bits``-wide counter vector (zip_with add of each hash's bit
+    pattern), then one reduce folds the majority votes into the
+    final integer. No explode, no shuffle, and the word-hash array
+    is evaluated once per row (inlining it per bit would blow up
+    codegen ``bits``-fold)."""
+    from feray_spark.functions.text import words
+
+    w = F.array_distinct(words(text_col))
+    # per-word value from the md5 prefix (15 hex chars = 60 bits)
+    hashes = F.transform(
+        w, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    )
+    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    n = F.size(w)
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v * 2 > n, m).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,53 @@
+"""Failure-isolated fan-out — SURVEY §2.10 F7.
+
+The reference harvests Ray task results as they finish so one failed
+record doesn't kill the job (`ray.wait` loop,
+`examples/dagster_feray_example/defs/ray/ray_integration.py:24-34`).
+The Spark-native shape: partitions are the fan-out, and per-record
+isolation is a try/except INSIDE an Arrow-batched ``mapInPandas``
+that emits a ``status`` column (``ok``/``error`` + message) instead
+of raising. Scale notes: no shuffle is introduced — the map runs
+where the data lives; a poisoned record costs one Python exception,
+not a task retry (``spark.task.maxFailures`` stays the job-level
+backstop for infrastructure failures).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def isolated_map(
+    df: DataFrame,
+    fn: Callable[[dict], float],
+    *,
+    id_col: str,
+    result_schema: str | None = None,
+) -> DataFrame:
+    """Apply ``fn(row_dict) -> float`` per record; failures become
+    rows with ``status='error'`` and the exception message rather
+    than task failures. Output: (id_col, status, result, error).
+    """
+    schema = result_schema or f"{id_col} long, status string, result double, error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, status, result, error = [], [], [], []
+            for row in pdf.to_dict("records"):
+                ids.append(row[id_col])
+                try:
+                    result.append(float(fn(row)))
+                    status.append("ok")
+                    error.append(None)
+                except Exception as e:  # noqa: BLE001 — isolation is the point
+                    result.append(None)
+                    status.append("error")
+                    error.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {id_col: ids, "status": status, "result": result, "error": error}
+            )
+
+    return df.mapInPandas(run, schema)

@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "setops",
     "scalar_funcs",
     "feature_queries",
+    "udf_surface",
     "llm",
     "streaming_parity",
 )

@@ -1,0 +1,369 @@
+"""LLM-data-pipeline operators (SURVEY §2.12 L1-L7) over the
+``documents`` and ``embeddings`` fixtures.
+
+The DuckDB oracles recompute MinHash signatures, fingerprints and
+cosine scores bit-for-bit (md5-prefix hash basis, sequential-fold
+float math), so even the approximate operators are gated exactly.
+Oracle SQL for the MinHash pipeline is generated programmatically to
+stay in lock-step with the Spark-side parameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feray_spark.catalog import load_table
+from feray_spark.functions.text import (
+    TOKEN_REGEX,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from feray_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, simhash
+from feray_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from feray_spark.queries import register
+
+# MinHash/LSH parameters shared by the Spark operator and the oracle
+MH_NUM_HASHES = 12
+MH_BANDS = 4
+MH_ROWS = MH_NUM_HASHES // MH_BANDS
+JACCARD_T = 0.5
+
+_WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+_SHINGLES_SQL = (
+    "list_transform(generate_series(1, len(w) - 2), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+)
+
+
+def _minhash_sql(j: int) -> str:
+    return (
+        f"list_min(list_transform(sh, s -> "
+        f"substr(md5(concat_ws('|', '{j}', s)), 1, 16)))"
+    )
+
+
+def _bands_cte_sql() -> str:
+    """CTE producing (doc_id, band_idx, band_hash) for every doc with
+    >= 3 words — the exact twin of operators.dedup.minhash_bands."""
+    mh = ", ".join(f"{_minhash_sql(j)} AS mh{j}" for j in range(MH_NUM_HASHES))
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {parts})) AS band_hash "
+        "FROM sigs".format(
+            b=b,
+            parts=", ".join(f"mh{b * MH_ROWS + r}" for r in range(MH_ROWS)),
+        )
+        for b in range(MH_BANDS)
+    )
+    return f"""
+        words AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents),
+        shingled AS (SELECT doc_id, {_SHINGLES_SQL} AS sh
+                     FROM words WHERE len(w) >= 3),
+        sigs AS (SELECT doc_id, {mh} FROM shingled),
+        banded AS ({band_rows})
+    """
+
+
+@register(
+    "l1_exact_dedup",
+    oracle="""
+        SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents) t
+        WHERE rn = 1
+    """,
+    tags=("llm", "L1"),
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup by content sha256, lowest doc_id wins."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+@register(
+    "l2_minhash_lsh_neardups",
+    oracle=f"""
+        WITH {_bands_cte_sql()},
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        shsets AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
+                   FROM words WHERE len(w) >= 3)
+        SELECT id_a, id_b,
+               len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+        FROM pairs JOIN shsets sa ON id_a = sa.doc_id
+                   JOIN shsets sb ON id_b = sb.doc_id
+        WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                  / len(list_distinct(sa.sh || sb.sh)) >= {JACCARD_T}
+    """,
+    tags=("llm", "L2", "dedup"),
+)
+def l2_minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash+LSH near-duplicate pairs (shingle→minhash→band→
+    bucket-join→exact-Jaccard verify ≥ 0.5). The oracle regenerates
+    the identical 12-hash / 4-band pipeline in SQL. The fixtures
+    contain planted near-dup pairs (J≈0.97) over ~0.02 background."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d,
+        "text",
+        "doc_id",
+        shingle_n=3,
+        num_hashes=MH_NUM_HASHES,
+        bands=MH_BANDS,
+        jaccard_threshold=JACCARD_T,
+    )
+
+
+@register("l2b_simhash", tags=("llm", "L2", "dedup"))
+def l2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 variant: 64-bit SimHash sketch per document (rows-only;
+    near-dup Hamming behavior is unit-tested in test_llm.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id")
+
+
+@register(
+    "l3_embedding_topk",
+    oracle="""
+        WITH scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   list_reduce(list_transform(
+                       list_zip(q.embedding, c.embedding),
+                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                       (acc, x) -> acc + x)
+                   / (sqrt(list_reduce(list_transform(q.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (acc, x) -> acc + x))
+                      * sqrt(list_reduce(list_transform(c.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (acc, x) -> acc + x))) AS cosine
+            FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+            CROSS JOIN embeddings c
+            WHERE q.vec_id != c.vec_id
+        )
+        SELECT q_id, c_id, cosine, rank FROM (
+            SELECT q_id, c_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY cosine DESC, c_id) AS rank
+            FROM scored) t
+        WHERE rank <= 3
+    """,
+    tags=("llm", "L3", "similarity"),
+)
+def l3_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: exact cosine top-3 neighbors for a query subset (every
+    50th vector) — brute-force baseline; corpus never shuffles, the
+    query set broadcasts. Cosine is a sequential double fold on both
+    engines, so ranks tie-break identically."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(
+        queries.select(F.col("vec_id").alias("q_id"), "embedding"),
+        e.select(F.col("vec_id").alias("c_id"), "embedding"),
+        k=3,
+    )
+
+
+@register("l3b_lsh_topk", tags=("llm", "L3", "similarity"))
+def l3b_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: hyperplane-LSH bucketed ANN re-ranked by exact
+    cosine (rows-only; recall vs brute force asserted in
+    test_llm.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return lsh_bucketed_topk(
+        queries.select(F.col("vec_id").alias("q_id"), "embedding"),
+        e.select(F.col("vec_id").alias("c_id"), "embedding"),
+        k=3,
+    )
+
+
+@register(
+    "l4_text_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_computed,
+               length(text) = n_chars AS n_chars_ok,
+               CAST(len({_WORDS_SQL}) AS INT) AS n_tokens,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+                   AS n_bpe_tokens,
+               CASE WHEN len(list_intersect(
+                        list_distinct({_WORDS_SQL}),
+                        ['the','a','of','and','to','in'])) >= 2
+                    THEN 'en' ELSE 'und' END AS lang_guess,
+               (CAST((length(text) BETWEEN 20 AND 100000) AS INT)
+                + CAST((len(list_filter({_WORDS_SQL},
+                       x -> list_contains(['the','a','of','and','to','in'], x)
+                       ))::DOUBLE / len({_WORDS_SQL}) >= 0.05) AS INT)
+                + CAST(((length(text) - len({_WORDS_SQL}) + 1)::DOUBLE
+                        / len({_WORDS_SQL}) BETWEEN 2.0 AND 12.0) AS INT)
+               )::DOUBLE / 3.0 AS quality,
+               list_min(list_transform(
+                   generate_series(1, greatest(length(text) - 7, 1)),
+                   i -> substr(md5(concat_ws('|', '0',
+                        substr(lower(text), i, 8))), 1, 16))) AS fingerprint
+        FROM documents
+    """,
+    tags=("llm", "L4"),
+)
+def l4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: per-document text statistics — char/token counts (plus a
+    cross-check against the fixture's n_chars), BPE-ish token count,
+    heuristic language ID, composite quality score, rolling-hash
+    fingerprint. One projection, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        (F.length("text") == F.col("n_chars")).alias("n_chars_ok"),
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        lang_id("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "l4b_lang_rollup",
+    oracle="""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars
+        FROM documents GROUP BY lang, source
+    """,
+    tags=("llm", "L4"),
+)
+def l4b_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus rollup by language and source."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "l5_token_df_idf",
+    oracle=f"""
+        WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+        exploded AS (SELECT doc_id, unnest(list_distinct(w)) AS token
+                     FROM words)
+        SELECT token, COUNT(*) AS df,
+               ln((SELECT COUNT(*) FROM documents)::DOUBLE / COUNT(*)) AS idf
+        FROM exploded GROUP BY token
+    """,
+    tags=("llm", "L5"),
+)
+def l5_token_df_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: document frequency + IDF per token (explode distinct
+    tokens → count → ln(N/df)). The exact-arithmetic path for term
+    weighting; Spark ML HashingTF/IDF variant is l5b."""
+    from feray_spark.functions.text import words as words_fn
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tokens = d.select(F.explode(F.array_distinct(words_fn("text"))).alias("token"))
+    return tokens.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.log(F.lit(float(n_docs)) / F.count("*")).alias("idf"),
+    )
+
+
+@register("l5b_ml_tfidf", tags=("llm", "L5"))
+def l5b_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 (ML path): Spark ML Tokenizer → HashingTF → IDF pipeline
+    (rows-only: hashed feature indices are Spark-internal)."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
+    tok = Tokenizer(inputCol="text", outputCol="tokens")
+    tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12)
+    tfd = tf.transform(tok.transform(d))
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
+    out = idf.transform(tfd)
+    return out.select(
+        "doc_id",
+        F.expr("size(tokens)").alias("n_tokens"),
+    )
+
+
+@register(
+    "l6_multimodal_payloads",
+    oracle="""
+        SELECT doc_id,
+               'text/plain' AS mime,
+               'synthetic://' || CAST(doc_id AS VARCHAR) AS uri,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               sha256(text) AS payload_sha256
+        FROM documents
+    """,
+    tags=("llm", "L6", "multimodal"),
+)
+def l6_multimodal_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: multimodal column plumbing — pack a binary payload into the
+    typed media struct {mime, uri, data}, then account for it (byte
+    length + sha256 of the raw bytes). Decode/feature-extraction over
+    the same structs runs as mapInPandas (stubbed codec) in
+    test_llm.py."""
+    from feray_spark.multimodal import attach_media
+
+    d = load_table(spark, sf_dir, "documents")
+    with_media = attach_media(
+        d.withColumn("payload", F.encode("text", "UTF-8")), "payload", "text/plain"
+    )
+    return with_media.select(
+        "doc_id",
+        F.col("media.mime").alias("mime"),
+        F.col("media.uri").alias("uri"),
+        F.length(F.col("media.data")).cast("int").alias("n_bytes"),
+        F.sha2(F.col("media.data"), 256).alias("payload_sha256"),
+    )
+
+
+@register(
+    "l7_quality_filter_pipeline",
+    oracle="""
+        WITH s0 AS (SELECT * FROM documents),
+        s1 AS (SELECT * FROM s0 WHERE length(text) BETWEEN 50 AND 100000),
+        s2 AS (SELECT * FROM s1 WHERE lang IN ('en', 'de')),
+        s3 AS (SELECT * FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                       ORDER BY doc_id) AS rn FROM s2) t WHERE rn = 1)
+        SELECT 'raw' AS stage, (SELECT COUNT(*) FROM s0) AS n_kept
+        UNION ALL SELECT 'length', (SELECT COUNT(*) FROM s1)
+        UNION ALL SELECT 'lang', (SELECT COUNT(*) FROM s2)
+        UNION ALL SELECT 'dedup', (SELECT COUNT(*) FROM s3)
+    """,
+    tags=("llm", "L7"),
+)
+def l7_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: composable quality-filter chain (length bounds → language
+    allowlist → exact dedup) with per-stage retention counts — the
+    drop accounting a production pipeline must log."""
+    d = load_table(spark, sf_dir, "documents")
+    s1 = d.filter(F.length("text").between(50, 100000))
+    s2 = s1.filter(F.col("lang").isin("en", "de"))
+    s3 = exact_dedup(s2, "text", "doc_id")
+    counts = [
+        ("raw", d),
+        ("length", s1),
+        ("lang", s2),
+        ("dedup", s3),
+    ]
+    rows = None
+    for stage, frame in counts:
+        c = frame.agg(F.count("*").alias("n_kept")).select(
+            F.lit(stage).alias("stage"), "n_kept"
+        )
+        rows = c if rows is None else rows.unionByName(c)
+    return rows

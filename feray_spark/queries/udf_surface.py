@@ -1,0 +1,205 @@
+"""UDF / UDAF / UDTF surface — SURVEY §2.10 F1–F7.
+
+The reference's whole compute model is "run Python remotely"
+(`@ray.remote def divide`, `ray_integration.py:14-18`); the Spark
+twin is the UDF ladder, cheapest-last: row-at-a-time Python UDFs
+(F1, Arrow-optimized here) < vectorized pandas UDFs (F2) <
+grouped-map applyInPandas (F3) < pandas UDAFs (F4) < Python UDTFs
+(F5). F6 (external job protocol) lives in feray_spark.external; F7
+(failure-isolated fan-out) in operators.fanout — both oracle-gated
+here where SQL can express the result.
+
+Scale notes: every UDF below exchanges data over Arrow batches; the
+grouped variants shuffle once on their key. At 100 TB the rule is:
+stay in §2.8 built-ins when possible, drop to these only for
+genuinely imperative logic — which is exactly what each query
+demonstrates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feray_spark.catalog import load_table
+from feray_spark.operators.fanout import isolated_map
+from feray_spark.queries import register
+
+
+@register(
+    "f1_scalar_udf",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(string_split(o_orderpriority, '-')[1] AS INT)
+                   AS priority_rank
+        FROM orders
+    """,
+    tags=("udf", "F1"),
+)
+def f1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: row-at-a-time Python UDF (Arrow-optimized) parsing the
+    numeric rank out of '1-URGENT'-style priorities. The Python body
+    is deliberately trivial — the point is the arbitrary-Python
+    escape hatch, per `ray_integration.py:14-18`."""
+
+    @F.udf(returnType="int", useArrow=True)
+    def priority_rank(p: str) -> int:
+        return int(p.split("-")[0])
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", priority_rank("o_orderpriority").alias("priority_rank"))
+
+
+@register(
+    "f2_pandas_udf",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+        FROM lineitem
+    """,
+    tags=("udf", "F2"),
+)
+def f2_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: vectorized series→series pandas UDF (Arrow batches, the
+    Ray-Data ``map_batches`` idiom). Per-row IEEE multiply chain in
+    the same order as the oracle, so values are bit-identical."""
+
+    @F.pandas_udf("double")
+    def charge(
+        price: pd.Series, discount: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1 - discount) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+    )
+
+
+@register(
+    "f3_grouped_map",
+    oracle="""
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders GROUP BY o_custkey
+    """,
+    tags=("udf", "F3"),
+)
+def f3_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: grouped-map applyInPandas — one pandas frame per entity
+    key ("one Ray task per feature/group", `README.md:54`). The
+    aggregates chosen (count/min/max) are order-independent, so the
+    result is exact regardless of partitioning."""
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "min_price": [pdf["o_totalprice"].min()],
+                "max_price": [pdf["o_totalprice"].max()],
+            }
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").applyInPandas(
+        summarize,
+        "o_custkey long, n_orders long, min_price double, max_price double",
+    )
+
+
+@register(
+    "f4_pandas_udaf",
+    oracle="""
+        SELECT o_orderpriority,
+               MAX(o_totalprice) AS max_price,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("udf", "F4"),
+)
+def f4_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: custom aggregates as GROUPED_AGG pandas UDFs — partial
+    aggregation still applies (Spark feeds each UDAF the group's
+    values per partition tree), and the chosen reducers are
+    order-independent."""
+
+    @F.pandas_udf("double")
+    def max_price(v: pd.Series) -> float:
+        return float(v.max())
+
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        max_price("o_totalprice").alias("max_price"),
+        n_rows("o_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "f5_udtf",
+    oracle="""
+        SELECT p_partkey,
+               CAST(unnest(generate_series(1,
+                   len(string_split(p_name, ' ')))) - 1 AS INT) AS pos,
+               unnest(string_split(p_name, ' ')) AS word
+        FROM part
+    """,
+    tags=("udf", "F5"),
+)
+def f5_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: Python UDTF — one part name in, one row per word out,
+    via a lateral join. (For pure splitting, posexplode(split()) is
+    the built-in fast path; the UDTF exists for genuinely imperative
+    row-expanding logic.)"""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class SplitWords:
+        def eval(self, name: str):
+            for i, w in enumerate(name.split(" ")):
+                yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        "SELECT p_partkey, s.pos, s.word "
+        "FROM part_v, LATERAL split_words(p_name) s"
+    )
+
+
+@register(
+    "f7_isolated_fanout",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN 'error' ELSE 'ok' END AS status,
+               CASE WHEN event_id % 7 = 0 THEN NULL
+                    ELSE 1.0 / (event_id % 7) END AS result,
+               CASE WHEN event_id % 7 = 0
+                    THEN 'ZeroDivisionError: float division by zero'
+                    ELSE NULL END AS error
+        FROM events
+    """,
+    tags=("udf", "F7"),
+)
+def f7_isolated_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: failure-isolated fan-out — per-record try/except inside
+    mapInPandas; poisoned records (event_id % 7 == 0 divides by
+    zero) surface as status='error' rows instead of failing the job
+    (the `ray.wait` harvest loop, `ray_integration.py:24-34`)."""
+    e = load_table(spark, sf_dir, "events")
+    return isolated_map(
+        e.select("event_id"),
+        lambda row: 1.0 / (row["event_id"] % 7),
+        id_col="event_id",
+    )

@@ -1,0 +1,113 @@
+"""Unit tests for the LLM-data-pipeline operators (SURVEY §2.12) that
+the DuckDB differential suite can't fully express: SimHash Hamming
+behavior, LSH recall vs brute force, multimodal mapInPandas plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feray_spark.catalog import load_table
+from feray_spark.multimodal import attach_media, extract_media_features, fake_decode
+from feray_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, simhash
+from feray_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest to find a quiet place to sleep for a while"
+)
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def test_simhash_near_dup_hamming(spark):
+    """Near-identical docs land within a few bits; unrelated docs far."""
+    near = BASE.replace("quiet", "silent")
+    other = (
+        "completely different content about database engines columnar "
+        "storage vectorized execution and distributed query planning at scale"
+    )
+    df = spark.createDataFrame(
+        [(1, BASE), (2, near), (3, other)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(df, "text", "doc_id").collect()}
+    assert _hamming(rows[1], rows[2]) <= 12
+    assert _hamming(rows[1], rows[3]) >= 16
+    assert _hamming(rows[1], rows[2]) < _hamming(rows[1], rows[3])
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(5, "same text"), (2, "same text"), (9, "unique")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df, "text", "doc_id").collect())
+    assert kept == [2, 9]
+
+
+def test_minhash_lsh_finds_planted_pair(spark):
+    near = BASE + " extra trailing words appended"
+    other = (
+        "completely different content about database engines columnar "
+        "storage vectorized execution and distributed query planning"
+    )
+    df = spark.createDataFrame(
+        [(1, BASE), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", num_hashes=12, bands=4, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    """The ANN path must recover most of the exact top-3 at sf0.001."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in brute_force_topk(queries, corpus, k=3).collect()
+    }
+    approx = {
+        (r["q_id"], r["c_id"])
+        for r in lsh_bucketed_topk(queries, corpus, k=3).collect()
+    }
+    assert exact, "no queries selected"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
+
+
+def test_multimodal_extract_with_fake_decoder(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x10payload-one\x05"), (2, b"\x40payload-two\x21")],
+        "doc_id long, payload binary",
+    )
+    feats = extract_media_features(
+        attach_media(df, "payload", "image/png"), decoder=fake_decode
+    )
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows[1]["mime"] == "image/png"
+    assert rows[1]["n_bytes"] == 13
+    assert rows[1]["width"] == 1 + 0x10 % 64
+    assert rows[1]["height"] == 1 + 0x05 % 64
+    import hashlib
+
+    assert rows[2]["payload_sha256"] == hashlib.sha256(b"\x40payload-two\x21").hexdigest()
+
+
+def test_decode_image_stub_raises(spark):
+    import pytest
+
+    from feray_spark.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"anything")

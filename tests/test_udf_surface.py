@@ -1,0 +1,39 @@
+"""Unit tests for the §2.10 surfaces the differential suite can't
+express: the F6 external-job protocol and F7 isolation behavior."""
+
+from __future__ import annotations
+
+import sys
+
+from feray_spark.external import run_external_job
+from feray_spark.operators.fanout import isolated_map
+
+
+def test_external_job_reports_metadata_and_version():
+    res = run_external_job(
+        [sys.executable, "-m", "feray_spark.external"],
+        extras={"param": "value"},
+    )
+    assert res.returncode == 0
+    assert res.data_version == "alpha"
+    assert res.metadata == {"rows": 3, "echo": "value"}
+
+
+def test_external_job_failure_is_isolated():
+    res = run_external_job([sys.executable, "-c", "raise SystemExit(3)"])
+    assert res.returncode == 3
+    assert res.metadata == {} and res.data_version is None
+
+
+def test_isolated_map_survives_poison_records(spark):
+    df = spark.createDataFrame([(1,), (0,), (4,)], "event_id long")
+    rows = {
+        r["event_id"]: r
+        for r in isolated_map(
+            df, lambda row: 10 / row["event_id"], id_col="event_id"
+        ).collect()
+    }
+    assert rows[1]["status"] == "ok" and rows[1]["result"] == 10.0
+    assert rows[4]["status"] == "ok" and rows[4]["result"] == 2.5
+    assert rows[0]["status"] == "error" and rows[0]["result"] is None
+    assert "ZeroDivisionError" in rows[0]["error"]
