@@ -62,21 +62,52 @@ def _shingles_of(w: Column, n: int) -> Column:
 def hash64(col: Column, seed: int) -> Column:
     """Seeded 64-bit-ish hash as a 16-hex-char string: md5 prefix of
     ``seed|value``. Oracle-reproducible (DuckDB md5) and uniform
-    enough for MinHash / fingerprinting."""
+    enough for fingerprinting."""
     return F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), col)), 1, 16)
 
 
-def minhash_signature(shingles: Column, num_hashes: int) -> Column:
-    """MinHash signature: for each of ``num_hashes`` seeded hash
-    functions, the minimum hash over the shingle set. Entirely
-    higher-order-function based: one pass per hash function over the
-    in-row array, no explode, no shuffle."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: hash64(s, i)))
-            for i in range(num_hashes)
-        ]
+#: universal-hash family for MinHash: h_j(x) = (a_j*x + b_j) mod P over
+#: x = md5-prefix-derived 48-bit int reduced mod P. ONE md5 per shingle
+#: serves every hash function (12 md5s per shingle would cost 12x the
+#: CPU on both engines); the affine-mod-P wraparound de-correlates the
+#: functions (a plain multiply would preserve argmin and collapse the
+#: signature to one effective hash). P = 2^31 - 1 (prime), coefficients
+#: fixed so the DuckDB oracle reproduces values bit-for-bit.
+MINHASH_P = 2147483647
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1373158607, 239081663),
+    (53710185, 1592467581),
+    (590620972, 525901256),
+    (479341424, 299655412),
+    (1581559893, 220106707),
+    (1453201079, 1590571865),
+    (1915941033, 1171165722),
+    (186699714, 1268073012),
+    (906070221, 68252793),
+    (63989048, 201209005),
+    (469521478, 499635468),
+    (1085242217, 1292825378),
+    (56985562, 1205264595),
+    (427000597, 1537640408),
+    (1395616197, 1506083910),
+    (1170252924, 900911954),
+)
+
+
+def shingle_base_hash(col: Column) -> Column:
+    """x: the per-shingle base hash — 48-bit md5 prefix as int,
+    reduced mod P. (48 bits so a_j * x fits signed-64 on both
+    engines.)"""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint"),
+        F.lit(MINHASH_P),
     )
+
+
+def minhash_value(x: Column, j: int) -> Column:
+    """h_j(x) = (a_j*x + b_j) mod P."""
+    a, b = MINHASH_COEFFS[j]
+    return F.pmod(x * F.lit(a) + F.lit(b), F.lit(MINHASH_P))
 
 
 def lang_id(col: str | Column) -> Column:

@@ -19,7 +19,9 @@ Four tiers, cheapest first:
 - embedding cosine near-dup — see operators.similarity.
 
 All hash bases are md5-prefix so the DuckDB oracle can recompute
-signatures bit-for-bit (functions.text.hash64).
+signatures bit-for-bit; MinHash derives all hash functions from ONE
+md5 per shingle via an affine-mod-P family (functions.text
+.shingle_base_hash / minhash_value).
 """
 
 from __future__ import annotations
@@ -28,7 +30,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from feray_spark.functions.text import hash64, word_shingles
+from feray_spark.functions.text import (
+    minhash_value,
+    shingle_base_hash,
+    word_shingles,
+)
+from feray_spark.queries.util import fan_out
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -69,12 +76,15 @@ def minhash_bands(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows = num_hashes // bands
-    shingled = df.select(
+    shingled = fan_out(df).select(
         F.col(id_col).alias("__id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("__s"),
-    )
+    ).select("__id", shingle_base_hash(F.col("__s")).alias("__x"))
     sig = shingled.groupBy("__id").agg(
-        *[F.min(hash64(F.col("__s"), j)).alias(f"mh{j}") for j in range(num_hashes)]
+        *[
+            F.min(minhash_value(F.col("__x"), j)).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ]
     )
     band_hashes = F.array(
         *[
@@ -161,6 +171,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     codegen ``bits``-fold)."""
     from feray_spark.functions.text import words
 
+    df = fan_out(df)
     w = F.array_distinct(words(text_col))
     # per-word value from the md5 prefix (15 hex chars = 60 bits)
     hashes = F.transform(

@@ -31,6 +31,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from feray_spark.functions.vectors import cosine_similarity
+from feray_spark.queries.util import fan_out
 
 
 def brute_force_topk(
@@ -46,7 +47,7 @@ def brute_force_topk(
     """Exact cosine top-k: for each query vector the k most similar
     corpus vectors. Output: (q_id, c_id, cosine, rank)."""
     q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
+    c = fan_out(corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv")))
     pairs = c.crossJoin(F.broadcast(q))
     if not include_self:
         pairs = pairs.filter(F.col(query_id) != F.col(corpus_id))
@@ -125,7 +126,7 @@ def lsh_bucketed_topk(
         F.posexplode("__buckets").alias("table_idx", "bucket"),
     )
     cand = (
-        qb.join(cb, ["table_idx", "bucket"])
+        fan_out(qb).join(cb, ["table_idx", "bucket"])
         .filter(F.col(query_id) != F.col(corpus_id))
         .select(query_id, corpus_id, "__qv", "__cv")
         .distinct()

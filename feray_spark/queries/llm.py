@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from feray_spark.catalog import load_table
 from feray_spark.functions.text import (
+    MINHASH_COEFFS,
+    MINHASH_P,
     TOKEN_REGEX,
     bpe_ish_token_count,
     doc_fingerprint,
@@ -25,6 +27,7 @@ from feray_spark.functions.text import (
 from feray_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, simhash
 from feray_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
 from feray_spark.queries import register
+from feray_spark.queries.util import fan_out
 
 # MinHash/LSH parameters shared by the Spark operator and the oracle
 MH_NUM_HASHES = 12
@@ -40,10 +43,10 @@ _SHINGLES_SQL = (
 
 
 def _minhash_sql(j: int) -> str:
-    return (
-        f"list_min(list_transform(sh, s -> "
-        f"substr(md5(concat_ws('|', '{j}', s)), 1, 16)))"
-    )
+    """Twin of functions.text.minhash_value over the base-hash list:
+    one md5 per shingle, 12 affine-mod-P derivations."""
+    a, b = MINHASH_COEFFS[j]
+    return f"list_min(list_transform(xs, x -> (x * {a} + {b}) % {MINHASH_P}))"
 
 
 def _bands_cte_sql() -> str:
@@ -62,7 +65,10 @@ def _bands_cte_sql() -> str:
         words AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents),
         shingled AS (SELECT doc_id, {_SHINGLES_SQL} AS sh
                      FROM words WHERE len(w) >= 3),
-        sigs AS (SELECT doc_id, {mh} FROM shingled),
+        xs AS (SELECT doc_id, list_transform(sh, s ->
+                   ('0x' || substr(md5(s), 1, 12))::BIGINT % {MINHASH_P}) AS xs
+               FROM shingled),
+        sigs AS (SELECT doc_id, {mh} FROM xs),
         banded AS ({band_rows})
     """
 
@@ -221,8 +227,9 @@ def l4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: per-document text statistics — char/token counts (plus a
     cross-check against the fixture's n_chars), BPE-ish token count,
     heuristic language ID, composite quality score, rolling-hash
-    fingerprint. One projection, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    fingerprint. One projection; fan_out spreads the per-row hash
+    work across cores when the scan arrives under-partitioned."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars_computed"),
@@ -270,7 +277,7 @@ def l5_token_df_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting; Spark ML HashingTF/IDF variant is l5b."""
     from feray_spark.functions.text import words as words_fn
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     n_docs = d.count()
     tokens = d.select(F.explode(F.array_distinct(words_fn("text"))).alias("token"))
     return tokens.groupBy("token").agg(

@@ -19,6 +19,7 @@ from feray_spark.catalog import load_table
 from feray_spark.functions.hashing import row_version
 from feray_spark.functions.vectors import dot, l2_norm
 from feray_spark.queries import register
+from feray_spark.queries.util import fan_out
 
 
 @register(
@@ -334,8 +335,9 @@ def f_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON family: path extraction, typed parse via from_json,
-    key enumeration over the events.props JSON string column."""
-    e = load_table(spark, sf_dir, "events")
+    key enumeration over the events.props JSON string column. Three
+    independent JSON parses per row -> CPU-bound: fan_out."""
+    e = fan_out(load_table(spark, sf_dir, "events"))
     parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
     return e.select(
         "event_id",
@@ -364,8 +366,9 @@ def f_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing family — the FS1 record-version primitive (reference
     README.md:23, polars-hash dep): sha256 over the canonical row
     rendering (0x1f-joined, NULL→0x00 sentinel, money via decimal),
-    recomputed identically by the DuckDB oracle."""
-    li = load_table(spark, sf_dir, "lineitem")
+    recomputed identically by the DuckDB oracle. sha256 per row is
+    CPU-bound -> fan_out."""
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     return li.select(
         "l_orderkey",
         "l_linenumber",

@@ -55,3 +55,23 @@ def sql_dsum(expr: str) -> str:
 
 def sql_davg(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({expr})"
+
+
+# ---------- compute-parallelism guard ----------
+
+def fan_out(df):
+    """Ensure CPU-heavy per-row compute (hashing, shingling, JSON
+    parse, cosine folds) sees at least cluster parallelism.
+
+    Parquet scans parallelize by row group; a small input (or a
+    badly-written upstream file) can arrive as 1 partition and pin
+    per-row compute to one core while 31 idle. At 100 TB inputs have
+    thousands of row groups and this is a no-op; the repartition only
+    fires when upstream partitions < defaultParallelism, so it never
+    adds a shuffle at scale — and when it does fire, the payload is
+    by definition small."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

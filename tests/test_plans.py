@@ -1,0 +1,123 @@
+"""Physical-plan assertions — the 100 TB posture checks.
+
+Correctness tests prove the small-SF answer is right; these prove
+the PLAN is the one that survives a 1000-executor scale-up:
+filters reach the parquet scan, column pruning reaches ReadSchema,
+tiny dims broadcast instead of shuffling the fact table, and hot
+paths stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from feray_spark.catalog import load_table
+from feray_spark.queries import load_all
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    q = load_all()["p3_filter_comparison"]
+    plan = formatted(q.fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity,30.0)" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 3-column projection must not read all 11 lineitem columns."""
+    q = load_all()["p3_filter_comparison"]
+    plan = formatted(q.fn(spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema, read_schema
+    assert "l_returnflag" not in read_schema, read_schema
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """j5: region/nation joins must be broadcast, not shuffle the
+    fact side."""
+    q = load_all()["j5_broadcast_star"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_small_dim_join_autobroadcasts(spark, sf_dir):
+    """Even WITHOUT an explicit hint, Catalyst should pick broadcast
+    for a tiny dim (nation, 25 rows x sf) joined to customer."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).select("c_custkey", "n_name")
+    assert "BroadcastHashJoin" in plan_of(joined)
+
+
+def test_global_topk_avoids_total_sort(spark, sf_dir):
+    """o3: ORDER BY ... LIMIT k must plan TakeOrderedAndProject
+    (per-partition top-k + merge), never a global Sort."""
+    q = load_all()["o3_global_topk"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q1_aggregate_is_partial_then_final(spark, sf_dir):
+    """a1 (flagship): the groupBy must do a map-side partial
+    aggregate before the exchange — at 100 TB this is the difference
+    between shuffling 6e9 rows and shuffling (#keys x #partitions)."""
+    q = load_all()["a1_groupby_q1"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    first_agg = plan.index("HashAggregate")
+    exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[exchange:], "no final aggregate after shuffle"
+    assert first_agg < exchange or "partial" in plan.lower()
+
+
+def test_scan_filter_agg_stays_in_codegen(spark, sf_dir):
+    """The flagship hot path must be inside WholeStageCodegen spans
+    (scan -> filter -> partial agg fused into one JVM loop). AQE only
+    finalizes the physical plan at execution, so run the query first
+    and inspect the final adaptive plan."""
+    q = load_all()["a1_groupby_q1"]
+    df = q.fn(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes are WholeStageCodegen span markers in toString
+    assert "*(1) Filter" in plan and "*(1) HashAggregate" in plan, plan
+
+
+def test_exact_dedup_shuffles_once(spark, sf_dir):
+    """l1: one Exchange total (on the content hash) — dedup must not
+    add a second shuffle for the row_number tie-break."""
+    q = load_all()["l1_exact_dedup"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_join_single_shuffle_per_side(spark, sf_dir):
+    """j8: the as-of rewrite must not degenerate into a nested-loop
+    join (that's the naive O(n*m) shape a range predicate invites)."""
+    q = load_all()["j8_asof_join"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
+    """l3: the corpus side must never shuffle — queries broadcast."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from feray_spark.operators.similarity import brute_force_topk
+
+    qdf = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cdf = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    plan = plan_of(brute_force_topk(qdf, cdf, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
