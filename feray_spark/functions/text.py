@@ -42,8 +42,23 @@ def bpe_ish_token_count(col: str | Column) -> Column:
 def word_shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles (the MinHash basis). Sequence indices are
     0-based inside expr-land; documents shorter than n words yield an
-    empty array."""
+    empty array.
+
+    NOTE: this expression references the regex word-split several
+    times and Catalyst does not CSE across lambda bodies — fine for
+    one-shot use, but in hot paths materialize the word array as a
+    column first and call :func:`shingles_from_words` (CollapseProject
+    keeps a non-cheap multi-referenced alias as a real projection, so
+    the split runs once per row)."""
     w = words(col)
+    return F.when(F.size(w) >= n, _shingles_of(w, n)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_from_words(w: Column, n: int = 3) -> Column:
+    """Shingles over an already-materialized word-array column —
+    the hot-path twin of :func:`word_shingles`."""
     return F.when(F.size(w) >= n, _shingles_of(w, n)).otherwise(
         F.array().cast("array<string>")
     )

@@ -33,7 +33,9 @@ from pyspark.sql import functions as F
 from feray_spark.functions.text import (
     minhash_value,
     shingle_base_hash,
+    shingles_from_words,
     word_shingles,
+    words,
 )
 from feray_spark.queries.util import fan_out
 
@@ -76,10 +78,19 @@ def minhash_bands(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows = num_hashes // bands
-    shingled = fan_out(df).select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("__s"),
-    ).select("__id", shingle_base_hash(F.col("__s")).alias("__x"))
+    # Materialize the word array BEFORE shingling: the shingle
+    # expression references it ~shingle_n times per element and
+    # Catalyst doesn't CSE across lambdas — as a real column the
+    # regex split runs once per row instead of once per reference.
+    shingled = (
+        fan_out(df)
+        .select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        .select(
+            "__id",
+            F.explode(shingles_from_words(F.col("__w"), shingle_n)).alias("__s"),
+        )
+        .select("__id", shingle_base_hash(F.col("__s")).alias("__x"))
+    )
     sig = shingled.groupBy("__id").agg(
         *[
             F.min(minhash_value(F.col("__x"), j)).alias(f"mh{j}")
@@ -126,29 +137,58 @@ def minhash_lsh_pairs(
         num_hashes=num_hashes,
         bands=bands,
     )
-    left = banded.select(
-        F.col("__id").alias("id_a"), "band_idx", "band_hash"
-    )
-    right = banded.select(
-        F.col("__id").alias("id_b"), "band_idx", "band_hash"
+    # Pairs come from ONE aggregation: gather each bucket's ids and
+    # expand the in-bucket pairs with higher-order functions. A
+    # banded-self-join would run the whole shingle->minhash pipeline
+    # once per side (exchange reuse is best-effort, and the probe
+    # side shuffles regardless); this shape computes signatures once
+    # and shuffles only (band, id) rows. Bucket width is bounded by
+    # LSH design (a hot bucket means the banding parameters are
+    # wrong), so the quadratic in-bucket expansion is safe.
+    ids = F.array_sort(F.collect_list("__id"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
     )
     pairs = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        banded.groupBy("band_idx", "band_hash")
+        .agg(ids.alias("__ids"))
+        .filter(F.size("__ids") > 1)
+        .select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
         .distinct()
     )
     if jaccard_threshold is None:
         return pairs
-    texts = df.select(F.col(id_col).alias("__tid"), F.col(text_col).alias("__text"))
-    pairs = (
-        pairs.join(texts.select(F.col("__tid").alias("id_a"), F.col("__text").alias("text_a")), "id_a")
-        .join(texts.select(F.col("__tid").alias("id_b"), F.col("__text").alias("text_b")), "id_b")
+    # Exact-Jaccard verify: each doc's distinct shingle set is
+    # computed ONCE here (not once per candidate pair); the two
+    # joins hit only colliding ids. fan_out because this side often
+    # becomes a broadcast build whose upstream would otherwise run
+    # single-task on a one-file scan.
+    shsets = (
+        fan_out(df)
+        .select(F.col(id_col).alias("__tid"), words(text_col).alias("__w"))
+        .select(
+            "__tid",
+            F.array_distinct(
+                shingles_from_words(F.col("__w"), shingle_n)
+            ).alias("__sh"),
+        )
     )
-    sh_a = F.array_distinct(word_shingles("text_a", shingle_n))
-    sh_b = F.array_distinct(word_shingles("text_b", shingle_n))
-    jac = F.size(F.array_intersect(sh_a, sh_b)).cast("double") / F.size(
-        F.array_union(sh_a, sh_b)
+    pairs = pairs.join(
+        shsets.select(F.col("__tid").alias("id_a"), F.col("__sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        shsets.select(F.col("__tid").alias("id_b"), F.col("__sh").alias("sh_b")),
+        "id_b",
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
     )
     return (
         pairs.withColumn("jaccard", jac)
@@ -169,10 +209,10 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     final integer. No explode, no shuffle, and the word-hash array
     is evaluated once per row (inlining it per bit would blow up
     codegen ``bits``-fold)."""
-    from feray_spark.functions.text import words
-
-    df = fan_out(df)
-    w = F.array_distinct(words(text_col))
+    # Materialized per-row word array (see minhash_bands: Catalyst
+    # won't CSE the regex split across the references below).
+    df = fan_out(df).withColumn("__w", F.array_distinct(words(text_col)))
+    w = F.col("__w")
     # per-word value from the md5 prefix (15 hex chars = 60 bits)
     hashes = F.transform(
         w, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")

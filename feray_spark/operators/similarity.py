@@ -75,22 +75,45 @@ def with_lsh_buckets(
     seed: int = 42,
 ) -> DataFrame:
     """Attach ``__buckets``: one sign-pattern bucket id per table.
-    Bucket id = bit pattern of sign(v · hyperplane_j)."""
+    Bucket id = bit pattern of sign(v · hyperplane_j).
+
+    The planes live in ONE nested literal array and the whole bucket
+    computation is a single nested higher-order expression — codegen
+    emits loops over it, where the unrolled per-plane alternative
+    compiles (n_tables * n_planes) fold bodies and its cold JIT cost
+    dwarfs the actual math."""
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
-    bucket_cols = []
-    for t in range(n_tables):
-        bits = None
-        for j in range(n_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t, j]])
-            d = F.aggregate(
-                F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    planes_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in planes[t, j]])
+                    for j in range(n_planes)
+                ]
             )
-            bit = (d >= 0).cast("bigint") * F.lit(1 << j)
-            bits = bit if bits is None else bits + bit
-        bucket_cols.append(bits)
-    return df.withColumn("__buckets", F.array(*bucket_cols))
+            for t in range(n_tables)
+        ]
+    )
+
+    def plane_bit(plane: Column) -> Column:
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (d >= 0).cast("bigint")
+
+    # fold the table's planes high-bit-first: acc*2 + bit ends with
+    # plane 0 in the LSB — identical ids to the unrolled bit-shift sum
+    buckets = F.transform(
+        planes_lit,
+        lambda tbl: F.aggregate(
+            F.reverse(tbl),
+            F.lit(0).cast("bigint"),
+            lambda acc, plane: acc * 2 + plane_bit(plane),
+        ),
+    )
+    return df.withColumn("__buckets", buckets)
 
 
 def lsh_bucketed_topk(

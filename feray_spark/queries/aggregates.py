@@ -133,11 +133,15 @@ def a4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("a5_approx_count_distinct", tags=("agg", "A5"))
 def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: HLL++ sketch cardinality. Sketch internals differ across
-    engines, so no value-hash oracle; the test tier asserts bounded
-    relative error vs exact instead (test_aggregates.py)."""
+    engines, so no value-hash oracle; test_queries.py asserts bounded
+    relative error vs the exact count instead. rsd stays at Spark's
+    0.05 default — combining a tighter sketch with the exact
+    countDistinct forces an Expand plan whose sketch-merge cost
+    grows with register count (3.5x slower at rsd=0.02 for zero
+    demonstrated capability)."""
     o = load_table(spark, sf_dir, "orders")
     return o.agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+        F.approx_count_distinct("o_custkey", 0.05).alias("approx_custs"),
         F.countDistinct("o_custkey").alias("exact_custs"),
     )
 

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feray_spark.catalog import load_table
+from feray_spark.queries.util import fan_out
 from feray_spark.functions.hashing import row_version
 from feray_spark.operators.asof import point_in_time_join
 from feray_spark.queries import register
@@ -42,7 +43,7 @@ def fs1_record_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     separator. The DuckDB oracle recomputes the identical sha256,
     proving the version is engine-independent (reference README.md:23;
     polars-hash parity per SURVEY §2.8 hashing row)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     return li.select(
         "l_orderkey",

@@ -121,3 +121,38 @@ def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
     cdf = e.select(F.col("vec_id").alias("c_id"), "embedding")
     plan = plan_of(brute_force_topk(qdf, cdf, k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """§4.3 scale path: two tables bucketed on the join key must
+    sort-merge-join with ZERO Exchange — the write-time shuffle is
+    amortized over every downstream join on that key."""
+    from feray_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    write_bucketed(
+        o, "b_orders", bucket_by=["o_custkey"], num_buckets=4,
+        path=str(tmp_path / "b_orders"),
+    )
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "o_custkey"), "b_customer",
+        bucket_by=["o_custkey"], num_buckets=4,
+        path=str(tmp_path / "b_customer"),
+    )
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_customer", ["o_custkey"])
+        # disable auto-broadcast for the assertion: we want the SMJ shape
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = plan_of(joined)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == o.join(
+            c, o.o_custkey == c.c_custkey
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
