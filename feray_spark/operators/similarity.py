@@ -26,11 +26,12 @@ cluster topologies.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from feray_spark.functions.vectors import cosine_similarity
+from feray_spark.functions.vectors import cosine_similarity, cosine_similarity_batch
 from feray_spark.queries.util import fan_out
 
 
@@ -75,45 +76,31 @@ def with_lsh_buckets(
     seed: int = 42,
 ) -> DataFrame:
     """Attach ``__buckets``: one sign-pattern bucket id per table.
-    Bucket id = bit pattern of sign(v · hyperplane_j).
+    Bucket id = bit pattern of sign(v · hyperplane_j), plane 0 in the
+    LSB.
 
-    The planes live in ONE nested literal array and the whole bucket
-    computation is a single nested higher-order expression — codegen
-    emits loops over it, where the unrolled per-plane alternative
-    compiles (n_tables * n_planes) fold bodies and its cold JIT cost
-    dwarfs the actual math."""
+    Computed as a vectorized pandas UDF: each Arrow batch becomes one
+    (batch, dim) x (dim, n_tables*n_planes) matmul — per-row cost is
+    a few nanoseconds, vs. interpreted per-element higher-order-
+    function folds which dominated the wall-clock at any batch size.
+    Planes come from a seeded driver-side RNG shipped in the closure,
+    so bucket ids are deterministic across runs and cluster
+    topologies."""
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
-    planes_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in planes[t, j]])
-                    for j in range(n_planes)
-                ]
-            )
-            for t in range(n_tables)
-        ]
-    )
+    # (dim, n_tables*n_planes), float64: dot in double like the
+    # exact-cosine path
+    flat = planes.reshape(n_tables * n_planes, dim).astype(np.float64).T
+    pow2 = (1 << np.arange(n_planes, dtype=np.int64))  # plane j -> bit j
 
-    def plane_bit(plane: Column) -> Column:
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return (d >= 0).cast("bigint")
+    @F.pandas_udf("array<long>")
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (mat @ flat) >= 0.0  # (n, tables*planes)
+        bits = bits.reshape(len(mat), -1, len(pow2))  # (n, tables, planes)
+        ids = (bits * pow2).sum(axis=2)  # (n, tables) int64
+        return pd.Series(list(ids))
 
-    # fold the table's planes high-bit-first: acc*2 + bit ends with
-    # plane 0 in the LSB — identical ids to the unrolled bit-shift sum
-    buckets = F.transform(
-        planes_lit,
-        lambda tbl: F.aggregate(
-            F.reverse(tbl),
-            F.lit(0).cast("bigint"),
-            lambda acc, plane: acc * 2 + plane_bit(plane),
-        ),
-    )
-    return df.withColumn("__buckets", buckets)
+    return df.withColumn("__buckets", bucket_ids(F.col(vec_col)))
 
 
 def lsh_bucketed_topk(
@@ -129,32 +116,38 @@ def lsh_bucketed_topk(
     n_tables: int = 6,
 ) -> DataFrame:
     """Approximate top-k: candidates = bucket collisions in any table,
-    re-ranked by exact cosine. Same output schema as brute force."""
+    re-ranked by exact cosine. Same output schema as brute force.
+
+    Shuffle discipline: the bucket-collision join and the candidate
+    dedup move ONLY (id, table_idx, bucket) rows — the 64-float
+    vectors are attached after dedup (queries broadcast; corpus
+    joined once on its id). Carrying vectors through the collision
+    join + distinct was the dominant cost of the naive shape."""
     qb = with_lsh_buckets(
-        queries.select(F.col(query_id), F.col(vec_col).alias("__qv")).withColumnRenamed(
-            "__qv", vec_col
-        ),
+        queries.select(F.col(query_id), F.col(vec_col)),
         vec_col=vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables,
-    ).select(
-        query_id,
-        F.col(vec_col).alias("__qv"),
-        F.posexplode("__buckets").alias("table_idx", "bucket"),
-    )
+    ).select(query_id, F.posexplode("__buckets").alias("table_idx", "bucket"))
     cb = with_lsh_buckets(
         corpus.select(F.col(corpus_id), F.col(vec_col)),
         vec_col=vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables,
-    ).select(
-        corpus_id,
-        F.col(vec_col).alias("__cv"),
-        F.posexplode("__buckets").alias("table_idx", "bucket"),
-    )
+    ).select(corpus_id, F.posexplode("__buckets").alias("table_idx", "bucket"))
+    # query buckets broadcast (the query set is small by contract of
+    # this entry point): the corpus bucket stream map-side joins and
+    # never shuffles
     cand = (
-        fan_out(qb).join(cb, ["table_idx", "bucket"])
+        fan_out(cb).join(F.broadcast(qb), ["table_idx", "bucket"])
         .filter(F.col(query_id) != F.col(corpus_id))
-        .select(query_id, corpus_id, "__qv", "__cv")
+        .select(query_id, corpus_id)
         .distinct()
     )
-    scored = cand.withColumn("cosine", cosine_similarity("__qv", "__cv"))
+    scored = (
+        cand.join(
+            F.broadcast(queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))),
+            query_id,
+        )
+        .join(corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv")), corpus_id)
+        .withColumn("cosine", cosine_similarity_batch("__qv", "__cv"))
+    )
     w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
