@@ -18,7 +18,15 @@ from pyspark.sql import functions as F
 
 from feray_spark.catalog import load_table
 from feray_spark.queries import register
-from feray_spark.queries.util import davg, dec, dsum, sql_davg, sql_dsum
+from feray_spark.queries.util import (
+    davg,
+    dec,
+    dsum,
+    exact_grouped_sums,
+    scaled_long,
+    sql_davg,
+    sql_dsum,
+)
 
 
 @register(
@@ -47,25 +55,34 @@ from feray_spark.queries.util import davg, dec, dsum, sql_davg, sql_dsum
 )
 def a1_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2 flagship: TPC-H Q1 pricing summary. Filter pushes to the
-    parquet scan; single hash-agg with map-side combine; 6-group
-    output sorts trivially."""
+    parquet scan; the money sums run as the two-level exact-agg
+    pattern (long partials in whole-stage codegen, decimal-exact
+    final combine — see :func:`exact_grouped_sums`), so the per-row
+    hot path never touches a BigDecimal yet the result is
+    bit-identical to the oracle's decimal arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
-    one_minus_disc = F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
-    disc_price = (dec("l_extendedprice") * one_minus_disc).cast("decimal(18,4)")
-    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(8,2)"))
+    qty = scaled_long("l_quantity")
+    price = scaled_long("l_extendedprice")
+    disc = scaled_long("l_discount")
+    tax = scaled_long("l_tax")
+    agg = exact_grouped_sums(
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")),
+        ["l_returnflag", "l_linestatus"],
+        money={
+            "sum_qty": (qty, 100),
+            "sum_base_price": (price, 100),
+            "sum_disc_price": (price * (100 - disc), 100 * 100),
+            "sum_charge": (price * (100 - disc) * (100 + tax), 100 * 100 * 100),
+            "__sum_disc": (disc, 100),
+        },
+        count_star="count_order",
+    )
+    n = F.col("count_order")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
+        agg.withColumn("avg_qty", F.col("sum_qty") / n)
+        .withColumn("avg_price", F.col("sum_base_price") / n)
+        .withColumn("avg_disc", F.col("__sum_disc") / n)
+        .drop("__sum_disc")
         .orderBy("l_returnflag", "l_linestatus")
     )
 
@@ -254,14 +271,24 @@ def a9_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a10_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: whole-relation aggregate (no keys) — single-row result,
-    computed with partial aggregates per partition then one merge."""
+    computed with partial aggregates per partition then one merge
+    (two-level exact money sums, see :func:`exact_grouped_sums`)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        dsum("l_extendedprice").alias("total_price"),
-        davg("l_discount").alias("mean_disc"),
-        F.min("l_shipdate").alias("first_ship"),
-        F.max("l_shipdate").alias("last_ship"),
-        F.count("*").alias("n"),
+    agg = exact_grouped_sums(
+        li,
+        [],
+        money={
+            "total_price": (scaled_long("l_extendedprice"), 100),
+            "__sum_disc": (scaled_long("l_discount"), 100),
+        },
+        mins={"first_ship": F.col("l_shipdate")},
+        maxs={"last_ship": F.col("l_shipdate")},
+        count_star="n",
+    )
+    return (
+        agg.withColumn("mean_disc", F.col("__sum_disc") / F.col("n"))
+        .drop("__sum_disc")
+        .select("total_price", "mean_disc", "first_ship", "last_ship", "n")
     )
 
 
@@ -280,11 +307,17 @@ def a10_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a11_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: conditional aggregation — SUM(x) FILTER (WHERE p) as
-    sum(when(p, x))."""
+    sum(when(p, x)); NULL-skipping partial sums keep the two-level
+    exact-agg pattern intact (a group with no matching rows stays
+    NULL through both levels, matching SQL)."""
     li = load_table(spark, sf_dir, "lineitem")
-    returned = F.when(F.col("l_returnflag") == "R", dec("l_extendedprice"))
-    return li.groupBy("l_linestatus").agg(
-        F.sum(returned).cast("double").alias("returned_revenue"),
-        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
-        dsum("l_extendedprice").alias("all_revenue"),
-    )
+    is_r = F.col("l_returnflag") == "R"
+    return exact_grouped_sums(
+        li,
+        ["l_linestatus"],
+        money={
+            "returned_revenue": (F.when(is_r, scaled_long("l_extendedprice")), 100),
+            "all_revenue": (scaled_long("l_extendedprice"), 100),
+        },
+        counts={"n_returned": F.when(is_r, 1)},
+    ).select("l_linestatus", "returned_revenue", "n_returned", "all_revenue")
