@@ -114,3 +114,56 @@ def fs8_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_p").alias("f_last_purchase"),
         F.col("purchase_ts_p").alias("f_last_purchase_ts"),
     )
+
+
+@register(
+    "fs5_asset_checks",
+    oracle="""
+        SELECT 'not_null_custkey' AS check_name,
+               COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) = 0 AS passed,
+               CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS DOUBLE)
+                   AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'positive_totalprice',
+               COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) = 0,
+               CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'known_orderstatus',
+               COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                          THEN 1 END) = 0,
+               CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                          THEN 1 END) AS DOUBLE)
+        FROM orders
+    """,
+    tags=("feature", "FS5"),
+)
+def fs5_asset_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS5: declarative data-quality checks attached to a feature
+    table (the asset-check model of reference ``definitions.py:32``)
+    — each check is a boolean aggregate; output is one row per check
+    with its violation count. All checks evaluate in ONE pass over
+    the table (a single aggregate row, unpivoted with ``stack``), so
+    adding checks never adds scans. The FeatureStore runs the same
+    shape at materialize time and records failures in commit
+    metadata (feray_spark/features/store.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpos_price"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("bad_status"),
+    )
+    stacked = agg.selectExpr(
+        "stack(3, "
+        "'not_null_custkey', null_custkey, "
+        "'positive_totalprice', nonpos_price, "
+        "'known_orderstatus', bad_status) AS (check_name, n_bad)"
+    )
+    return stacked.select(
+        "check_name",
+        (F.col("n_bad") == 0).alias("passed"),
+        F.col("n_bad").cast("double").alias("violations"),
+    )

@@ -96,6 +96,82 @@ def t3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t4_watermark_latedata",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_total,
+               COUNT(CASE WHEN ts < (SELECT max(ts) - INTERVAL 1 HOUR
+                                     FROM events) THEN 1 END) AS n_late,
+               COUNT(CASE WHEN ts >= (SELECT max(ts) - INTERVAL 1 HOUR
+                                      FROM events) THEN 1 END) AS n_kept
+        FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "T4"),
+)
+def t4_watermark_latedata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: late-data policy, batch twin. In streaming, rows behind
+    ``max(event time) - horizon`` are dropped by the watermark; the
+    batch twin labels each event against the final watermark position
+    (global max ts - 1 hour) and counts late vs kept per type. The
+    single-row max aggregate broadcast-joins onto the stream — no
+    shuffle of the fact side."""
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("__watermark")
+    )
+    labeled = e.join(F.broadcast(horizon))
+    late = F.col("ts") < F.col("__watermark")
+    return labeled.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(late, 1)).alias("n_late"),
+        F.count(F.when(~late, 1)).alias("n_kept"),
+    )
+
+
+@register(
+    "t6_stateful_running",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value,
+               last(event_type ORDER BY ts, event_id) AS last_event_type
+        FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "T6"),
+)
+def t6_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: custom stateful per-key operator, batch twin. The same
+    per-key fold the streaming side runs in applyInPandasWithState
+    (tests/test_streaming.py::test_stateful_running_count) executes
+    here as grouped-map applyInPandas: per user, fold events in
+    (ts, event_id) order into (count, exact total, last type) — the
+    final state after the stream drains. Money totals accumulate as
+    scaled integer cents (exact, order-independent; python ints never
+    overflow) and divide once at the end, matching the oracle's
+    decimal sum bit-for-bit."""
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cents = int(pdf["value"].mul(100).round().astype("int64").sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "total_value": [cents / 100.0],
+                "last_event_type": [pdf["event_type"].iloc[-1]],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id long, n_events long, total_value double, last_event_type string",
+    )
+
+
+@register(
     "t5_dedup",
     oracle="""
         SELECT event_id, user_id, event_type FROM (
