@@ -233,6 +233,36 @@ def a8b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a8c_grouping_sets",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "A8"),
+)
+def a8c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: explicit GROUPING SETS (neither a rollup nor a full cube —
+    the two single-column marginals plus the grand total) through the
+    engine's SQL entry point. One scan, one expand + hash aggregate;
+    GROUPING() ids disambiguate the null-extended keys."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
     "a9_pivot",
     oracle="""
         SELECT user_id,

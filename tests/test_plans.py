@@ -79,6 +79,23 @@ def test_q1_aggregate_is_partial_then_final(spark, sf_dir):
     assert first_agg < exchange or "partial" in plan.lower()
 
 
+def test_exact_agg_hot_path_stays_on_longs(spark, sf_dir):
+    """a1 (flagship): the per-row partial aggregation must sum scaled
+    BIGINTs — not decimals — so the full-table pass stays in
+    whole-stage codegen without per-row BigDecimal allocation; the
+    decimal-exact combine touches only (#keys x #partitions) partial
+    rows after the first exchange."""
+    q = load_all()["a1_groupby_q1"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    # the tree prints top-down: the per-row stage sits BELOW the last
+    # exchange, the decimal-exact combine above it
+    last_exchange = plan.rindex("Exchange")
+    hot = plan[last_exchange:]
+    assert "partial_sum(cast(round(" in hot and "as bigint" in hot, hot
+    assert "decimal(38,0)" not in hot, "decimal leaked into the per-row stage"
+    assert "decimal(38,0)" in plan[:last_exchange], "exact combine missing"
+
+
 def test_scan_filter_agg_stays_in_codegen(spark, sf_dir):
     """The flagship hot path must be inside WholeStageCodegen spans
     (scan -> filter -> partial agg fused into one JVM loop). AQE only
