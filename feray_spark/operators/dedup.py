@@ -241,3 +241,80 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
         lambda acc, x: acc + x,
     )
     return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """L2 exact tier: n-gram Jaccard near-duplicate pairs WITHOUT
+    hashing approximation — every surviving pair carries its true
+    shingle-set Jaccard. Output: (id_a, id_b, jaccard), id_a < id_b.
+
+    Shape: inverted-index count join. Explode each doc's distinct
+    shingle set once; |A∩B| is a COUNT per (id_a, id_b) over the
+    token self-join, |A∪B| = |A| + |B| − |A∩B| from the per-doc
+    sizes — shingle ARRAYS never travel through a join, only
+    (id, shingle) rows and then (id, id, count) rows. Work volume is
+    Σ_s C(df_s, 2): the true amount of pairwise overlap in the
+    corpus, not corpus². Join keys are shingles (df-bounded, no skew)
+    then id pairs (near-unique).
+
+    At 100 TB, Σ C(df_s, 2) is dominated by stop-shingles:
+    ``max_df`` drops shingles seen in more than that many docs from
+    the index — the standard cutoff, which makes the join volume
+    linear-ish in the corpus at a documented precision cost (the
+    reported Jaccard then ignores dropped shingles). Leave it None
+    for exact semantics; the MinHash tier (minhash_lsh_pairs) is the
+    sub-quadratic alternative when exactness isn't required at all.
+    """
+    # Expression-placement contract (measured ~30x): materialize the
+    # word array as its own projection, and build the ENTIRE shingle
+    # pipeline inside the Generate's generator expression. An
+    # intermediate projection holding the shingle array gets
+    # collapsed into the word-split projection, after which the
+    # regex split re-runs per element access inside the lambda.
+    tok = (
+        fan_out(df)
+        .select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
+        .select(
+            "__id",
+            F.explode(
+                F.array_distinct(shingles_from_words(F.col("__w"), shingle_n))
+            ).alias("__s"),
+        )
+    )
+    if max_df is not None:
+        keep = tok.groupBy("__s").agg(F.count("*").alias("__df")).filter(
+            F.col("__df") <= max_df
+        )
+        tok = tok.join(keep.select("__s"), "__s")
+    sizes = tok.groupBy("__id").agg(F.count("*").alias("__n"))
+    inter = (
+        tok.alias("a")
+        .join(tok.alias("b"), "__s")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__i"))
+    )
+    jac = F.col("__i").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__i")
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -154,3 +154,53 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.4,
+) -> DataFrame:
+    """L2/L3 bridge: exact embedding-cosine near-duplicate pairs —
+    every (id_a, id_b, cosine) with cosine >= tau and id_a < id_b.
+
+    Shape: broadcast-index scan. The (id, vector, norm) index is
+    materialized once on the driver and broadcast; each corpus
+    partition then scores itself against the index as one numpy
+    matmul per Arrow batch inside mapInPandas — no shuffle at all,
+    and the scan side streams. This is the embedding analog of a
+    broadcast hash join, with the same applicability bound: the
+    INDEX side must fit in executor memory (64-dim floats: ~0.5 GB
+    per million vectors). Beyond that, switch to bucketed LSH
+    (lsh_bucketed_topk's with_lsh_buckets) or an IVF coarse
+    quantizer so only same-cell pairs are scored.
+
+    float64 matmul; numpy's pairwise summation differs from a
+    sequential fold by ~1 ulp, which vanishes under the harness's
+    1e-9 canonical rounding — thresholds must keep a margin above
+    that (fixtures: nearest gap to tau is >= 1e-5).
+    """
+    sdf = corpus.select(F.col(id_col), F.col(vec_col))
+    pdf = sdf.toPandas()
+    ids = pdf[id_col].to_numpy()
+    index = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(index, axis=1)
+    bc = sdf.sparkSession.sparkContext.broadcast((ids, index, norms))
+
+    def score(batches):
+        bids, bM, bnorms = bc.value
+        for chunk in batches:
+            lid = chunk[id_col].to_numpy()
+            L = np.stack(chunk[vec_col].to_numpy()).astype(np.float64)
+            ln = np.linalg.norm(L, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (L @ bM.T) / np.outer(ln, bnorms)
+            mask = (cos >= tau) & (lid[:, None] < bids[None, :])
+            li, ri = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": lid[li], "id_b": bids[ri], "cosine": cos[li, ri]}
+            )
+
+    return fan_out(sdf).mapInPandas(score, "id_a long, id_b long, cosine double")

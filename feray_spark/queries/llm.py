@@ -24,8 +24,17 @@ from feray_spark.functions.text import (
     quality_score,
     token_count,
 )
-from feray_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, simhash
-from feray_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from feray_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from feray_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_bucketed_topk,
+)
 from feray_spark.queries import register
 from feray_spark.queries.util import fan_out
 
@@ -136,6 +145,81 @@ def l2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup Hamming behavior is unit-tested in test_llm.py)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash(d, "text", "doc_id")
+
+
+@register(
+    "l2c_ngram_jaccard",
+    oracle=f"""
+        WITH words_t AS (SELECT doc_id, {_WORDS_SQL} AS w
+                         FROM documents),
+        shsets AS (SELECT doc_id,
+                          list_distinct(CASE WHEN len(w) >= 3
+                              THEN {_SHINGLES_SQL}
+                              ELSE [] END) AS sh
+                   FROM words_t),
+        tok AS (SELECT doc_id, unnest(sh) AS s FROM shsets),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         COUNT(*) AS i
+                  FROM tok a JOIN tok b
+                    ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               i::DOUBLE / (na.n + nb.n - i) AS jaccard
+        FROM inter JOIN sizes na ON id_a = na.doc_id
+                   JOIN sizes nb ON id_b = nb.doc_id
+        WHERE i::DOUBLE / (na.n + nb.n - i) >= {JACCARD_T}
+    """,
+    tags=("llm", "L2", "dedup"),
+)
+def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 exact tier: n-gram (3-word shingle) Jaccard near-dup pairs
+    as an exact inverted-index count join — no hash approximation;
+    shingle arrays never travel through a join. See operators.dedup
+    .ngram_jaccard_pairs for the shape and its 100 TB posture
+    (max_df stop-shingle cutoff). The oracle replays the identical
+    count scheme in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", threshold=JACCARD_T)
+
+
+@register(
+    "l2d_embedding_neardup",
+    oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_transform(
+                   list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                   (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      (acc, x) -> acc + x))) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_reduce(list_transform(
+                  list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                  (acc, x) -> acc + x)
+              / (sqrt(list_reduce(list_transform(a.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (acc, x) -> acc + x))
+                 * sqrt(list_reduce(list_transform(b.embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (acc, x) -> acc + x))) >= 0.4
+    """,
+    tags=("llm", "L2", "L3", "dedup", "similarity"),
+)
+def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 embedding tier: exact cosine near-dup pairs (cosine >= 0.4,
+    the fixtures' neighbor band) via the broadcast-index scan of
+    operators.similarity.embedding_neardup_pairs — zero shuffles; the
+    oracle brute-forces all pairs. Threshold margin vs float noise:
+    nearest fixture cosine to 0.4 is >= 1e-5, float64-vs-fold
+    disagreement is ~1e-15."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, id_col="vec_id", vec_col="embedding", tau=0.4)
 
 
 @register(
