@@ -33,6 +33,7 @@ from feray_spark.operators.dedup import (
 from feray_spark.operators.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from feray_spark.queries import register
@@ -272,6 +273,21 @@ def l3b_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0)
     return lsh_bucketed_topk(
+        queries.select(F.col("vec_id").alias("q_id"), "embedding"),
+        e.select(F.col("vec_id").alias("c_id"), "embedding"),
+        k=3,
+    )
+
+
+@register("l3c_ivf_topk", tags=("llm", "L3", "similarity"))
+def l3c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path #2: IVF coarse-quantizer ANN — corpus shuffles
+    once on its cell id, queries probe their nprobe nearest cells,
+    exact cosine re-ranks (rows-only; recall vs brute force asserted
+    in test_llm.py). See operators.similarity.ivf_topk."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(
         queries.select(F.col("vec_id").alias("q_id"), "embedding"),
         e.select(F.col("vec_id").alias("c_id"), "embedding"),
         k=3,

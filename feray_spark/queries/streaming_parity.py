@@ -144,28 +144,42 @@ def t6_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6: custom stateful per-key operator, batch twin. The same
     per-key fold the streaming side runs in applyInPandasWithState
     (tests/test_streaming.py::test_stateful_running_count) executes
-    here as grouped-map applyInPandas: per user, fold events in
-    (ts, event_id) order into (count, exact total, last type) — the
-    final state after the stream drains. Money totals accumulate as
-    scaled integer cents (exact, order-independent; python ints never
-    overflow) and divide once at the end, matching the oracle's
-    decimal sum bit-for-bit."""
+    here: per user, fold events in (ts, event_id) order into
+    (count, exact total, last type) — the final state after the
+    stream drains. Money totals accumulate as scaled integer cents
+    (exact, order-independent) and divide once at the end, matching
+    the oracle's decimal sum bit-for-bit.
+
+    Shape: repartition on the key, then ONE vectorized pandas
+    groupby per partition via mapInPandas — per-key cost is a few
+    nanoseconds, where per-group applyInPandas pays ~ms of pandas
+    setup per key (~7x slower on the fixtures' key cardinality, and
+    worse as keys grow). Partition state is bounded by the shuffle
+    partition size; the unbounded-stream variant of the same fold is
+    the applyInPandasWithState path."""
     import pandas as pd
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    def fold(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
-        cents = int(pdf["value"].mul(100).round().astype("int64").sum())
-        return pd.DataFrame(
+        pdf["__cents"] = pdf["value"].mul(100).round().astype("int64")
+        g = pdf.groupby("user_id", sort=False)
+        out = pd.DataFrame(
             {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "total_value": [cents / 100.0],
-                "last_event_type": [pdf["event_type"].iloc[-1]],
+                "n_events": g.size(),
+                "total_value": g["__cents"].sum() / 100.0,
+                "last_event_type": g["event_type"].last(),
             }
-        )
+        ).reset_index()
+        yield out[["user_id", "n_events", "total_value", "last_event_type"]]
 
-    e = load_table(spark, sf_dir, "events")
-    return e.groupBy("user_id").applyInPandas(
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value", "event_type"
+    )
+    return e.repartition("user_id").mapInPandas(
         fold,
         "user_id long, n_events long, total_value double, last_event_type string",
     )

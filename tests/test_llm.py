@@ -10,7 +10,11 @@ from pyspark.sql import functions as F
 from feray_spark.catalog import load_table
 from feray_spark.multimodal import attach_media, extract_media_features, fake_decode
 from feray_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, simhash
-from feray_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+from feray_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 
 BASE = (
     "the quick brown fox jumps over the lazy dog and then runs far away "
@@ -84,6 +88,26 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     assert exact, "no queries selected"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"LSH recall too low: {recall:.2f}"
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    """The IVF path must recover most of the exact top-3 at sf0.001."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in brute_force_topk(queries, corpus, k=3).collect()
+    }
+    approx = {
+        (r["q_id"], r["c_id"])
+        for r in ivf_topk(queries, corpus, k=3, centroid_stride=10, nprobe=8).collect()
+    }
+    assert exact, "no queries selected"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall:.2f}"
 
 
 def test_multimodal_extract_with_fake_decoder(spark):
