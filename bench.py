@@ -18,7 +18,7 @@ from feray_spark.queries import load_all
 from feray_spark.session import get_spark
 
 #: queries excluded from the bench (side-effecting or trivially tiny)
-BENCH_SKIP = {"s6_csv_roundtrip", "s7_inmemory_rows"}
+BENCH_SKIP = {"s6_csv_roundtrip", "s6b_ndjson_roundtrip", "s7_inmemory_rows"}
 
 
 def run_bench(sf_dir: str, runs: int = 1, names: list[str] | None = None) -> dict:

@@ -53,6 +53,30 @@ def s6_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s6b_ndjson_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("source", "S6"),
+)
+def s6b_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: newline-delimited JSON ingest — `nation` written as NDJSON
+    and read back with an explicit schema (matching the CSV twin's
+    no-inference discipline)."""
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), "feray_spark_ndjson_roundtrip")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").json(out)
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .json(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register(
     "s7_inmemory_rows",
     oracle="SELECT * FROM (VALUES (1), (2), (0), (3)) AS t(x)",
     tags=("source", "S7"),
