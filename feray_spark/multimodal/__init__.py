@@ -102,3 +102,140 @@ def extract_media_features(
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
         extract, MEDIA_FEATURES_SCHEMA
     )
+
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_bytes binary, frame_sha256 string"
+)
+
+
+def extract_video_frames(data: bytes) -> list[bytes]:
+    """STUB — video frame decoding needs a codec (av/ffmpeg) not
+    present in this environment. Production: iterate
+    ``av.open(io.BytesIO(data)).decode(video=0)`` and re-encode each
+    frame."""
+    raise NotImplementedError(
+        "video codecs unavailable in this environment; use "
+        "fake_chunk_frames for tests or install av/ffmpeg in production"
+    )
+
+
+def fake_chunk_frames(data: bytes, frame_size: int = 32) -> list[bytes]:
+    """Deterministic stand-in frame extractor: fixed-size byte chunks
+    of the payload act as 'frames' (SQL-reproducible, so the sampling
+    plumbing itself is oracle-gated)."""
+    return [data[i : i + frame_size] for i in range(0, len(data), frame_size)]
+
+
+def sample_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    *,
+    every: int = 4,
+    frame_extractor: Callable[[bytes], list[bytes]] | None = None,
+) -> DataFrame:
+    """L6: frame sampling — one row per kept frame (every ``every``-th
+    frame of each payload, frame 0 always kept). Row expansion runs
+    in ``mapInPandas``: per Arrow batch, each payload expands to its
+    sampled frames — memory is bounded by (batch rows x frames per
+    payload), and the expansion parallelizes with the scan, no
+    shuffle. ``frame_extractor`` defaults to the NotImplementedError
+    codec stub; tests and the oracle-gated query pass
+    :func:`fake_chunk_frames`."""
+    import hashlib
+
+    extract_frames = frame_extractor or extract_video_frames
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, digests = [], [], [], []
+            for doc_id, m in zip(pdf[id_col], pdf[media_col]):
+                for i, frame in enumerate(extract_frames(bytes(m["data"]))):
+                    if i % every:
+                        continue
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(frame)
+                    digests.append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(frames, dtype=object),
+                    "frame_sha256": pd.Series(digests, dtype=object),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        expand, FRAME_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", MEDIA_STRUCT),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_image(data: bytes, width: int, height: int) -> bytes:
+    """STUB — image resizing needs a codec library. Production:
+    PIL ``Image.open(...).resize((width, height))`` re-encoded."""
+    raise NotImplementedError(
+        "image codecs unavailable in this environment; use fake_resize "
+        "for tests or install a codec in production"
+    )
+
+
+def fake_resize(data: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resizer: truncate/cycle the payload to
+    ``width*height`` bytes (a 'bitmap' of the target size)."""
+    target = max(width * height, 1)
+    if not data:
+        return bytes(target)
+    reps = -(-target // len(data))
+    return (data * reps)[:target]
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    *,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """L6: resize — rewrite each payload to the target dimensions,
+    emitting a NEW media struct (same mime/uri, resized data) plus the
+    recorded dimensions. Arrow-batched mapInPandas; the resized
+    payload replaces the original so downstream stages see one
+    consistent media schema."""
+    resize = resizer or resize_image
+
+    def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = pdf[media_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "media": [
+                        {
+                            "mime": m["mime"],
+                            "uri": m["uri"],
+                            "data": resize(bytes(m["data"]), width, height),
+                        }
+                        for m in media
+                    ],
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        rewrite, RESIZED_SCHEMA
+    )

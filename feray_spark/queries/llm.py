@@ -438,6 +438,53 @@ def l6_multimodal_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l6b_frame_sample",
+    oracle="""
+        WITH frames AS (
+            -- fixture text is pure ASCII (asserted in tests), so char
+            -- slicing on VARCHAR equals the byte chunking the engine
+            -- does on the encoded payload
+            SELECT doc_id,
+                   CAST(i AS INT) AS frame_idx,
+                   substring(text, CAST(i * 32 + 1 AS BIGINT), 32) AS frame
+            FROM documents,
+                 LATERAL unnest(generate_series(0,
+                     CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)
+                         - 1)) AS t(i)
+        )
+        SELECT doc_id, frame_idx,
+               CAST(octet_length(encode(frame)) AS INT) AS frame_n_bytes,
+               sha256(frame) AS frame_sha256
+        FROM frames WHERE frame_idx % 4 = 0
+    """,
+    tags=("llm", "L6", "multimodal"),
+)
+def l6b_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: frame sampling plumbing — every payload expands to frames
+    inside mapInPandas and every 4th is kept (one output row per
+    frame). The codec is the deterministic chunk stand-in
+    (fake_chunk_frames) so the EXPANSION itself — schema, batch
+    iteration, sampling arithmetic, per-frame hashing — is
+    oracle-gated; a real video decoder drops into the same
+    frame_extractor slot (multimodal.extract_video_frames stub)."""
+    from feray_spark.multimodal import attach_media, fake_chunk_frames, sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    with_media = attach_media(
+        d.withColumn("payload", F.encode("text", "UTF-8")), "payload", "video/fake"
+    )
+    frames = sample_frames(
+        with_media, every=4, frame_extractor=fake_chunk_frames
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("int").alias("frame_n_bytes"),
+        "frame_sha256",
+    )
+
+
+@register(
     "l7_quality_filter_pipeline",
     oracle="""
         WITH s0 AS (SELECT * FROM documents),

@@ -135,3 +135,58 @@ def test_decode_image_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"anything")
+
+
+def test_frame_sampling_with_fake_chunker(spark):
+    from feray_spark.multimodal import attach_media, fake_chunk_frames, sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(100))), (2, b"xy")], "doc_id long, payload binary"
+    )
+    frames = sample_frames(
+        attach_media(df, "payload", "video/fake"),
+        every=2,
+        frame_extractor=lambda d: fake_chunk_frames(d, frame_size=32),
+    ).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 100 bytes -> frames 0..3 (32,32,32,4 bytes); every=2 keeps 0,2
+    kept = sorted(r["frame_idx"] for r in by_doc[1])
+    assert kept == [0, 2]
+    f0 = next(r for r in by_doc[1] if r["frame_idx"] == 0)
+    assert bytes(f0["frame_bytes"]) == bytes(range(32))
+    # doc 2: single short frame, always kept
+    assert [r["frame_idx"] for r in by_doc[2]] == [0]
+    assert bytes(by_doc[2][0]["frame_bytes"]) == b"xy"
+
+
+def test_resize_with_fake_resizer(spark):
+    from feray_spark.multimodal import attach_media, fake_resize, resize_media
+
+    df = spark.createDataFrame([(1, b"abc")], "doc_id long, payload binary")
+    out = resize_media(
+        attach_media(df, "payload", "image/png"), 4, 2, resizer=fake_resize
+    ).collect()[0]
+    assert out["width"] == 4 and out["height"] == 2
+    assert bytes(out["media"]["data"]) == b"abcabcab"  # cycled to 4*2 bytes
+    assert out["media"]["mime"] == "image/png"
+
+
+def test_video_and_resize_stubs_raise(spark):
+    import pytest
+
+    from feray_spark.multimodal import extract_video_frames, resize_image
+
+    with pytest.raises(NotImplementedError):
+        extract_video_frames(b"")
+    with pytest.raises(NotImplementedError):
+        resize_image(b"", 1, 1)
+
+
+def test_fixture_text_is_ascii(spark, sf_dir):
+    """The l6b frame-sampling oracle slices VARCHAR where the engine
+    slices bytes — sound only while fixture text stays ASCII."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.filter(F.length(F.encode("text", "UTF-8")) != F.length("text")).count()
+    assert n == 0
