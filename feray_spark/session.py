@@ -38,13 +38,13 @@ SEMANTIC_CONF: dict[str, str] = {
     # the catalog convert to microsecond timestamps (matching the
     # DuckDB oracle's ns -> us truncation).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # Coalesce post-shuffle partitions to the advisory byte size
-    # instead of stopping at max parallelism: small intermediate
-    # results collapse to few tasks (less scheduling floor), while at
-    # scale the advisory size already yields ample parallelism. This
-    # is the documented setting for busy clusters; measured ~15%
-    # off the per-query floor on the fixture suite.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # NOTE: deliberately NOT setting
+    # coalescePartitions.parallelismFirst=false. It shaves ~15% off
+    # the per-query scheduling floor on tiny relational results, but
+    # AQE's byte-based sizing then coalesces CPU-heavy, byte-small
+    # stages (cosine folds / rank windows over array columns) onto
+    # ONE task — measured 20x regressions on the embedding suite.
+    # Byte size is a poor proxy for CPU cost; keep parallelism-first.
 }
 
 
