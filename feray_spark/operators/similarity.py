@@ -103,6 +103,82 @@ def with_lsh_buckets(
     return df.withColumn("__buckets", bucket_ids(F.col(vec_col)))
 
 
+def _index_pdf(df: DataFrame, id_col: str, vec_col: str):
+    """Collect (id, vector) to the driver as numpy: (ids, M, norms)."""
+    pdf = df.select(F.col(id_col), F.col(vec_col)).toPandas()
+    ids = pdf[id_col].to_numpy()
+    M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return ids, M, np.linalg.norm(M, axis=1)
+
+
+def _broadcast_scan_topk(
+    corpus: DataFrame,
+    *,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+    qids,
+    qM,
+    qnorm,
+    match_fn,
+) -> DataFrame:
+    """Shared ANN fast path for a small (broadcastable) query set.
+
+    One pass over the corpus, no candidate shuffle: each scan
+    partition scores itself against the broadcast query index with a
+    single numpy matmul per Arrow batch, keeps only candidate pairs
+    allowed by ``match_fn`` (the LSH-collision / IVF-probed-cell
+    mask), and emits a PARTIAL top-k per query. The final exact top-k
+    ranks <= partitions x queries x k tiny rows — the only shuffle in
+    the plan. Tie-breaking (cosine desc, corpus id asc) is identical
+    in the partial and final ranks, so the partial cut is lossless.
+    """
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qM, qnorm))
+
+    def score(batches):
+        b_qids, b_qM, b_qnorm = bc.value
+        for chunk in batches:
+            if not len(chunk):
+                continue
+            cid = chunk[corpus_id].to_numpy()
+            C = np.stack(chunk[vec_col].to_numpy()).astype(np.float64)
+            match = match_fn(cid, C)  # (n, nq) bool
+            match &= cid[:, None] != b_qids[None, :]
+            cn = np.linalg.norm(C, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (C @ b_qM.T) / np.outer(cn, b_qnorm)
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(b_qids)):
+                rows = np.nonzero(match[:, j])[0]
+                if not len(rows):
+                    continue
+                order = np.lexsort((cid[rows], -cos[rows, j]))[:k]
+                sel = rows[order]
+                out_q.append(np.full(len(sel), b_qids[j], dtype=np.int64))
+                out_c.append(cid[sel])
+                out_s.append(cos[sel, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        query_id: np.concatenate(out_q),
+                        corpus_id: np.concatenate(out_c),
+                        "cosine": np.concatenate(out_s),
+                    }
+                )
+
+    cand = fan_out(corpus.select(F.col(corpus_id), F.col(vec_col))).mapInPandas(
+        score, f"{query_id} long, {corpus_id} long, cosine double"
+    )
+    w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -114,15 +190,49 @@ def lsh_bucketed_topk(
     dim: int = 64,
     n_planes: int = 3,
     n_tables: int = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates = bucket collisions in any table,
     re-ranked by exact cosine. Same output schema as brute force.
 
-    Shuffle discipline: the bucket-collision join and the candidate
-    dedup move ONLY (id, table_idx, bucket) rows — the 64-float
-    vectors are attached after dedup (queries broadcast; corpus
-    joined once on its id). Carrying vectors through the collision
-    join + distinct was the dominant cost of the naive shape."""
+    Two physical shapes, same candidate semantics:
+
+    - ``broadcast_queries=True`` (default — the entry-point contract
+      is a small query set): query vectors + bucket signatures ship
+      as one broadcast; the corpus streams through a single
+      mapInPandas that masks non-colliding pairs and emits partial
+      top-k per partition. Zero candidate shuffle.
+    - ``broadcast_queries=False`` (both sides huge): explicit bucket
+      join keyed on (table, bucket). The collision join and candidate
+      dedup move ONLY (id, table_idx, bucket) rows — vectors are
+      attached after dedup."""
+    if broadcast_queries:
+        planes = _hyperplanes(dim, n_planes, n_tables)
+        flat = planes.reshape(n_tables * n_planes, dim).astype(np.float64).T
+        pow2 = 1 << np.arange(n_planes, dtype=np.int64)
+
+        def buckets(M: np.ndarray) -> np.ndarray:
+            bits = (M @ flat) >= 0.0
+            return (bits.reshape(len(M), n_tables, n_planes) * pow2).sum(axis=2)
+
+        qids, qM, qnorm = _index_pdf(queries, query_id, vec_col)
+        qb = buckets(qM)  # (nq, n_tables)
+
+        def match_fn(cid, C):
+            cb = buckets(C)  # (n, n_tables)
+            return (cb[:, None, :] == qb[None, :, :]).any(axis=2)
+
+        return _broadcast_scan_topk(
+            corpus,
+            query_id=query_id,
+            corpus_id=corpus_id,
+            vec_col=vec_col,
+            k=k,
+            qids=qids,
+            qM=qM,
+            qnorm=qnorm,
+            match_fn=match_fn,
+        )
     qb = with_lsh_buckets(
         queries.select(F.col(query_id), F.col(vec_col)),
         vec_col=vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables,
@@ -216,6 +326,7 @@ def ivf_topk(
     k: int = 10,
     centroid_stride: int = 45,
     nprobe: int = 8,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer —
     the second scale path next to hyperplane LSH. Same output schema
@@ -241,6 +352,33 @@ def ivf_topk(
         cpd.sort_values(corpus_id)[vec_col].to_numpy()[::centroid_stride]
     ).astype(np.float64)
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    if broadcast_queries:
+        # small-query fast path (the entry-point contract): centroids +
+        # query probe lists ship in one broadcast; the corpus streams
+        # through cell assignment and scoring in a single pass with no
+        # candidate shuffle (see _broadcast_scan_topk)
+        qids, qM, qnorm = _index_pdf(queries, query_id, vec_col)
+        qsims = (qM / qnorm[:, None]) @ cent.T
+        probes = np.argsort(-qsims, axis=1)[:, :nprobe]  # (nq, nprobe)
+
+        def match_fn(cid, C):
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            cells = (Cn @ cent.T).argmax(axis=1)  # (n,)
+            return (cells[:, None, None] == probes[None, :, :]).any(axis=2)
+
+        return _broadcast_scan_topk(
+            corpus,
+            query_id=query_id,
+            corpus_id=corpus_id,
+            vec_col=vec_col,
+            k=k,
+            qids=qids,
+            qM=qM,
+            qnorm=qnorm,
+            match_fn=match_fn,
+        )
+
     bc = corpus.sparkSession.sparkContext.broadcast(cent)
 
     def _cells(vecs: pd.Series, top: int) -> pd.Series:

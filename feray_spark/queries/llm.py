@@ -377,9 +377,14 @@ def l5_token_df_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting; Spark ML HashingTF/IDF variant is l5b."""
     from feray_spark.functions.text import words as words_fn
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    n_docs = d.count()
-    tokens = d.select(F.explode(F.array_distinct(words_fn("text"))).alias("token"))
+    base = load_table(spark, sf_dir, "documents")
+    # count() on the raw scan is answered from parquet footer metadata —
+    # no text bytes move; counting the fanned-out frame would shuffle
+    # every document first
+    n_docs = base.count()
+    tokens = fan_out(base).select(
+        F.explode(F.array_distinct(words_fn("text"))).alias("token")
+    )
     return tokens.groupBy("token").agg(
         F.count("*").alias("df"),
         F.log(F.lit(float(n_docs)) / F.count("*")).alias("idf"),
@@ -395,7 +400,10 @@ def l5b_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
     tok = Tokenizer(inputCol="text", outputCol="tokens")
     tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12)
-    tfd = tf.transform(tok.transform(d))
+    # IDF.fit is a second full pass over the term-frequency vectors:
+    # persist so tokenize+hash runs once, not twice (standard shape for
+    # any fit-then-transform pipeline)
+    tfd = tf.transform(tok.transform(d)).persist()
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
     out = idf.transform(tfd)
     return out.select(

@@ -140,12 +140,52 @@ def fan_out(df):
     Parquet scans parallelize by row group; a small input (or a
     badly-written upstream file) can arrive as 1 partition and pin
     per-row compute to one core while 31 idle. At 100 TB inputs have
-    thousands of row groups and this is a no-op; the repartition only
-    fires when upstream partitions < defaultParallelism, so it never
-    adds a shuffle at scale — and when it does fire, the payload is
-    by definition small."""
+    thousands of files/row groups and this is a no-op; the
+    repartition only fires for provably-small local inputs, so it
+    never adds a shuffle at scale — and when it does fire, the
+    payload is by definition small.
+
+    The small-input probe reads the scan's file list (cheap driver
+    metadata) rather than ``df.rdd.getNumPartitions()`` — compiling
+    the plan to an RDD costs ~0.2 s per call, which dominated the
+    latency of every fanned-out query on small inputs."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        if len(files) >= target:
+            return df  # enough files to split across the cluster
+        # few files: repartition only if they're genuinely small.
+        # Local paths we can stat; remote stores (s3a/hdfs) we can't —
+        # and there a file under `target` count still splits into
+        # maxPartitionBytes-sized scan partitions, so leave it alone.
+        import os
+        from urllib.parse import urlparse
+
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("file", ""):
+                return df
+            try:
+                total += os.path.getsize(p.path)
+            except OSError:
+                return df
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        ).lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        mult = units.get(raw.rstrip("b")[-1:], 1)
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        max_pb = int(digits or "134217728") * mult
+        if total >= target * max_pb:
+            return df  # big input: the scan already yields >= target splits
+        return df.repartition(target)
+    # no file source behind the plan (in-memory, post-shuffle):
+    # fall back to the physical partition count
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -72,6 +72,11 @@ def get_spark(
         driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = builder.config("spark.driver.memory", driver_mem)
     builder = builder.config("spark.ui.enabled", "true" if ui else "false")
+    # one BLAS thread per python worker: N workers x M BLAS threads
+    # oversubscribes the executor's cores on numpy-matmul operators
+    # (similarity scans); parallelism comes from partitions, not BLAS
+    for ev in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        builder = builder.config(f"spark.executorEnv.{ev}", "1")
     for k, v in SEMANTIC_CONF.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():

@@ -66,20 +66,37 @@ def tumbling_counts(
 ) -> DataFrame:
     """T1 (+T4): tumbling event-time windows per event_type with a
     watermark bounding state and dropping data later than the horizon."""
-    src = events.withWatermark("ts", watermark) if events.isStreaming else events
-    return (
-        src.groupBy(F.window("ts", width).alias("win"), "event_type")
-        .agg(
+    if events.isStreaming:
+        # streaming: one aggregation only (Structured Streaming allows a
+        # single stateful agg) — decimal accumulator keeps the sum exact
+        src = events.withWatermark("ts", watermark)
+        agged = src.groupBy(F.window("ts", width).alias("win"), "event_type").agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
         )
-        .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
-            "event_type",
-            "n",
-            "total",
+    else:
+        # batch parity: exact money sum at long speed. Unlike the
+        # low-cardinality lineitem aggregates (exact_grouped_sums'
+        # two-level shape), window keys are high-cardinality — a
+        # per-partition partial level would emit more groups than
+        # rows — so sum scaled-long cents in ONE hash agg and divide
+        # once as decimal. Overflow-safe because a tumbling-window
+        # group is time-bounded: width x event rate rows per group
+        # (2^63 cents ≈ $9e16 per window).
+        from feray_spark.queries.util import scaled_long
+
+        agged = events.groupBy(F.window("ts", width).alias("win"), "event_type").agg(
+            F.count("*").alias("n"),
+            (F.sum(scaled_long("value")).cast("decimal(38,0)") / F.lit(100))
+            .cast("double")
+            .alias("total"),
         )
+    return agged.select(
+        F.col("win.start").alias("win_start"),
+        F.col("win.end").alias("win_end"),
+        "event_type",
+        "n",
+        "total",
     )
 
 
