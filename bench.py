@@ -44,6 +44,8 @@ def run_bench(sf_dir: str, runs: int = 1, names: list[str] | None = None) -> dic
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name, q in selected.items():
         samples = []
@@ -54,6 +56,10 @@ def run_bench(sf_dir: str, runs: int = 1, names: list[str] | None = None) -> dic
             samples.append(time.perf_counter() - t0)
         samples.sort()
         timings[name] = round(samples[(len(samples) - 1) // 2], 4)
+        # off-clock hygiene between queries: drop py4j refs from the
+        # finished plans so the JVM can collect them; keeps late
+        # queries from paying for the session's history
+        gc.collect()
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from feray_spark.catalog import load_table
 from feray_spark.operators.topk import top_k_per_group
 from feray_spark.queries import register
-from feray_spark.queries.util import dec
+from feray_spark.queries.util import dec, dwsum
 
 _BY_PRICE = "ORDER BY o_totalprice DESC, o_orderkey"
 
@@ -124,7 +124,7 @@ def w4_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        dwsum("o_totalprice", w).alias("running_spend"),
         F.count("*").over(w).alias("n_so_far"),
     )
 
@@ -153,7 +153,7 @@ def w5_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        (F.sum(dec("value")).over(w).cast("double") / F.count("value").over(w)).alias(
+        (dwsum("value", w) / F.count("value").over(w)).alias(
             "moving_avg3"
         ),
     )
@@ -190,7 +190,7 @@ def w6_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.sum(dec("value")).over(w).cast("double").alias("sum_7d"),
+        dwsum("value", w).alias("sum_7d"),
         F.count("*").over(w).alias("n_7d"),
     )
 

@@ -77,6 +77,18 @@ def get_spark(
     # (similarity scans); parallelism comes from partitions, not BLAS
     for ev in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         builder = builder.config(f"spark.executorEnv.{ev}", "1")
+    # bound driver-side status-store growth: long-lived sessions (a
+    # serving endpoint, a bench loop, a notebook) accumulate job/stage/
+    # task/SQL-execution state in the AppStatusListener even with the
+    # UI off, and listener-bus processing slows every subsequent job
+    for k, v in {
+        "spark.ui.retainedJobs": "100",
+        "spark.ui.retainedStages": "200",
+        "spark.ui.retainedTasks": "5000",
+        "spark.sql.ui.retainedExecutions": "20",
+        "spark.ui.dagGraph.retainedRootRDDs": "50",
+    }.items():
+        builder = builder.config(k, v)
     for k, v in SEMANTIC_CONF.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
