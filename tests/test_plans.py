@@ -204,3 +204,19 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     got = {r.ship_month for r in joined.collect()}
     assert got == set(sorted(months)[:2])
+
+
+def test_ann_broadcast_scan_shuffles_once(spark, sf_dir):
+    """l3b/l3c default path: the corpus streams through ONE
+    mapInPandas scan against the broadcast query index; the only
+    exchanges are the fan_out repartition of the (tiny, local)
+    corpus and the final partial-top-k rank — never a candidate-pair
+    join."""
+    for name in ("l3b_lsh_topk", "l3c_ivf_topk"):
+        q = load_all()[name]
+        plan = plan_of(q.fn(spark, sf_dir))
+        assert "Join" not in plan, (name, plan)
+        # candidate generation + scoring collapse into one python scan
+        assert plan.count("MapInPandas") == 1, (name, plan)
+        # final rank over <= partitions x queries x k rows
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
