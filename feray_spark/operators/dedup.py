@@ -165,13 +165,22 @@ def minhash_lsh_pairs(
     )
     if jaccard_threshold is None:
         return pairs
-    # Exact-Jaccard verify: each doc's distinct shingle set is
-    # computed ONCE here (not once per candidate pair); the two
-    # joins hit only colliding ids. fan_out because this side often
-    # becomes a broadcast build whose upstream would otherwise run
-    # single-task on a one-file scan.
+    # Exact-Jaccard verify: shingle ONLY the docs that appear in a
+    # candidate pair (left-semi prune) — verification cost scales
+    # with candidates, not the corpus. The candidate set feeds both
+    # the prune and the final join; localCheckpoint materializes it
+    # once (it is small by LSH design) instead of re-running the
+    # whole shingle->minhash->band pipeline per consumer (exchange
+    # reuse does not deduplicate across these branches under AQE).
+    pairs = pairs.localCheckpoint(eager=False)
+    cand_ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    pruned = df.select(F.col(id_col), F.col(text_col)).join(
+        cand_ids, id_col, "leftsemi"
+    )
     shsets = (
-        fan_out(df)
+        fan_out(pruned)
         .select(F.col(id_col).alias("__tid"), words(text_col).alias("__w"))
         .select(
             "__tid",

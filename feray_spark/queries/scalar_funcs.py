@@ -334,16 +334,20 @@ def f_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "json"),
 )
 def f_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON family: path extraction, typed parse via from_json,
-    key enumeration over the events.props JSON string column. Three
-    independent JSON parses per row -> CPU-bound: fan_out."""
+    """JSON family: path extraction, typed value, key enumeration
+    over the events.props JSON string column. ONE from_json parse per
+    row (map<string,string> keeps the full document); the three
+    outputs derive from the parsed map and codegen subexpression
+    elimination shares the parse — 3x less Jackson work than
+    independent from_json + get_json_object + json_object_keys
+    calls."""
     e = fan_out(load_table(spark, sf_dir, "events"))
-    parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
+    m = F.from_json("props", "map<string,string>")
     return e.select(
         "event_id",
-        parsed.getField("k").alias("k_value"),
-        F.get_json_object("props", "$.k").alias("k_str"),
-        F.size(F.json_object_keys("props")).alias("n_keys"),
+        F.element_at(m, "k").cast("int").alias("k_value"),
+        F.element_at(m, "k").alias("k_str"),
+        F.size(F.map_keys(m)).alias("n_keys"),
     )
 
 
