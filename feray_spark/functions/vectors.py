@@ -54,6 +54,8 @@ def cosine_similarity_batch(a: str | Column, b: str | Column) -> Column:
 
     @F.pandas_udf("double")
     def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if not len(xs):  # empty Arrow batch
+            return pd.Series([], dtype="float64")
         mx = np.stack(xs.to_numpy()).astype(np.float64)
         my = np.stack(ys.to_numpy()).astype(np.float64)
         num = (mx * my).sum(axis=1)

@@ -94,6 +94,8 @@ def with_lsh_buckets(
 
     @F.pandas_udf("array<long>")
     def bucket_ids(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):  # empty Arrow batch
+            return pd.Series([], dtype=object)
         mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
         bits = (mat @ flat) >= 0.0  # (n, tables*planes)
         bits = bits.reshape(len(mat), -1, len(pow2))  # (n, tables, planes)
@@ -302,6 +304,8 @@ def embedding_neardup_pairs(
     def score(batches):
         bids, bM, bnorms = bc.value
         for chunk in batches:
+            if not len(chunk):  # repartition can leave empty slots
+                continue
             lid = chunk[id_col].to_numpy()
             L = np.stack(chunk[vec_col].to_numpy()).astype(np.float64)
             ln = np.linalg.norm(L, axis=1)
@@ -383,6 +387,8 @@ def ivf_topk(
 
     def _cells(vecs: pd.Series, top: int) -> pd.Series:
         C = bc.value
+        if not len(vecs):  # empty Arrow batch
+            return pd.Series([], dtype="int64" if top == 1 else object)
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         sims = mat @ C.T

@@ -190,3 +190,19 @@ def test_fixture_text_is_ascii(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     n = d.filter(F.length(F.encode("text", "UTF-8")) != F.length("text")).count()
     assert n == 0
+
+
+def test_ann_paths_survive_empty_partitions(spark, sf_dir):
+    """A corpus smaller than the partition count leaves empty Arrow
+    batches in the scan — the numpy scoring paths must skip them, not
+    np.stack an empty list."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 5)
+    q = e.select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    tiny = e.repartition(32)
+    assert lsh_bucketed_topk(q, c.repartition(32), k=2).count() > 0
+    assert ivf_topk(q, c.repartition(32), k=2, centroid_stride=2).count() > 0
+    from feray_spark.operators.similarity import embedding_neardup_pairs
+
+    # tau=-1: every pair qualifies, so output exists iff scoring ran
+    assert embedding_neardup_pairs(tiny, id_col="vec_id", tau=-1.0).count() > 0
