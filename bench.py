@@ -46,20 +46,26 @@ def run_bench(sf_dir: str, runs: int = 1, names: list[str] | None = None) -> dic
 
     import gc
 
-    timings: dict[str, float] = {}
-    for name, q in selected.items():
-        samples = []
-        for _ in range(runs):
+    # interleaved sweeps: run the WHOLE query set once per sweep and
+    # take each query's median across sweeps. The box shows transient
+    # slow phases lasting minutes; back-to-back repeats would put all
+    # of a query's samples inside one bad phase, while interleaving
+    # taints at most one sample of each query — the median survives.
+    samples: dict[str, list[float]] = {n: [] for n in selected}
+    for _ in range(runs):
+        for name, q in selected.items():
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        samples.sort()
-        timings[name] = round(samples[(len(samples) - 1) // 2], 4)
-        # off-clock hygiene between queries: drop py4j refs from the
-        # finished plans so the JVM can collect them; keeps late
-        # queries from paying for the session's history
-        gc.collect()
+            samples[name].append(time.perf_counter() - t0)
+            # off-clock hygiene between queries: drop py4j refs from
+            # finished plans so the JVM can collect them; keeps late
+            # queries from paying for the session's history
+            gc.collect()
+    timings: dict[str, float] = {}
+    for name, ss in samples.items():
+        ss.sort()
+        timings[name] = round(ss[(len(ss) - 1) // 2], 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
