@@ -32,6 +32,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """events.ts has shipped as INT64 TIMESTAMP(NANOS) (surfaced as
+    a long under legacy.parquet.nanosAsLong) and as TIMESTAMP(US)
+    without UTC adjustment (surfaced as TIMESTAMP_NTZ). Normalize
+    both to session-TZ TIMESTAMP: the session pins UTC, so the
+    values match DuckDB's TZ-naive timestamps either way, and
+    downstream epoch math (unix_micros range frames, window()
+    buckets) sees one type regardless of fixture vintage. Works on
+    batch and streaming DataFrames alike."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet → columnar scan with predicate
     pushdown and column pruning for free (Catalyst handles both as
@@ -40,14 +60,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is nanosecond parquet, surfaced as a long (see
-        # session.SEMANTIC_CONF). Truncate to microseconds — exactly
-        # what DuckDB does when it reads TIMESTAMP_NS into TIMESTAMP.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

@@ -336,10 +336,13 @@ def ivf_topk(
     the second scale path next to hyperplane LSH. Same output schema
     as brute force: (q_id, c_id, cosine, rank).
 
-    Cells: every ``centroid_stride``-th corpus vector (by id order)
-    seeds a centroid — deterministic sampled quantization (the
+    Cells: corpus vectors whose id is ≡ 0 (mod ``centroid_stride``)
+    seed the centroids — deterministic sampled quantization (the
     standard random-init shortcut; a k-means refinement would drop in
-    here without changing the dataflow). Every corpus vector is
+    here without changing the dataflow). The seed selection runs as a
+    pushed-down filter on the corpus scan, so only the ~n/stride
+    centroid rows are ever collected to the driver — the full corpus
+    is never driver-side materialized. Every corpus vector is
     assigned to its max-cosine cell by one numpy matmul per Arrow
     batch against the broadcast centroid matrix; each query probes
     its ``nprobe`` nearest cells. Candidates = corpus of the probed
@@ -351,10 +354,21 @@ def ivf_topk(
     shuffle, then shuffle ONCE on the cell id for the candidate
     join. Recall/cost tunes with nprobe x stride: probed fraction
     ~= nprobe / #cells."""
-    cpd = corpus.select(F.col(corpus_id), F.col(vec_col)).toPandas()
-    cent = np.stack(
-        cpd.sort_values(corpus_id)[vec_col].to_numpy()[::centroid_stride]
-    ).astype(np.float64)
+    seed = (
+        corpus.select(F.col(corpus_id).alias("__sid"), F.col(vec_col).alias("__sv"))
+        .filter((F.col("__sid") % centroid_stride) == 0)
+        .toPandas()
+    )
+    if not len(seed):  # sparse/offset ids missed the stride — fall back small
+        seed = (
+            corpus.select(
+                F.col(corpus_id).alias("__sid"), F.col(vec_col).alias("__sv")
+            )
+            .orderBy("__sid")
+            .limit(max(8, nprobe))
+            .toPandas()
+        )
+    cent = np.stack(seed.sort_values("__sid")["__sv"].to_numpy()).astype(np.float64)
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
 
     if broadcast_queries:

@@ -178,19 +178,32 @@ def a6_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a7_collect_list_set",
     oracle="""
         SELECT o_custkey,
-               list_sort(list(o_orderkey)) AS order_keys,
-               list_sort(list(DISTINCT o_orderpriority)) AS priorities
+               array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+               array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
         FROM orders GROUP BY o_custkey
     """,
     tags=("agg", "A7"),
 )
 def a7_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: collect values to list/set; array_sort for deterministic
-    comparison (collection order is partition-order-dependent)."""
+    comparison (collection order is partition-order-dependent). The
+    sorted arrays are emitted as comma-joined strings because the
+    driver's canonicalizer sorts rows by every output column and raw
+    array cells are unhashable there (r1: a7 TypeError) — the string
+    form is order-stable and hashable while exercising the same
+    collect_list/collect_set aggregation."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("order_keys"),
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
     )
 
 

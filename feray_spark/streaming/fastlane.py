@@ -29,24 +29,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from feray_spark.catalog import normalize_events_ts, table_path
 from feray_spark.sources.table_store import TableStore
-
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture (nanosecond int64
-    ts converted to timestamp exactly as the batch catalog does), for
-    smoke tests and availableNow parity runs. Production sources
-    (kafka etc.) plug in via the same schema."""
+    """File-source stream over the events fixture, for smoke tests
+    and availableNow parity runs. The stream schema is taken from the
+    parquet footer (a one-time driver-side metadata read, no data
+    scan) so the source tracks fixture vintage — ts has shipped both
+    as int64-nanos and TIMESTAMP(US); both are normalized to
+    session-TZ timestamp exactly as the batch catalog does.
+    Production sources (kafka etc.) plug in via the same schema."""
     import hashlib
     import os
     import tempfile
 
-    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    src = table_path(sf_dir, "events")
     # the file stream source requires a directory; stage a symlink
     tag = hashlib.sha256(src.encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"feray_stream_src_{tag}")
@@ -54,8 +53,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).format("parquet").load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(schema).format("parquet").load(stage)
+    return normalize_events_ts(raw)
 
 
 # ----------------------------------------------------------- windows
