@@ -82,6 +82,44 @@ def run_bench(sf_dir: str, runs: int = 1, names: list[str] | None = None) -> dic
     return result
 
 
+#: printed-line budget. The round-1 driver stored only the last 2000
+#: chars of stdout and failed to parse the full ~2800-char JSON line
+#: (BENCH_r01.json: "parsed": null, tail cut mid-dict). The full
+#: result always lands in BENCH_FULL.json; the printed line keeps the
+#: slowest queries (the informative ones — sub-0.4s entries sit at
+#: Spark's fixed per-query scheduling floor) and rolls the rest up.
+LINE_BUDGET = 1850
+FULL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+
+
+def compact_line(result: dict, budget: int = LINE_BUDGET) -> str:
+    """One parseable JSON line under ``budget`` chars: headline
+    metric + as many per-query timings as fit, slowest first."""
+    timings = result["queries"]
+    base = {k: v for k, v in result.items() if k != "queries"}
+    base["full"] = os.path.basename(FULL_PATH)
+    keep: dict[str, float] = {}
+    out = base | {"queries": keep, "omitted": 0, "omitted_sum": 0.0}
+
+    def render() -> str:
+        return json.dumps(out, separators=(",", ":"))
+
+    for name in sorted(timings, key=timings.get, reverse=True):
+        keep[name] = round(timings[name], 2)
+        out["omitted"] = len(timings) - len(keep)
+        out["omitted_sum"] = round(
+            sum(v for n, v in timings.items() if n not in keep), 2
+        )
+        if len(render()) > budget:
+            del keep[name]
+            out["omitted"] = len(timings) - len(keep)
+            out["omitted_sum"] = round(
+                sum(v for n, v in timings.items() if n not in keep), 2
+            )
+            break
+    return render()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -95,7 +133,11 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--queries", nargs="*", default=None)
     args = ap.parse_args()
-    print(json.dumps(run_bench(args.sf_dir, args.runs, args.queries)))
+    result = run_bench(args.sf_dir, args.runs, args.queries)
+    with open(FULL_PATH, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(compact_line(result))
 
 
 if __name__ == "__main__":
