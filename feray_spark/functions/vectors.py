@@ -49,8 +49,10 @@ def cosine_similarity_batch(a: str | Column, b: str | Column) -> Column:
     float64 accumulation; numpy's pairwise summation can differ from
     the sequential fold by ~1 ulp, so use :func:`cosine_similarity`
     where bit-parity with a sequential-fold oracle is required.
-    Zero-norm vectors yield NaN, same as the fold under IEEE
-    division."""
+    Zero-norm vectors yield NULL, aligned with the fold (non-ANSI
+    division returns NULL, and Spark sorts NULL last under desc
+    while IEEE NaN would sort FIRST — emitting NaN here would
+    reorder top-k results relative to the fold)."""
 
     @F.pandas_udf("double")
     def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
@@ -62,7 +64,9 @@ def cosine_similarity_batch(a: str | Column, b: str | Column) -> Column:
         den = np.linalg.norm(mx, axis=1) * np.linalg.norm(my, axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
             out = num / den
-        return pd.Series(out)
+        res = pd.Series(out, dtype="Float64")  # nullable: NaN -> NULL
+        res[np.isnan(out)] = pd.NA
+        return res
 
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b

@@ -303,6 +303,10 @@ def ngram_jaccard_pairs(
             F.col("__df") <= max_df
         )
         tok = tok.join(keep.select("__s"), "__s")
+    # tok feeds three consumers (sizes + both self-join sides):
+    # checkpoint it so the regex-split/shingle scan runs once, not
+    # three times (same reason the minhash verify path checkpoints)
+    tok = tok.localCheckpoint(eager=False)
     sizes = tok.groupBy("__id").agg(F.count("*").alias("__n"))
     inter = (
         tok.alias("a")

@@ -151,6 +151,11 @@ def _broadcast_scan_topk(
             cn = np.linalg.norm(C, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (C @ b_qM.T) / np.outer(cn, b_qnorm)
+            # zero-norm vectors (either side) give NaN cosine; numpy's
+            # lexsort puts NaN LAST while Spark's desc rank puts NaN
+            # first — mask them out entirely so the partial top-k cut
+            # stays lossless and NaN never reaches the final rank
+            match &= ~np.isnan(cos)
             out_q, out_c, out_s = [], [], []
             for j in range(len(b_qids)):
                 rows = np.nonzero(match[:, j])[0]
@@ -259,6 +264,10 @@ def lsh_bucketed_topk(
         )
         .join(corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv")), corpus_id)
         .withColumn("cosine", cosine_similarity_batch("__qv", "__cv"))
+        # zero-norm pairs score NULL — drop them so the bucket-join
+        # path agrees pair-for-pair with the broadcast scan path,
+        # which masks NaN cosines out before its partial top-k
+        .filter(F.col("cosine").isNotNull())
     )
     w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (
@@ -429,6 +438,7 @@ def ivf_topk(
         cvec.join(F.broadcast(qvec), "__cell")
         .filter(F.col(query_id) != F.col(corpus_id))
         .withColumn("cosine", cosine_similarity_batch("__qv", vec_col))
+        .filter(F.col("cosine").isNotNull())  # zero-norm pairs (see above)
     )
     w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (

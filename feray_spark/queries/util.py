@@ -139,11 +139,14 @@ def exact_grouped_sums(
         .alias(n)
         for n, (_, s) in money.items()
     ]
-    finals += [F.sum(f"__c_{n}").alias(n) for n in counts]
+    # counts coalesce to 0: with keys=[] on an empty input the final
+    # agg sums ZERO partial rows, and SUM-of-nothing is NULL where
+    # SQL COUNT(*) / COUNT(x) must return 0
+    finals += [F.coalesce(F.sum(f"__c_{n}"), F.lit(0)).alias(n) for n in counts]
     finals += [F.min(f"__mn_{n}").alias(n) for n in mins]
     finals += [F.max(f"__mx_{n}").alias(n) for n in maxs]
     if count_star:
-        finals.append(F.sum("__n").alias(count_star))
+        finals.append(F.coalesce(F.sum("__n"), F.lit(0)).alias(count_star))
     if keys:
         return partial.groupBy(*keys).agg(*finals)
     return partial.agg(*finals)

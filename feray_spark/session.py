@@ -33,10 +33,12 @@ SEMANTIC_CONF: dict[str, str] = {
     # (NULL on bad cast / div-by-zero), matching the declared polars
     # engine surface of the reference rather than erroring mid-job.
     "spark.sql.ansi.enabled": "false",
-    # Fixture `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which
-    # Spark's vectorized reader rejects; read nanos as long and let
-    # the catalog convert to microsecond timestamps (matching the
-    # DuckDB oracle's ns -> us truncation).
+    # Fixture `events.ts` has shipped as INT64 TIMESTAMP(NANOS) —
+    # which Spark's vectorized reader rejects — and (newer vintages)
+    # as TIMESTAMP(US). Read nanos as long so the ns vintage loads;
+    # catalog.normalize_events_ts converts either surface form to
+    # session-TZ timestamp (matching the DuckDB oracle's ns -> us
+    # truncation). Harmless when the fixture is already us.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # NOTE: deliberately NOT setting
     # coalescePartitions.parallelismFirst=false. It shaves ~15% off
