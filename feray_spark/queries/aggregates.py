@@ -364,3 +364,31 @@ def a11_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         counts={"n_returned": F.when(is_r, 1)},
     ).select("l_linestatus", "returned_revenue", "n_returned", "all_revenue")
+
+
+@register(
+    "a2_first_last_by",
+    oracle="""
+        SELECT o_custkey,
+               arg_min(o_orderpriority, o_orderkey) AS first_priority,
+               arg_max(o_orderpriority, o_orderkey) AS last_priority,
+               min(o_orderdate) AS first_date,
+               max(o_orderdate) AS last_date
+        FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg", "A2"),
+)
+def a2_first_last_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 first/last: the scale-correct deterministic form — polars
+    first()/last() (and Spark F.first/F.last) are partition-order
+    dependent, so the engine surfaces them as min_by/max_by over an
+    explicit unique ordering key instead. Single hash aggregate with
+    map-side partials; min_by/max_by partials carry one (value, key)
+    pair per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+        F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )

@@ -1,11 +1,16 @@
-"""Feature-store query surface (SURVEY §2.11) — the oracle-gated
-subset: FS1 record versioning (hash parity with an independent
-engine) and FS8 training-set assembly (spine + point-in-time
-features). FS2/FS3/FS5-FS7 are materialization-time behaviors
-covered by tests/test_features.py.
+"""Feature-store query surface (SURVEY §2.11): FS1 record versioning
+(hash parity with an independent engine), FS3 memoization (rows-only
+— cache-hit behavior isn't SQL-expressible), FS4 containers, FS6
+flags, FS7 backfill, FS8 training-set assembly (spine +
+point-in-time features). Deeper materialization-time behavior is
+additionally covered by tests/test_features.py.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -15,6 +20,19 @@ from feray_spark.queries.util import fan_out
 from feray_spark.functions.hashing import row_version
 from feray_spark.operators.asof import point_in_time_join
 from feray_spark.queries import register
+
+
+def _scratch_store(prefix: str, sf_dir: str):
+    """Fresh per-(query, sf) TableStore under tmp — wiped first so
+    re-runs are deterministic."""
+    from feray_spark.sources.table_store import TableStore
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"feray_spark_{prefix}_{sf_dir.strip('/').replace('/', '_')}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return TableStore(root), root
 
 
 @register(
@@ -166,4 +184,198 @@ def fs5_asset_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "check_name",
         (F.col("n_bad") == 0).alias("passed"),
         F.col("n_bad").cast("double").alias("violations"),
+    )
+
+
+@register(
+    "fs3_memoization",
+    oracle=None,  # cache-hit behavior is not SQL-expressible
+    tags=("feature", "FS2", "FS3"),
+)
+def fs3_memoization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS2+FS3: memoization gate — materialize a view, materialize it
+    again (must be a fingerprint hit served from the store, no job),
+    then force-recompute. Returns one row per step with the observed
+    (version, recomputed) pair; rows-only gate (the driver's weaker
+    check) since a cache HIT is a property of execution, not of any
+    SQL-expressible result. The fingerprint covers fn source ‖ exact
+    upstream versions ‖ semantic config (SURVEY §7.6 item 3 — the
+    stale-hit hazard); test_features.py additionally proves an
+    upstream mutation busts exactly the dependent views."""
+    from feray_spark.catalog import table_path
+    from feray_spark.features.store import FeatureStore, FeatureView
+
+    _, root = _scratch_store("fs3_store", sf_dir)
+    fs = FeatureStore(
+        spark, root, sources={"orders": table_path(sf_dir, "orders")}
+    )
+
+    def seg_counts(spark, inputs):
+        return (
+            inputs["orders"]
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+
+    fs.register(FeatureView(name="prio_counts", fn=seg_counts, inputs=["orders"]))
+    steps = []
+    for step, force in (("initial", False), ("rerun", False), ("forced", True)):
+        _, recomputed = fs.materialize("prio_counts", force=force)
+        steps.append((step, fs.store.latest_version("prio_counts"), recomputed))
+    return spark.createDataFrame(
+        steps, "step string, version int, recomputed boolean"
+    )
+
+
+@register(
+    "fs4_feature_containers",
+    oracle="""
+        SELECT c_custkey,
+               s.name AS contact_name,
+               s.segment AS segment,
+               CAST(s.bal * 2 AS DOUBLE) AS doubled_bal
+        FROM (SELECT c_custkey,
+                     struct_pack(name := c_name, segment := c_mktsegment,
+                                 bal := c_acctbal) AS s
+              FROM customer) t
+    """,
+    tags=("feature", "FS4"),
+)
+def fs4_feature_containers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS4: feature containers — sub-features under a parent feature
+    (reference README.md:22) encoded as a StructType column: pack,
+    add a derived sub-feature with withField, then unpack fields.
+    Struct ops are pure projections (S=0, stays in codegen)."""
+    c = load_table(spark, sf_dir, "customer")
+    packed = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("bal"),
+        ).alias("container"),
+    )
+    enriched = packed.withColumn(
+        "container",
+        F.col("container").withField(
+            "doubled_bal", F.col("container.bal") * F.lit(2.0)
+        ),
+    )
+    return enriched.select(
+        "c_custkey",
+        F.col("container.name").alias("contact_name"),
+        F.col("container.segment").alias("segment"),
+        F.col("container.doubled_bal").alias("doubled_bal"),
+    )
+
+
+@register(
+    "fs6_feature_flags",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 100 = 0 THEN true
+                    ELSE false END AS verified,
+               CASE WHEN c_custkey % 100 = 0 THEN 'reviewer-'
+                    || CAST(c_custkey % 7 AS VARCHAR) END AS reviewer
+        FROM customer
+    """,
+    tags=("feature", "FS6"),
+)
+def fs6_feature_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS6: human-in-the-loop flags (reference roadmap
+    README.md:51-52) — a reviewer-label frame MERGEs onto the stored
+    feature table keyed on the entity (FeatureStore.annotate);
+    unlabeled rows carry NULL flags. The oracle recomputes the same
+    deterministic labeling rule, proving the annotate write-path
+    merged onto exactly the labeled keys."""
+    from feray_spark.features.store import FeatureStore, FeatureView
+    from feray_spark.catalog import table_path
+
+    _, root = _scratch_store("fs6_store", sf_dir)
+    fs = FeatureStore(
+        spark, root, sources={"customer": table_path(sf_dir, "customer")}
+    )
+
+    def base(spark, inputs):
+        return inputs["customer"].select("c_custkey")
+
+    fs.register(FeatureView(name="cust_flags", fn=base, inputs=["customer"]))
+    fs.materialize("cust_flags")
+    labels = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 100 == 0)
+        .select(
+            "c_custkey",
+            F.lit(True).alias("verified"),
+            F.concat(
+                F.lit("reviewer-"), (F.col("c_custkey") % 7).cast("string")
+            ).alias("reviewer"),
+        )
+    )
+    fs.annotate("cust_flags", labels, keys=["c_custkey"])
+    return fs.store.read(spark, "cust_flags").select(
+        "c_custkey",
+        # booleans stay non-null (unlabeled -> false): a nullable
+        # bool column round-trips as object-dtype NaN on the oracle
+        # side and None on the Spark side — canonicalizers disagree
+        F.coalesce("verified", F.lit(False)).alias("verified"),
+        "reviewer",
+    )
+
+
+@register(
+    "fs7_backfill",
+    oracle="""
+        SELECT CASE WHEN o_orderdate >= TIMESTAMP '1995-03-01'
+                     AND o_orderdate <  TIMESTAMP '1995-06-01'
+                    THEN 'BF-' || o_orderpriority
+                    ELSE o_orderpriority END AS priority,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    """,
+    tags=("feature", "FS7"),
+)
+def fs7_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS7: backfill / partitioned recompute — materialize a view,
+    then recompute ONLY a three-month slice under changed feature
+    code (replace_where semantics: rows matching the predicate are
+    replaced, everything else carries over byte-identical). The
+    oracle recomputes the expected post-backfill state. Scale shape:
+    on a real Delta deployment this rewrites only the matched
+    partitions (store.replace_where documents the jar-less
+    limitation)."""
+    from feray_spark.features.store import FeatureStore, FeatureView
+    from feray_spark.catalog import table_path
+
+    _, root = _scratch_store("fs7_store", sf_dir)
+    fs = FeatureStore(
+        spark, root, sources={"orders": table_path(sf_dir, "orders")}
+    )
+
+    def v1(spark, inputs):
+        return inputs["orders"].select(
+            "o_orderkey", "o_orderdate", F.col("o_orderpriority").alias("priority")
+        )
+
+    fs.register(FeatureView(name="order_prio", fn=v1, inputs=["orders"]))
+    fs.materialize("order_prio")
+
+    def v2(spark, inputs):
+        return inputs["orders"].select(
+            "o_orderkey",
+            "o_orderdate",
+            F.concat(F.lit("BF-"), F.col("o_orderpriority")).alias("priority"),
+        )
+
+    fs.views["order_prio"] = FeatureView(
+        name="order_prio", fn=v2, inputs=["orders"]
+    )
+    fs.backfill(
+        "order_prio",
+        "o_orderdate >= '1995-03-01' AND o_orderdate < '1995-06-01'",
+    )
+    return (
+        fs.store.read(spark, "order_prio")
+        .groupBy("priority")
+        .agg(F.count("*").alias("n"))
     )

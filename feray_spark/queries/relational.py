@@ -31,6 +31,117 @@ def s1_parquet_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s2_table_store_time_travel",
+    oracle="""
+        SELECT 'v0' AS version_tag, count(*) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT 'latest', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    tags=("source", "S2", "S3"),
+)
+def s2_table_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S3: versioned table store round-trip with time travel —
+    v0 = overwrite (urgent orders), v1 = append (high orders); read
+    version 0 and latest back and aggregate each. The oracle
+    recomputes both snapshots from the source table, so a hash match
+    proves the log resolved each version to exactly its segment set
+    (reference stack claim README.md:15; SURVEY §0 caveat — the
+    capability contract is versioned reads, realized by
+    sources/table_store.py's segment-log over parquet).
+
+    Scale shape: reads stay ONE multi-path vectorized parquet scan;
+    the aggregate is the two-level exact-decimal sum used everywhere
+    (S=1 per snapshot)."""
+    import os
+    import shutil
+    import tempfile
+
+    from feray_spark.sources.table_store import TableStore
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"feray_spark_s2_store_{sf_dir.strip('/').replace('/', '_')}",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # idempotent re-runs
+    store = TableStore(root)
+    orders = load_table(spark, sf_dir, "orders")
+    store.write(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        "orders_slice",
+        mode="overwrite",
+    )
+    store.write(
+        orders.filter(F.col("o_orderpriority") == "2-HIGH"),
+        "orders_slice",
+        mode="append",
+    )
+
+    def snap(tag: str, version: int | None) -> DataFrame:
+        df = store.read(spark, "orders_slice", version=version)
+        return df.agg(
+            F.lit(tag).alias("version_tag"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        ).select("version_tag", "n_rows", "total_price")
+
+    return snap("v0", 0).unionByName(snap("latest", None))
+
+
+@register(
+    "s9_metadata_sink",
+    oracle="""
+        SELECT 'cust_segments' AS table_name,
+               CAST(0 AS BIGINT) AS version,
+               count(DISTINCT c_mktsegment) AS committed_rows,
+               count(DISTINCT c_mktsegment) AS read_back_rows
+        FROM customer
+    """,
+    tags=("source", "S9"),
+)
+def s9_metadata_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: feature-view sink with commit metadata — materialize a
+    small feature table, record row_count in the commit's
+    user_metadata (the contract the reference reports via Dagster
+    Pipes: ``ray_external.py:10-16`` metadata + data_version), then
+    surface the METADATA alongside a re-count of the read-back table.
+    A hash match proves the commit log carried the metadata and that
+    it agrees with the stored data."""
+    import os
+    import shutil
+    import tempfile
+
+    from feray_spark.sources.table_store import TableStore
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"feray_spark_s9_store_{sf_dir.strip('/').replace('/', '_')}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    store = TableStore(root)
+    feature = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    commit = store.write(
+        feature, "cust_segments", mode="overwrite", user_metadata={"source": "s9"}
+    )
+    read_back = store.read(spark, "cust_segments").count()
+    return spark.createDataFrame(
+        [("cust_segments", commit.version, commit.row_count, read_back)],
+        "table_name string, version bigint, committed_rows bigint, "
+        "read_back_rows bigint",
+    )
+
+
+@register(
     "s6_csv_roundtrip",
     oracle="SELECT r_regionkey, r_name FROM region",
     tags=("source", "S6"),
