@@ -106,6 +106,88 @@ def asof_join(
     )
 
 
+def asof_join_multi(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    features: dict[str, tuple[F.Column | None, Sequence[str]]],
+    *,
+    allow_exact_matches: bool = False,
+) -> DataFrame:
+    """N as-of features from ONE right-side event stream in ONE
+    union + window pass.
+
+    ``features`` maps a suffix to ``(condition, payload_cols)``: each
+    feature is "the latest right row satisfying ``condition`` (None =
+    all rows) strictly before (or at, with ``allow_exact_matches``)
+    the left timestamp", keyed on ``on``. Equivalent to chaining
+    :func:`asof_join` once per feature against filtered copies of
+    ``right`` — but the chained form pays one key-shuffle + sort PER
+    feature and re-scans the event table per feature, while this
+    shape pays exactly ONE shuffle and ONE sort total: each feature
+    is just another ``last(payload_f, ignorenulls=True)`` over the
+    same window, and a right row outside a feature's condition
+    carries a NULL payload for it (invisible to that feature's
+    ``last``). At 100 TB this is the difference between O(features)
+    and O(1) passes over the event log — the standard feature-store
+    "N aggregates off one event stream" pattern."""
+    on = list(on)
+    left_side, right_side = (0, 1) if not allow_exact_matches else (1, 0)
+    pay_names = {sfx: f"__asof_pay{sfx}" for sfx in features}
+    lf = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias(_TS),
+        F.lit(left_side).alias(_SIDE),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__asof_lpay"),
+    )
+    rf = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias(_TS),
+        F.lit(right_side).alias(_SIDE),
+        *[
+            (
+                F.when(cond, F.struct(*[F.col(c) for c in cols]))
+                if cond is not None
+                else F.struct(*[F.col(c) for c in cols])
+            ).alias(pay_names[sfx])
+            for sfx, (cond, cols) in features.items()
+        ],
+    )
+    lpay_type = lf.schema["__asof_lpay"].dataType
+    for sfx in features:
+        lf = lf.withColumn(
+            pay_names[sfx], F.lit(None).cast(rf.schema[pay_names[sfx]].dataType)
+        )
+    rf = rf.withColumn("__asof_lpay", F.lit(None).cast(lpay_type))
+
+    unioned = lf.unionByName(rf)
+    w = (
+        W.partitionBy(*on)
+        .orderBy(
+            F.col(_TS).asc(),
+            F.col(_SIDE).asc(),
+            *[F.col(pay_names[s]).asc() for s in features],
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = unioned
+    for sfx in features:
+        matched = matched.withColumn(
+            pay_names[sfx], F.last(pay_names[sfx], ignorenulls=True).over(w)
+        )
+    out = matched.filter(F.col("__asof_lpay").isNotNull())
+    return out.select(
+        *[F.col(f"__asof_lpay.{c}").alias(c) for c in left.columns],
+        *[
+            F.col(f"{pay_names[sfx]}.{c}").alias(c + sfx)
+            for sfx, (_, cols) in features.items()
+            for c in cols
+        ],
+    )
+
+
 def point_in_time_join(
     spine: DataFrame,
     feature_tables: dict[str, tuple[DataFrame, Sequence[str], str]],

@@ -105,23 +105,29 @@ def fs8_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FS8: training-set assembly — a spine of (entity, ts) rows with
     two point-in-time features (latest prior event value; latest prior
     purchase value+time), each strictly before the spine timestamp so
-    no label leakage. Composition of J8 per feature table (SURVEY
-    §2.3 J9), one key-shuffle per feature table."""
+    no label leakage. Both features come off the SAME event stream
+    keyed the same way, so they share ONE union + window pass
+    (operators.asof.asof_join_multi): one key shuffle and one sort
+    total instead of one per feature — the generic per-table chain
+    (point_in_time_join) remains the J9 surface for features from
+    distinct tables."""
+    from feray_spark.operators.asof import asof_join_multi
+
     e = load_table(spark, sf_dir, "events")
     spine = e.filter(F.col("event_id") % 7 == 0).select("event_id", "user_id", "ts")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts").alias("p_ts"),
-        "value",
-        F.col("ts").alias("purchase_ts"),  # ts also carried as payload
+    ev = e.select(
+        "user_id", "ts", "event_type", "value", F.col("ts").alias("purchase_ts")
     )
-    out = point_in_time_join(
+    out = asof_join_multi(
         spine,
-        {
-            "_a": (e.select("user_id", "ts", "value"), ["user_id"], "ts"),
-            "_p": (purchases, ["user_id"], "p_ts"),
+        ev,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        features={
+            "_a": (None, ["value"]),
+            "_p": (F.col("event_type") == "purchase", ["value", "purchase_ts"]),
         },
-        spine_ts="ts",
         allow_exact_matches=False,
     )
     return out.select(

@@ -109,10 +109,16 @@ def f_datetime_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "datetime"),
 )
 def f_datetime_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date difference: ship lag in days per line item."""
+    """Date difference: ship lag in days per line item. The orders
+    side is pruned to (key, date) and broadcast — the static planner
+    sizes the table by FILE size (all columns) and would pick a
+    sort-merge join that shuffles the fact table; after pruning, the
+    build side is ~16 bytes/row, broadcastable far beyond the
+    fixture scale (1e8 orders ≈ 1.6 GB is the practical ceiling;
+    past that drop the hint and let AQE decide)."""
     li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).select(
         "l_orderkey",
         "l_linenumber",
         F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))

@@ -74,6 +74,16 @@ def get_spark(
         driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = builder.config("spark.driver.memory", driver_mem)
     builder = builder.config("spark.ui.enabled", "true" if ui else "false")
+    # whole-stage codegen emits one JIT-compiled class per plan shape;
+    # a wide query catalog (the bench sweeps ~100 distinct plans)
+    # overflows the JVM's default 240 MB code cache, after which the
+    # JIT flushes hot methods and queries rerun semi-interpreted —
+    # measured 2x+ slowdowns on codegen-heavy operators. Size it so
+    # the whole catalog stays compiled.
+    builder = builder.config(
+        "spark.driver.extraJavaOptions",
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+    )
     # one BLAS thread per python worker: N workers x M BLAS threads
     # oversubscribes the executor's cores on numpy-matmul operators
     # (similarity scans); parallelism comes from partitions, not BLAS
