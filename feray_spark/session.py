@@ -84,6 +84,13 @@ def get_spark(
         "spark.driver.extraJavaOptions",
         "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
     )
+    # ...and the compiled-class cache that fronts the JIT: it holds
+    # 100 generated classes by default, while the query catalog
+    # compiles several codegen units per query — a sweep over the
+    # catalog thrashes the cache and recompiles (javac + JIT) every
+    # plan every time. Static conf: must be set before the first
+    # session.
+    builder = builder.config("spark.sql.codegen.cache.maxEntries", "5000")
     # one BLAS thread per python worker: N workers x M BLAS threads
     # oversubscribes the executor's cores on numpy-matmul operators
     # (similarity scans); parallelism comes from partitions, not BLAS
