@@ -54,6 +54,7 @@ class FeatureView:
     entities: Sequence[str] = ()  # entity/join key columns
     version_cols: Sequence[str] | None = None  # FS1 hash columns
     checks: dict[str, Callable[[DataFrame], Column]] = field(default_factory=dict)
+    partition_by: Sequence[str] = ()  # hive partitioning of the stored table
 
 
 class CheckFailure(RuntimeError):
@@ -183,7 +184,13 @@ class FeatureStore:
             "code_version": code_version(view.fn),
             "checks": check_results,
         }
-        self.store.write(result, name, mode="overwrite", user_metadata=meta)
+        self.store.write(
+            result,
+            name,
+            mode="overwrite",
+            user_metadata=meta,
+            partition_by=list(view.partition_by),  # declaration is truth
+        )
         if raise_on_check_failure and not all(check_results.values()):
             failed = [k for k, ok in check_results.items() if not ok]
             raise CheckFailure(f"{name}: checks failed: {failed}")

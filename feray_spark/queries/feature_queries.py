@@ -332,8 +332,7 @@ def fs6_feature_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fs7_backfill",
     oracle="""
-        SELECT CASE WHEN o_orderdate >= TIMESTAMP '1995-03-01'
-                     AND o_orderdate <  TIMESTAMP '1995-06-01'
+        SELECT CASE WHEN year(o_orderdate) = 1995
                     THEN 'BF-' || o_orderpriority
                     ELSE o_orderpriority END AS priority,
                count(*) AS n
@@ -342,14 +341,15 @@ def fs6_feature_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("feature", "FS7"),
 )
 def fs7_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FS7: backfill / partitioned recompute — materialize a view,
-    then recompute ONLY a three-month slice under changed feature
-    code (replace_where semantics: rows matching the predicate are
-    replaced, everything else carries over byte-identical). The
-    oracle recomputes the expected post-backfill state. Scale shape:
-    on a real Delta deployment this rewrites only the matched
-    partitions (store.replace_where documents the jar-less
-    limitation)."""
+    """FS7: backfill / partitioned recompute — materialize a view
+    hive-partitioned by order year, then recompute ONLY the 1995
+    slice under changed feature code. Because the predicate touches
+    only the partition column, store.replace_where is metadata-only
+    for every other year: unmatched partition directories carry into
+    the new commit BY REFERENCE (no read, no rewrite) and only the
+    backfilled year is written — the 100 TB shape (rewrite one
+    partition, carry the rest). The oracle recomputes the expected
+    post-backfill state."""
     from feray_spark.features.store import FeatureStore, FeatureView
     from feray_spark.catalog import table_path
 
@@ -360,26 +360,31 @@ def fs7_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def v1(spark, inputs):
         return inputs["orders"].select(
-            "o_orderkey", "o_orderdate", F.col("o_orderpriority").alias("priority")
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.col("o_orderpriority").alias("priority"),
         )
 
-    fs.register(FeatureView(name="order_prio", fn=v1, inputs=["orders"]))
+    fs.register(
+        FeatureView(
+            name="order_prio", fn=v1, inputs=["orders"],
+            partition_by=["order_year"],
+        )
+    )
     fs.materialize("order_prio")
 
     def v2(spark, inputs):
         return inputs["orders"].select(
             "o_orderkey",
-            "o_orderdate",
+            F.year("o_orderdate").alias("order_year"),
             F.concat(F.lit("BF-"), F.col("o_orderpriority")).alias("priority"),
         )
 
     fs.views["order_prio"] = FeatureView(
-        name="order_prio", fn=v2, inputs=["orders"]
+        name="order_prio", fn=v2, inputs=["orders"],
+        partition_by=["order_year"],
     )
-    fs.backfill(
-        "order_prio",
-        "o_orderdate >= '1995-03-01' AND o_orderdate < '1995-06-01'",
-    )
+    fs.backfill("order_prio", "order_year = 1995")
     return (
         fs.store.read(spark, "order_prio")
         .groupBy("priority")

@@ -38,7 +38,7 @@ import os
 import time
 import uuid
 from collections.abc import Sequence
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +54,7 @@ class Commit:
     row_count: int
     timestamp: float
     user_metadata: dict[str, Any]
+    partition_by: list[str] = field(default_factory=list)
 
 
 class TableStore:
@@ -104,48 +105,101 @@ class TableStore:
         table: str,
         mode: str = "append",
         user_metadata: dict[str, Any] | None = None,
+        partition_by: Sequence[str] | None = None,
     ) -> Commit:
         """Append or overwrite, creating version latest+1. The row
         count is collected from the write via ``df.count()`` on the
-        written files (cheap: parquet metadata only)."""
+        written files (cheap: parquet metadata only).
+
+        ``partition_by`` — hive-style partition columns for the new
+        segment (the Delta ``partitionBy`` analog): enables partition
+        pruning on read and partition-scoped ``replace_where``.
+        Appends must keep the table's existing partitioning."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         prev = self.commit_info(table)
+        if partition_by is None and prev is not None:
+            # unspecified -> keep the table's partitioning (pass []
+            # explicitly to unpartition on overwrite)
+            partition_by = prev.partition_by
+        partition_by = list(partition_by or [])
+        if prev is not None and mode == "append" and partition_by != prev.partition_by:
+            raise ValueError(
+                f"append partitioning {partition_by} != table's {prev.partition_by}"
+            )
         version = 0 if prev is None else prev.version + 1
         seg = os.path.join(self.root, table, f"seg-{version:08d}-{uuid.uuid4().hex[:8]}")
-        df.write.mode("errorifexists").parquet(seg)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(seg)
         spark = df.sparkSession
         n_new = spark.read.parquet(seg).count()
         segments = [seg] if mode == "overwrite" or prev is None else [*prev.segments, seg]
         row_count = n_new if mode == "overwrite" or prev is None else prev.row_count + n_new
-        commit = Commit(
-            version=version,
-            mode=mode,
-            segments=segments,
-            schema=df.schema.json(),
-            row_count=row_count,
-            timestamp=time.time(),
-            user_metadata=user_metadata or {},
+        return self._commit(
+            table,
+            Commit(
+                version=version,
+                mode=mode,
+                segments=segments,
+                schema=df.schema.json(),
+                row_count=row_count,
+                timestamp=time.time(),
+                user_metadata=user_metadata or {},
+                partition_by=partition_by,
+            ),
         )
+
+    def _commit(self, table: str, commit: Commit) -> Commit:
         log_dir = self._log_dir(table)
         os.makedirs(log_dir, exist_ok=True)
         tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(commit.__dict__, f)
-        os.rename(tmp, os.path.join(log_dir, f"{version:08d}.json"))
+        os.rename(tmp, os.path.join(log_dir, f"{commit.version:08d}.json"))
         return commit
 
     # ----------------------------------------------------------- read
 
+    @staticmethod
+    def _seg_base(entry: str | dict) -> tuple[str, str]:
+        """A segment entry is either a plain path (base = itself) or
+        ``{"path": subdir, "base": segment_root}`` — the latter is how
+        partition-scoped replace_where carries over individual
+        partition directories while keeping their partition-column
+        values derivable from the path."""
+        if isinstance(entry, dict):
+            return entry["path"], entry["base"]
+        return entry, entry
+
     def read(
         self, spark: SparkSession, table: str, version: int | None = None
     ) -> DataFrame:
-        """Read a table at a version (time travel) or latest. One
-        multi-path parquet scan — pushdown/pruning intact."""
+        """Read a table at a version (time travel) or latest.
+        Unpartitioned tables read as ONE multi-path parquet scan;
+        partitioned tables read per-segment (each with its own
+        ``basePath`` so partition columns materialize) and union —
+        pushdown, column pruning and partition pruning all intact
+        (a filter on a partition column prunes directories before
+        any file IO)."""
         commit = self.commit_info(table, version)
         if commit is None:
             raise KeyError(f"unknown table {table!r}")
-        return spark.read.parquet(*commit.segments)
+        pairs = [self._seg_base(s) for s in commit.segments]
+        if not commit.partition_by:
+            return spark.read.parquet(*[p for p, _ in pairs])
+        by_base: dict[str, list[str]] = {}
+        for path, base in pairs:
+            by_base.setdefault(base, []).append(path)
+        parts = [
+            spark.read.option("basePath", base).parquet(*paths)
+            for base, paths in by_base.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # ---------------------------------------------------------- merge
 
@@ -168,10 +222,85 @@ class TableStore:
         of the jar-less store.
         """
         keys = list(keys)
+        prev = self.commit_info(table)
         target = self.read(spark, table)
         kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(source)
-        return self.write(merged, table, mode="overwrite", user_metadata=user_metadata)
+        return self.write(
+            merged,
+            table,
+            mode="overwrite",
+            user_metadata=user_metadata,
+            partition_by=prev.partition_by if prev else None,
+        )
+
+    # ---------------------------------------------------- replaceWhere
+
+    def _live_partition_dirs(self, commit: Commit) -> list[tuple[str, str, dict[str, str]]]:
+        """(dir, segment_base, {col: raw_value}) for every leaf
+        partition directory of the commit's segments. Driver-side
+        directory listing only — no data IO."""
+        from urllib.parse import unquote
+
+        out = []
+        for entry in commit.segments:
+            path, base = self._seg_base(entry)
+            stack = [(path, {})]
+            while stack:
+                d, vals = stack.pop()
+                if len(vals) == len(commit.partition_by):
+                    out.append((d, base, vals))
+                    continue
+                col = commit.partition_by[len(vals)]
+                for name in sorted(os.listdir(d)):
+                    sub = os.path.join(d, name)
+                    if os.path.isdir(sub) and name.startswith(f"{col}="):
+                        raw = unquote(name[len(col) + 1 :])
+                        stack.append((sub, {**vals, col: raw}))
+        return out
+
+    def _matched_partitions(
+        self, spark: SparkSession, commit: Commit, predicate: str
+    ) -> tuple[list[tuple[str, str]], list[tuple[str, str]]] | None:
+        """Split live partition dirs into (matched, carried) under
+        ``predicate``, or None when the predicate references
+        non-partition columns (caller falls back to a full rewrite).
+        The predicate is evaluated by Spark itself on a tiny local
+        DataFrame of distinct partition values — exactly the engine's
+        own comparison/cast semantics, never a reimplementation."""
+        from pyspark.sql import types as T
+
+        dirs = self._live_partition_dirs(commit)
+        if not dirs:
+            return [], []
+        schema = T.StructType.fromJson(json.loads(commit.schema))
+        fields = {f.name: f.dataType for f in schema.fields}
+        rows = [vals for _, _, vals in dirs]
+        pdf = spark.createDataFrame(
+            [tuple(r[c] for c in commit.partition_by) for r in rows],
+            T.StructType(
+                [T.StructField(c, T.StringType()) for c in commit.partition_by]
+            ),
+        )
+        for c in commit.partition_by:
+            pdf = pdf.withColumn(
+                c,
+                F.when(F.col(c) == "__HIVE_DEFAULT_PARTITION__", None)
+                .otherwise(F.col(c))
+                .cast(fields[c]),
+            )
+        try:
+            flags = [
+                bool(r["__m"])
+                for r in pdf.select(
+                    F.expr(f"({predicate})").alias("__m")
+                ).collect()
+            ]
+        except Exception:
+            return None  # predicate needs non-partition columns
+        matched = [(d, b) for (d, b, _), m in zip(dirs, flags) if m]
+        carried = [(d, b) for (d, b, _), m in zip(dirs, flags) if not m]
+        return matched, carried
 
     def replace_where(
         self,
@@ -184,13 +313,69 @@ class TableStore:
         """Partition-scoped overwrite (Delta ``replaceWhere``) — the
         FS7 backfill primitive: rows matching ``predicate`` are
         replaced by ``replacement`` (which must itself satisfy the
-        predicate); everything else is carried over unchanged."""
+        predicate); everything else is carried over unchanged.
+
+        When the table is hive-partitioned and the predicate touches
+        only partition columns, this is METADATA-ONLY for the
+        untouched data: unmatched partition directories are carried
+        into the new commit by reference (no read, no rewrite), and
+        only the replacement rows are written — the 100 TB backfill
+        shape (rewrite one day, carry a decade). Otherwise it falls
+        back to read-filter-rewrite, the documented limitation of the
+        jar-less store."""
         bad = replacement.filter(f"NOT ({predicate})").count()
         if bad:
             raise ValueError(
                 f"replacement violates replaceWhere predicate for {bad} rows"
             )
+        prev = self.commit_info(table)
+        if prev is not None and prev.partition_by:
+            split = self._matched_partitions(spark, prev, predicate)
+            if split is not None:
+                _, carried = split
+                version = prev.version + 1
+                seg = os.path.join(
+                    self.root, table, f"seg-{version:08d}-{uuid.uuid4().hex[:8]}"
+                )
+                (
+                    replacement.write.mode("errorifexists")
+                    .partitionBy(*prev.partition_by)
+                    .parquet(seg)
+                )
+                n_new = spark.read.parquet(seg).count()
+                n_carried = 0
+                if carried:  # parquet footer counts only — no data IO
+                    by_base: dict[str, list[str]] = {}
+                    for d, b in carried:
+                        by_base.setdefault(b, []).append(d)
+                    for b, ds in by_base.items():
+                        n_carried += (
+                            spark.read.option("basePath", b).parquet(*ds).count()
+                        )
+                segments: list[Any] = [
+                    {"path": d, "base": b} for d, b in carried
+                ] + [seg]
+                commit = Commit(
+                    version=version,
+                    mode="replace_where",
+                    segments=segments,
+                    schema=prev.schema,
+                    row_count=n_new + n_carried,
+                    timestamp=time.time(),
+                    user_metadata={
+                        **(user_metadata or {}),
+                        "replace_where": predicate,
+                    },
+                    partition_by=prev.partition_by,
+                )
+                return self._commit(table, commit)
         target = self.read(spark, table)
         kept = target.filter(f"NOT ({predicate})")
         merged = kept.unionByName(replacement)
-        return self.write(merged, table, mode="overwrite", user_metadata=user_metadata)
+        return self.write(
+            merged,
+            table,
+            mode="overwrite",
+            user_metadata=user_metadata,
+            partition_by=prev.partition_by if prev else None,
+        )

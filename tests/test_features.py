@@ -195,3 +195,84 @@ def test_backfill_replaces_only_slice(spark, tmp_root):
     after = fs.store.read(spark, "by_status").count()
     assert before == after  # same data recomputed in place
     assert fs.store.commit_info("by_status").user_metadata["backfill"]
+
+
+def test_partitioned_store_prunes_and_carries_by_reference(spark, tmp_root):
+    """Partitioned writes: reads materialize the partition column and
+    prune on it; a partition-scoped replace_where carries unmatched
+    partition directories by reference (zero rewrite) and replaces
+    only the matched one."""
+    import glob
+    import os
+
+    ts = TableStore(tmp_root)
+    base = spark.createDataFrame(
+        [(1, 1994, "a"), (2, 1995, "b"), (3, 1995, "c"), (4, 1996, "d")],
+        "id int, yr int, v string",
+    )
+    ts.write(base, "t", mode="overwrite", partition_by=["yr"])
+    # partition column round-trips through the hive directory layout
+    got = {(r.id, r.yr) for r in ts.read(spark, "t").collect()}
+    assert got == {(1, 1994), (2, 1995), (3, 1995), (4, 1996)}
+    # partition pruning reaches the scan: the filter lands in
+    # PartitionFilters (directory-level pruning, before any file IO)
+    plan = (
+        ts.read(spark, "t")
+        .filter("yr = 1995")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "yr" in plan.split("PartitionFilters")[1][:80]
+
+    seg0_files = set(glob.glob(f"{tmp_root}/t/seg-00000000-*/**/*.parquet", recursive=True))
+    repl = spark.createDataFrame([(9, 1995, "B")], "id int, yr int, v string")
+    ts.replace_where(spark, "t", repl, "yr = 1995")
+    commit = ts.commit_info("t")
+    assert commit.mode == "replace_where"
+    assert commit.row_count == 3  # 1 new + 2 carried
+    # carried entries point INTO the old segment (by reference)
+    carried = [s for s in commit.segments if isinstance(s, dict)]
+    assert len(carried) == 2 and all("seg-00000000-" in c["path"] for c in carried)
+    # old files untouched on disk
+    assert seg0_files == set(
+        glob.glob(f"{tmp_root}/t/seg-00000000-*/**/*.parquet", recursive=True)
+    )
+    got = {(r.id, r.yr, r.v) for r in ts.read(spark, "t").collect()}
+    assert got == {(1, 1994, "a"), (9, 1995, "B"), (4, 1996, "d")}
+    # time travel still sees the pre-backfill table
+    assert ts.read(spark, "t", version=0).count() == 4
+    # non-partition predicate falls back to full rewrite, same result
+    repl2 = spark.createDataFrame([(7, 1994, "a")], "id int, yr int, v string")
+    ts.replace_where(spark, "t", repl2, "v = 'a'")
+    got = {(r.id, r.v) for r in ts.read(spark, "t").collect()}
+    assert got == {(7, "a"), (9, "B"), (4, "d")}
+
+
+def test_partitioned_featureview_backfill(spark, tmp_root):
+    """FS7 through the FeatureStore: a partitioned view backfills one
+    partition; the other partitions' files are not rewritten."""
+    import glob
+
+    src = f"{tmp_root}/src"
+    spark.createDataFrame(
+        [(1, 1994, 1.0), (2, 1995, 2.0), (3, 1996, 3.0)], "id int, yr int, v double"
+    ).write.parquet(src)
+    fs = FeatureStore(spark, f"{tmp_root}/store", sources={"src": src})
+
+    def v1(spark_, inputs):
+        return inputs["src"].select("id", "yr", (F.col("v") * 10).alias("f"))
+
+    fs.register(FeatureView(name="feat", fn=v1, inputs=["src"], partition_by=["yr"]))
+    fs.materialize("feat")
+    before = set(glob.glob(f"{tmp_root}/store/feat/seg-00000000-*/yr=1994/*.parquet"))
+
+    def v2(spark_, inputs):
+        return inputs["src"].select("id", "yr", (F.col("v") * 100).alias("f"))
+
+    fs.views["feat"] = FeatureView(name="feat", fn=v2, inputs=["src"], partition_by=["yr"])
+    fs.backfill("feat", "yr = 1995")
+    after = set(glob.glob(f"{tmp_root}/store/feat/seg-00000000-*/yr=1994/*.parquet"))
+    assert before == after  # 1994 never rewritten
+    got = {(r.id, r.f) for r in fs.store.read(spark, "feat").select("id", "f").collect()}
+    assert got == {(1, 10.0), (2, 200.0), (3, 30.0)}
