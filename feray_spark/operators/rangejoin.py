@@ -1,0 +1,82 @@
+"""Pure interval (range) join — SURVEY §2.3 J7's keyless form.
+
+J7's equi-key variant (time-window residual on top of a key join,
+`queries/joins.py::j7_range_join`) needs nothing special: the key
+carries the join. This module covers the genuinely hard case — the
+join condition is ONLY ``point.ts ∈ [interval.lo, interval.hi)`` —
+where Catalyst's fallback is a broadcast-nested-loop (every point ×
+every interval: O(n·m) compares and a broadcast bound), which does
+not survive two large sides.
+
+The scale shape is the classic **bin join**: quantize time into
+fixed-width bins, explode each interval into the bins it covers,
+tag each point with its single bin, equi-join on the bin id, and
+re-check the exact residual predicate. Each (interval, point) match
+shares exactly one bin — the point's — so no dedup pass is needed.
+
+Cost model (100 TB posture):
+- shuffle is keyed on the bin id — time-uniform data gives uniform
+  keys; bursts concentrate in few bins and AQE skew-splitting
+  applies (the residual check is per-row cheap either way);
+- interval-side blowup = ceil(interval_len / bin_width) + 1 rows per
+  interval. Pick ``bin_width`` near the TYPICAL interval length:
+  width >> intervals wastes compares inside huge bins, width <<
+  intervals explodes the interval side. For mixed interval lengths,
+  the standard refinement is per-length-tier bin widths (not needed
+  for the fixture workloads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BIN = "__rj_bin"
+
+
+def point_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str,
+    interval_lo: str,
+    interval_hi: str,
+    bin_width_sec: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each ``points`` row to every ``intervals`` row with
+    ``lo <= ts < hi`` — no equi key required. Output carries all
+    columns of both inputs (names must be disjoint; alias before
+    calling). ``how`` ∈ {inner, left} (left keeps unmatched points).
+    """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint, both have {sorted(overlap)}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    w_us = F.lit(int(bin_width_sec) * 1_000_000)
+    p = points.withColumn(
+        _BIN, F.floor(F.unix_micros(F.col(point_ts)) / w_us)
+    )
+    lo_bin = F.floor(F.unix_micros(F.col(interval_lo)) / w_us)
+    hi_bin = F.floor((F.unix_micros(F.col(interval_hi)) - 1) / w_us)  # hi exclusive
+    # empty intervals (hi <= lo) cover no bins and must drop out —
+    # an unguarded sequence(start > stop) would count DOWN
+    bins = F.when(hi_bin >= lo_bin, F.sequence(lo_bin, hi_bin)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    iv = intervals.withColumn(_BIN, F.explode(bins))
+    residual = (F.col(point_ts) >= F.col(interval_lo)) & (
+        F.col(point_ts) < F.col(interval_hi)
+    )
+    joined = p.join(iv, on=[_BIN], how="inner").filter(residual).drop(_BIN)
+    if how == "inner":
+        return joined
+    # left: re-attach points that matched no interval
+    matched = joined.select(*points.columns)
+    unmatched = p.drop(_BIN).exceptAll(matched)
+    for c in intervals.columns:
+        unmatched = unmatched.withColumn(
+            c, F.lit(None).cast(intervals.schema[c].dataType)
+        )
+    return joined.unionByName(unmatched)

@@ -330,3 +330,50 @@ def j10_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, c.select("o_custkey", "c_name"), on=["o_custkey"], salts=8
     )
     return joined.select("o_orderkey", "c_name", "o_totalprice")
+
+
+@register(
+    "j7b_interval_join",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM (SELECT event_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        JOIN events e
+          ON e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+         AND e.event_id != p.event_id
+        GROUP BY p.event_id
+    """,
+    tags=("join", "J7"),
+)
+def j7b_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 keyless form: every event landing in the hour AFTER any
+    purchase, matched purely on the time interval — no equi key
+    anywhere in the predicate. Runs as a bin join
+    (operators.rangejoin.point_interval_join): intervals explode
+    into covered 1-hour bins, points tag their single bin, one
+    equi-shuffle on the bin id, exact residual re-check — instead of
+    the O(points x intervals) broadcast-nested-loop Catalyst would
+    otherwise pick. Aggregate is the usual exact-decimal money sum."""
+    from feray_spark.operators.rangejoin import point_interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("win_lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_hi"),
+    )
+    pts = e.select(F.col("event_id"), F.col("ts"), F.col("value"))
+    joined = point_interval_join(
+        pts,
+        purchases,
+        point_ts="ts",
+        interval_lo="win_lo",
+        interval_hi="win_hi",
+        bin_width_sec=3600,
+    ).filter(F.col("event_id") != F.col("purchase_id"))
+    return joined.groupBy("purchase_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

@@ -220,3 +220,47 @@ def test_ann_broadcast_scan_shuffles_once(spark, sf_dir):
         assert plan.count("MapInPandas") == 1, (name, plan)
         # final rank over <= partitions x queries x k rows
         assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+
+
+def test_interval_join_avoids_nested_loop(spark, sf_dir):
+    """j7b: the keyless interval join runs as an equi-join on the
+    time-bin id (shuffle keyed on a uniform bin), NOT the
+    O(points x intervals) BroadcastNestedLoopJoin Catalyst picks for
+    a bare inequality condition."""
+    q = load_all()["j7b_interval_join"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "__rj_bin" in plan, plan  # the bin id is the join key
+
+
+def test_interval_join_semantics(spark):
+    """Empty intervals drop out; left join keeps unmatched points."""
+    from feray_spark.operators.rangejoin import point_interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"), (2, "2024-01-01 05:00:00")],
+        "pid int, p_ts string",
+    ).select("pid", F.col("p_ts").cast("timestamp").alias("p_ts"))
+    ivs = spark.createDataFrame(
+        [
+            (10, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),  # covers pid 1
+            (11, "2024-01-01 02:00:00", "2024-01-01 02:00:00"),  # empty
+            (12, "2024-01-01 03:00:00", "2024-01-01 02:00:00"),  # inverted
+        ],
+        "iid int, lo string, hi string",
+    ).select(
+        "iid",
+        F.col("lo").cast("timestamp").alias("lo"),
+        F.col("hi").cast("timestamp").alias("hi"),
+    )
+    inner = point_interval_join(
+        pts, ivs, point_ts="p_ts", interval_lo="lo", interval_hi="hi",
+        bin_width_sec=3600,
+    )
+    assert [(r.pid, r.iid) for r in inner.collect()] == [(1, 10)]
+    left = point_interval_join(
+        pts, ivs, point_ts="p_ts", interval_lo="lo", interval_hi="hi",
+        bin_width_sec=3600, how="left",
+    )
+    got = sorted((r.pid, r.iid) for r in left.collect())
+    assert got == [(1, 10), (2, None)]
