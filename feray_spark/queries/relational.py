@@ -361,3 +361,34 @@ def p7_case_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("high")
         .alias("bal_band"),
     )
+
+
+_EP3_SQL = """
+    SELECT r_name,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+"""
+
+
+@register(
+    "ep3_sql_surface",
+    oracle=_EP3_SQL,
+    tags=("sql", "EP3"),
+)
+def ep3_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3: the SQL entry point — fixture tables registered as views
+    (catalog.register_views) and THE SAME SQL TEXT executed by
+    spark.sql and by the DuckDB oracle (the query sticks to the ANSI
+    intersection, incl. the decimal-exact money-sum idiom). Catalyst
+    plans the star join with the tiny dims broadcast, same as the
+    DataFrame twin j5_broadcast_star."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP3_SQL)
