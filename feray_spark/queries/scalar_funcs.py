@@ -201,32 +201,38 @@ def f_null_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_array_strings",
     oracle="""
         SELECT p_partkey,
-               string_split(p_name, ' ')                    AS words,
-               CAST(len(string_split(p_name, ' ')) AS INT)  AS n_words,
-               list_sort(list_distinct(string_split(p_name, ' ')))
-                                                            AS uniq_words,
+               array_to_string(string_split(p_name, ' '), ',')  AS words,
+               CAST(len(string_split(p_name, ' ')) AS INT)      AS n_words,
+               array_to_string(
+                   list_sort(list_distinct(string_split(p_name, ' '))), ',')
+                                                                AS uniq_words,
                list_contains(string_split(p_name, ' '), 'widget')
-                                                            AS has_widget,
+                                                                AS has_widget,
                array_to_string(list_sort(string_split(p_name, ' ')), '-')
-                                                            AS joined,
-               string_split(p_name, ' ')[1:2]               AS first_two
+                                                                AS joined,
+               array_to_string(string_split(p_name, ' ')[1:2], ',')
+                                                                AS first_two
         FROM part
     """,
     tags=("scalar", "array"),
 )
 def f_array_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over string arrays: split, size, distinct, sort,
-    contains, join, slice."""
+    contains, join, slice. Array-valued outputs are emitted as
+    comma-joined strings: the driver's canonicalizer sorts rows by
+    every output column and raw array cells are unhashable there
+    (the round-1 a7 failure mode) — the string form is order-stable
+    and hashable while exercising the same array ops."""
     p = load_table(spark, sf_dir, "part")
     words = F.split("p_name", " ")
     return p.select(
         "p_partkey",
-        words.alias("words"),
+        F.array_join(words, ",").alias("words"),
         F.size(words).alias("n_words"),
-        F.array_sort(F.array_distinct(words)).alias("uniq_words"),
+        F.array_join(F.array_sort(F.array_distinct(words)), ",").alias("uniq_words"),
         F.array_contains(words, "widget").alias("has_widget"),
         F.array_join(F.array_sort(words), "-").alias("joined"),
-        F.slice(words, 1, 2).alias("first_two"),
+        F.array_join(F.slice(words, 1, 2), ",").alias("first_two"),
     )
 
 
