@@ -124,3 +124,115 @@ def test_global_sum_scaled_long_exact(spark, vals):
     assert got == pytest.approx(want, abs=0.0) or (
         math.isnan(got) and math.isnan(want)
     )
+
+
+_ts = st.integers(min_value=0, max_value=50_000)  # epoch seconds, small window
+
+
+@given(
+    points=st.lists(_ts, min_size=1, max_size=25),
+    intervals=st.lists(st.tuples(_ts, st.integers(min_value=-100, max_value=9000)),
+                       min_size=1, max_size=15),
+    width=st.sampled_from([60, 3600, 7200]),
+)
+@settings(**SETTINGS)
+def test_interval_bin_join_equals_naive(spark, points, intervals, width):
+    """The bin join must produce EXACTLY the pairs of the naive
+    inequality cross-join for any bin width — including empty and
+    inverted intervals."""
+    from feray_spark.operators.rangejoin import point_interval_join
+
+    p = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(points)], "pid int, t long"
+    ).select("pid", F.timestamp_seconds("t").alias("p_ts"))
+    iv = spark.createDataFrame(
+        [(i, lo, lo + dur) for i, (lo, dur) in enumerate(intervals)],
+        "iid int, lo long, hi long",
+    ).select(
+        "iid",
+        F.timestamp_seconds("lo").alias("lo"),
+        F.timestamp_seconds("hi").alias("hi"),
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in point_interval_join(
+            p, iv, point_ts="p_ts", interval_lo="lo", interval_hi="hi",
+            bin_width_sec=width,
+        ).collect()
+    }
+    naive = {
+        (r.pid, r.iid)
+        for r in p.crossJoin(iv)
+        .filter((F.col("p_ts") >= F.col("lo")) & (F.col("p_ts") < F.col("hi")))
+        .collect()
+    }
+    assert got == naive
+
+
+@given(
+    left=st.lists(st.tuples(st.sampled_from(["u", "v"]), _ts), min_size=1, max_size=15),
+    right=st.lists(
+        st.tuples(st.sampled_from(["u", "v"]), _ts, st.booleans()),
+        min_size=1,
+        max_size=20,
+    ),
+    exact=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_asof_multi_equals_chained(spark, left, right, exact):
+    """asof_join_multi (one union+window pass for N features) must
+    equal chaining asof_join per feature against filtered copies —
+    for any keys, duplicate timestamps, and either tie rule. Right
+    payloads are made unique per (key, ts) so tie-breaking cannot
+    differ between the shapes."""
+    from feray_spark.operators.asof import asof_join, asof_join_multi
+
+    # unique ts per right row within a key removes tie ambiguity
+    seen = {}
+    rrows = []
+    for i, (k, t, flag) in enumerate(right):
+        while (k, t) in seen:
+            t += 1
+        seen[(k, t)] = True
+        rrows.append((k, t, flag, float(i)))
+    l_df = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid int, k string, t long"
+    ).select("lid", "k", F.timestamp_seconds("t").alias("ts"))
+    r_df = spark.createDataFrame(
+        rrows, "k string, t long, flag boolean, payload double"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "flag", "payload")
+
+    multi = asof_join_multi(
+        l_df,
+        r_df.select("k", "ts", "flag", "payload"),
+        on=["k"],
+        left_ts="ts",
+        right_ts="ts",
+        features={
+            "_all": (None, ["payload"]),
+            "_flagged": (F.col("flag"), ["payload"]),
+        },
+        allow_exact_matches=exact,
+    ).select("lid", "payload_all", "payload_flagged")
+
+    step1 = asof_join(
+        l_df,
+        r_df.select("k", "ts", "payload"),
+        on=["k"],
+        left_ts="ts",
+        allow_exact_matches=exact,
+        suffix="_all",
+    )
+    step2 = asof_join(
+        step1,
+        r_df.filter("flag").select("k", "ts", "payload"),
+        on=["k"],
+        left_ts="ts",
+        allow_exact_matches=exact,
+        suffix="_flagged",
+    ).select("lid", "payload_all", "payload_flagged")
+
+    canon = lambda df: sorted(  # noqa: E731
+        (r.lid, r.payload_all, r.payload_flagged) for r in df.collect()
+    )
+    assert canon(multi) == canon(step2)
