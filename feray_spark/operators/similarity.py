@@ -366,6 +366,50 @@ def embedding_neardup_pairs(
     return fan_out(sdf).mapInPandas(score, "id_a long, id_b long, cosine double")
 
 
+def _kmeans_refine(
+    corpus: DataFrame, cent: np.ndarray, *, vec_col: str, iters: int
+) -> np.ndarray:
+    """Spherical k-means (Lloyd) refinement of an IVF centroid matrix,
+    fully distributed: each iteration is one assign pass (the same
+    one-matmul-per-Arrow-batch cell assignment the index uses) plus
+    one elementwise-mean aggregation. The per-dimension means come
+    from a posexplode → groupBy(cell, dim) avg — 2 shuffles of at
+    most #cells × dim tiny rows each; only the (#cells, dim) centroid
+    matrix ever reaches the driver, so the loop scales to arbitrary
+    corpus sizes. Centroids are re-normalized per iteration (cosine
+    geometry); empty cells keep their previous centroid."""
+    spark = corpus.sparkSession
+    dim = cent.shape[1]
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cent)
+
+        @F.pandas_udf("long")
+        def assign(vecs: pd.Series) -> pd.Series:
+            C = bc.value
+            if not len(vecs):
+                return pd.Series([], dtype="int64")
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            return pd.Series((mat @ C.T).argmax(axis=1).astype("int64"))
+
+        means = (
+            fan_out(corpus.select(F.col(vec_col).alias("__v")))
+            .withColumn("__cell", assign(F.col("__v")))
+            .select("__cell", F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("__cell", "__d")
+            .agg(F.avg("__x").alias("__m"))
+            .collect()
+        )
+        nxt = cent.copy()  # empty cells keep their previous centroid
+        for r in means:
+            nxt[r["__cell"], r["__d"]] = r["__m"]
+        norms = np.linalg.norm(nxt, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cent = nxt / norms
+        bc.destroy()
+    return cent
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -377,6 +421,7 @@ def ivf_topk(
     centroid_stride: int = 45,
     nprobe: int = 8,
     broadcast_queries: bool = True,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer —
     the second scale path next to hyperplane LSH. Same output schema
@@ -416,6 +461,8 @@ def ivf_topk(
         )
     cent = np.stack(seed.sort_values("__sid")["__sv"].to_numpy()).astype(np.float64)
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    if kmeans_iters:
+        cent = _kmeans_refine(corpus, cent, vec_col=vec_col, iters=kmeans_iters)
 
     if broadcast_queries:
         # small-query fast path (the entry-point contract): centroids +

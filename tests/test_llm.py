@@ -206,3 +206,28 @@ def test_ann_paths_survive_empty_partitions(spark, sf_dir):
 
     # tau=-1: every pair qualifies, so output exists iff scoring ran
     assert embedding_neardup_pairs(tiny, id_col="vec_id", tau=-1.0).count() > 0
+
+
+def test_ivf_kmeans_refinement_improves_quantization(spark, sf_dir):
+    """The distributed Lloyd refinement must improve the quantizer's
+    objective: average best-cosine of corpus vectors to their nearest
+    centroid increases over the stride-sampled seed (recall parity on
+    random fixtures is covered by the l3c query's rows-only gate)."""
+    import numpy as np
+
+    from feray_spark.catalog import load_table
+    from feray_spark.operators.similarity import _kmeans_refine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    M = np.stack(e.select("embedding").toPandas()["embedding"].to_numpy())
+    M = M.astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    seed = Mn[::45]
+
+    def avg_best_cos(C):
+        return float((Mn @ C.T).max(axis=1).mean())
+
+    refined = _kmeans_refine(
+        e.select("embedding"), seed, vec_col="embedding", iters=2
+    )
+    assert avg_best_cos(refined) > avg_best_cos(seed) + 0.01
