@@ -1,5 +1,10 @@
 """Pure interval (range) join — SURVEY §2.3 J7's keyless form.
 
+Reference surface: polars ``join_where`` with interval conjunctions
+(declared engine dep, reference ``projects/feray/pyproject.toml:25``)
+— polars evaluates these single-node; this module is the
+distributed re-expression.
+
 J7's equi-key variant (time-window residual on top of a key join,
 `queries/joins.py::j7_range_join`) needs nothing special: the key
 carries the join. This module covers the genuinely hard case — the

@@ -58,6 +58,63 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(raw)
 
 
+def rate_events(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic unbounded event stream from Spark's built-in rate
+    source, shaped to the events schema — the load-generator twin of
+    :func:`stream_events` for serving-latency smoke tests (fastlane
+    mode, reference README.md:47-55). Deterministic per (value)
+    ordinal; no external system needed."""
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 1000).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 100).cast("double").alias("value"),
+        F.to_json(F.struct(F.col("value").alias("seq"))).alias("props"),
+    )
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Production fastlane ingress: Kafka topic → events stream. The
+    payload contract is JSON in the Kafka value matching the events
+    schema. Requires the spark-sql-kafka package on the classpath
+    (not bundled in this image — construction raises a clear error
+    without it; the wiring is what's under contract here)."""
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # pragma: no cover - no kafka jars in image
+        raise NotImplementedError(
+            "kafka source requires org.apache.spark:spark-sql-kafka-0-10 "
+            "on the classpath (spark-submit --packages ...)"
+        ) from e
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("e")
+    ).select("e.*")
+
+
 # ----------------------------------------------------------- windows
 
 

@@ -182,3 +182,37 @@ def test_serving_upsert_sink_and_checkpoint_idempotence(spark, tmp_dir):
     )
     q2.awaitTermination(120)
     assert store.latest_version("serving") == v_before  # no new commit
+
+
+def test_rate_source_shapes_events(spark, tmp_dir):
+    """S8: the built-in rate source, shaped to the events schema,
+    drives the same windowed plan as the file source."""
+    from feray_spark.streaming.fastlane import rate_events
+
+    stream = rate_events(spark, rows_per_second=500)
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    agg = tumbling_counts(stream, width="1 second", watermark="5 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_out")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp_dir}/ckpt")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM rate_out").collect()[0].c
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0
+    finally:
+        q.stop()
