@@ -123,10 +123,23 @@ def apply_semantics(spark: SparkSession) -> SparkSession:
     The driver harness hands us its own SparkSession; runtime-settable
     semantic configs (TZ, ANSI, AQE, Arrow) are applied so query
     results are identical to sessions built by :func:`get_spark`.
+    Shuffle partitions are also right-sized (semantics-neutral,
+    runtime-settable): an externally-built session typically carries
+    the 200 default, which at local scale means every shuffle
+    schedules 200 tasks for AQE to re-coalesce — pure per-query
+    overhead. Static confs (JIT/codegen cache sizing) cannot be
+    applied here; they only exist on sessions built by get_spark.
     """
     for k, v in SEMANTIC_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - static conf on some builds
             pass
+    try:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        par = spark.sparkContext.defaultParallelism
+        if cur > 4 * par:  # only fix the oversized default, never a choice
+            spark.conf.set("spark.sql.shuffle.partitions", str(par))
+    except Exception:  # pragma: no cover
+        pass
     return spark
