@@ -412,3 +412,95 @@ def f_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64("l_orderkey", "l_linenumber").alias("xx64"),
         F.hash("l_orderkey", "l_linenumber").alias("murmur3"),
     )
+
+
+@register(
+    "f_scalar_extras",
+    oracle="""
+        SELECT o_orderkey,
+               ends_with(o_orderpriority, 'URGENT')             AS is_urgent,
+               rpad(o_orderstatus, 3, '_')                      AS status_pad,
+               least(o_totalprice, 100000.0)                    AS price_clip_hi,
+               greatest(o_totalprice, 1000.0)                   AS price_clip_lo,
+               CASE WHEN isnan(CAST('NaN' AS DOUBLE)) THEN o_totalprice
+                    ELSE CAST('NaN' AS DOUBLE) END              AS nan_guard,
+               isnan(CAST('NaN' AS DOUBLE))                     AS always_nan,
+               o_orderdate + INTERVAL 3 MONTH                   AS plus3mo,
+               CAST(date_diff('month', TIMESTAMP '1995-01-01',
+                    date_trunc('month', o_orderdate)) AS DOUBLE) AS months_since,
+               CAST(to_timestamp(943920000) AS TIMESTAMP)       AS fixed_epoch,
+               CAST(hour(o_orderdate) AS INT)                   AS order_hour,
+               array_to_string(list_sort(list_distinct(
+                   string_split(o_orderpriority, '-') ||
+                   string_split(o_orderstatus, '-'))), ',')     AS union_sorted,
+               coalesce(array_to_string(list_sort(list_intersect(
+                   string_split(o_orderpriority, '-'),
+                   ['1', '2', 'URGENT'])), ','), '')            AS inter_sorted,
+               array_to_string(list_sort(list_filter(
+                   string_split(o_orderpriority, '-'),
+                   x -> NOT list_contains(['URGENT', 'LOW'], x))), ',')
+                                                                AS except_sorted,
+               CAST(len(list_zip(string_split(o_orderpriority, '-'),
+                    string_split(o_orderpriority, '-'))) AS INT) AS zip_len,
+               CAST(2 AS INT)                                   AS map_size,
+               o_orderkey + 7                                   AS map_val_sum
+        FROM orders
+    """,
+    tags=("scalar", "extras"),
+)
+def f_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 long-tail ops in one projection: endswith, rpad,
+    least/greatest (the polars clip mapping), nanvl/isnan,
+    add_months, months_between (on month-truncated dates, where it
+    is integral and engine-agnostic), from_unixtime, hour, array
+    set ops (union/intersect/except — Spark preserves appearance
+    order, so outputs are sorted+joined for engine-neutral
+    comparison), arrays_zip, create_map/map_concat/map_values.
+    All codegen'd projections — S = 0."""
+    o = load_table(spark, sf_dir, "orders")
+    prio_parts = F.split("o_orderpriority", "-")
+    status_parts = F.split("o_orderstatus", "-")
+    m = F.map_concat(
+        F.create_map(F.lit("a"), F.col("o_orderkey")),
+        F.create_map(F.lit("b"), F.lit(7).cast("bigint")),
+    )
+    return o.select(
+        "o_orderkey",
+        F.endswith("o_orderpriority", F.lit("URGENT")).alias("is_urgent"),
+        F.rpad("o_orderstatus", 3, "_").alias("status_pad"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("price_clip_hi"),
+        F.greatest(F.col("o_totalprice"), F.lit(1000.0)).alias("price_clip_lo"),
+        F.nanvl(F.lit("NaN").cast("double"), F.col("o_totalprice")).alias("nan_guard"),
+        F.isnan(F.lit("NaN").cast("double")).alias("always_nan"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3mo"),
+        F.months_between(
+            F.date_trunc("month", "o_orderdate"),
+            F.lit("1995-01-01").cast("timestamp"),
+        ).alias("months_since"),
+        F.from_unixtime(F.lit(943920000)).cast("timestamp").alias("fixed_epoch"),
+        F.hour("o_orderdate").alias("order_hour"),
+        F.array_join(
+            F.array_sort(F.array_union(prio_parts, status_parts)), ","
+        ).alias("union_sorted"),
+        F.array_join(
+            F.array_sort(
+                F.array_intersect(
+                    prio_parts, F.array(F.lit("1"), F.lit("2"), F.lit("URGENT"))
+                )
+            ),
+            ",",
+        ).alias("inter_sorted"),
+        F.array_join(
+            F.array_sort(
+                F.array_except(
+                    prio_parts, F.array(F.lit("URGENT"), F.lit("LOW"))
+                )
+            ),
+            ",",
+        ).alias("except_sorted"),
+        F.size(F.arrays_zip(prio_parts, prio_parts)).alias("zip_len"),
+        F.size(F.map_keys(m)).alias("map_size"),
+        F.aggregate(
+            F.map_values(m), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("map_val_sum"),
+    )
