@@ -392,3 +392,40 @@ def ep3_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EP3_SQL)
+
+
+_EP3B_SQL = """
+    SELECT o_orderpriority,
+           count(*) AS n_wait
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-07-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+      AND o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "ep3b_subquery_decorrelation",
+    oracle=_EP3B_SQL,
+    tags=("sql", "EP3", "subquery"),
+)
+def ep3b_subquery_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3: correlated + scalar subqueries through the SQL surface
+    (TPC-H-Q4-shaped). Catalyst rewrites the correlated EXISTS to a
+    left-semi join and the uncorrelated scalar subquery to a
+    one-row broadcast (RewriteCorrelatedScalarSubquery /
+    RewritePredicateSubquery — SURVEY §4.2: no custom work needed);
+    the oracle runs the same text. The avg comparison is
+    single-value vs double — no order-dependent accumulation in the
+    compared OUTPUT, and the predicate's avg lands far from any
+    o_totalprice value, so the float compare is stable across
+    engines."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP3B_SQL)

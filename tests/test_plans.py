@@ -264,3 +264,13 @@ def test_interval_join_semantics(spark):
     )
     got = sorted((r.pid, r.iid) for r in left.collect())
     assert got == [(1, 10), (2, None)]
+
+
+def test_subquery_decorrelation(spark, sf_dir):
+    """ep3b: the correlated EXISTS decorrelates to a left-semi join
+    and the scalar subquery to a reusable one-row plan — never a
+    per-row subquery loop."""
+    q = load_all()["ep3b_subquery_decorrelation"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "Subquery" in plan or "ReusedSubquery" in plan, plan
