@@ -373,7 +373,11 @@ def j7b_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_hi="win_hi",
         bin_width_sec=3600,
     ).filter(F.col("event_id") != F.col("purchase_id"))
+    # dsum: scaled-long accumulation (codegen longs, ~3x a decimal
+    # accumulator over the ~30x-exploded pair stream), one exact
+    # decimal divide at the end — identical IEEE result to the
+    # oracle's decimal sum
     return joined.groupBy("purchase_id").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        dsum("value").alias("total_value"),
     )
