@@ -239,3 +239,63 @@ def resize_media(
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
         rewrite, RESIZED_SCHEMA
     )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, sample_rate int, "
+    "duration_s double, rms double"
+)
+
+
+def decode_audio(data: bytes) -> tuple[int, float, float]:
+    """STUB — audio decoding needs a codec library not present in
+    this environment. Production: soundfile.read(io.BytesIO(data))
+    → (sample_rate, duration_seconds, rms_amplitude)."""
+    raise NotImplementedError(
+        "audio codecs unavailable in this environment; use "
+        "fake_decode_audio for tests or install a codec in production"
+    )
+
+
+def fake_decode_audio(data: bytes) -> tuple[int, float, float]:
+    """Deterministic stand-in: derives (sample_rate, duration, rms)
+    from the payload bytes — byte length stands in for sample count."""
+    if not data:
+        return (0, 0.0, 0.0)
+    sr = (8000, 16000, 44100)[data[0] % 3]
+    duration = len(data) / float(sr)
+    rms = (sum(b * b for b in data[:256]) / min(len(data), 256)) ** 0.5 / 255.0
+    return (sr, duration, rms)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+    decoder: Callable[[bytes], tuple[int, float, float]] | None = None,
+) -> DataFrame:
+    """L6 audio twin of :func:`extract_media_features`: same
+    mapInPandas batch shape (Arrow in, constant memory per batch, no
+    shuffle), emitting (sample_rate, duration, rms) per payload from
+    ``decoder`` — the NotImplementedError stub by default, the
+    deterministic fake in tests."""
+    decode = decoder or decode_audio
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = pdf[media_col]
+            decoded = [decode(bytes(m["data"])) for m in media]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "mime": [m["mime"] for m in media],
+                    "n_bytes": [len(bytes(m["data"])) for m in media],
+                    "sample_rate": [d[0] for d in decoded],
+                    "duration_s": [d[1] for d in decoded],
+                    "rms": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
+        extract, AUDIO_FEATURES_SCHEMA
+    )

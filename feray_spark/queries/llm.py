@@ -533,3 +533,20 @@ def l7_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = c if rows is None else rows.unionByName(c)
     return rows
+
+
+@register("l6c_audio_features", tags=("llm", "L6", "multimodal"))
+def l6c_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 audio path (rows-only): pack payloads as audio/wav media
+    structs and run the mapInPandas feature extractor with the
+    deterministic fake decoder (sample_rate, duration, rms) — the
+    codec itself is stubbed (not in this image), the Spark-side
+    schema/batch plumbing is real and exercised end-to-end. Value
+    determinism is unit-tested in test_llm.py."""
+    from feray_spark.multimodal import attach_media, extract_audio_features, fake_decode_audio
+
+    d = load_table(spark, sf_dir, "documents")
+    with_media = attach_media(
+        d.withColumn("payload", F.encode("text", "UTF-8")), "payload", "audio/wav"
+    )
+    return extract_audio_features(fan_out(with_media), decoder=fake_decode_audio)

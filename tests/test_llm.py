@@ -231,3 +231,27 @@ def test_ivf_kmeans_refinement_improves_quantization(spark, sf_dir):
         e.select("embedding"), seed, vec_col="embedding", iters=2
     )
     assert avg_best_cos(refined) > avg_best_cos(seed) + 0.01
+
+
+def test_audio_feature_extraction_deterministic(spark, sf_dir):
+    """L6 audio: the mapInPandas extractor emits one row per payload
+    with decoder-derived values, stable across partitionings."""
+    from feray_spark.catalog import load_table
+    from feray_spark.multimodal import (
+        attach_media,
+        extract_audio_features,
+        fake_decode_audio,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    m = attach_media(
+        d.withColumn("payload", F.encode("text", "UTF-8")), "payload", "audio/wav"
+    )
+    one = extract_audio_features(m.coalesce(1), decoder=fake_decode_audio)
+    many = extract_audio_features(m.repartition(7), decoder=fake_decode_audio)
+    a = sorted(map(tuple, one.collect()))
+    b = sorted(map(tuple, many.collect()))
+    assert a == b and len(a) == 50
+    for row in a:
+        assert row[3] in (0, 8000, 16000, 44100)  # sample_rate
+        assert row[4] >= 0.0 and 0.0 <= row[5] <= 1.0  # duration, rms
