@@ -258,3 +258,52 @@ def serve_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------- stateful (new-gen API)
+
+
+def running_counts_tws(stream: DataFrame) -> DataFrame:
+    """T6 on the new-generation stateful API
+    (``transformWithStateInPandas``, Spark 4): running event count +
+    value sum per user. Unlike ``applyInPandasWithState`` the state
+    is a typed ValueState in the RocksDB state store — the scale
+    path for state larger than executor memory (RocksDB spills to
+    local disk and checkpoints incrementally). Requires
+    ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (set by the caller/test; not a session
+    default because the HDFS-backed store is fine for small state).
+    NOTE: the TWS state protocol imports google.protobuf, which this
+    image lacks (and pip installs are off-limits) — the operator is
+    exercised by a protobuf-gated test and runs on any standard
+    deployment; applyInPandasWithState (t6_stateful_running) is the
+    always-available twin."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "agg", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = 0, 0.0
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        RunningAgg(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -216,3 +216,51 @@ def test_rate_source_shapes_events(spark, tmp_dir):
         assert n > 0
     finally:
         q.stop()
+
+
+def test_transform_with_state_running_count(spark, tmp_dir):
+    """T6 (new-gen API): transformWithStateInPandas over the RocksDB
+    state store matches the batch per-user aggregate. The API's state
+    protocol needs google.protobuf, absent from this image (no pip
+    install allowed) — skipped here, runnable on any standard
+    deployment."""
+    pytest.importorskip("google.protobuf")
+    from feray_spark.streaming.fastlane import running_counts_tws
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_events(spark, SF_DIR)
+        counted = running_counts_tws(stream)
+        q = (
+            counted.writeStream.format("memory")
+            .queryName("tws_out")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp_dir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT user_id, max(n_events) AS n, max(total_value) AS t "
+            "FROM tws_out GROUP BY user_id"
+        ).toPandas()
+        want = (
+            load_table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+            .toPandas()
+        )
+        got = got.sort_values("user_id").reset_index(drop=True)
+        want = want.sort_values("user_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_exact=False, rtol=1e-9)
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
