@@ -245,7 +245,17 @@ class TableStore:
         out = []
         for entry in commit.segments:
             path, base = self._seg_base(entry)
-            stack = [(path, {})]
+            # a carried entry already points BELOW its base (at a
+            # partition subdir): seed the walk with the values its
+            # relative path encodes, and only descend the remaining
+            # levels
+            seed_vals: dict[str, str] = {}
+            rel = os.path.relpath(path, base)
+            if rel != ".":
+                for comp in rel.split(os.sep):
+                    col, _, raw = comp.partition("=")
+                    seed_vals[col] = unquote(raw)
+            stack = [(path, seed_vals)]
             while stack:
                 d, vals = stack.pop()
                 if len(vals) == len(commit.partition_by):

@@ -276,3 +276,36 @@ def test_partitioned_featureview_backfill(spark, tmp_root):
     assert before == after  # 1994 never rewritten
     got = {(r.id, r.f) for r in fs.store.read(spark, "feat").select("id", "f").collect()}
     assert got == {(1, 10.0), (2, 200.0), (3, 30.0)}
+
+
+def test_multilevel_partitioned_replace_where(spark, tmp_root):
+    """Two-level hive partitioning: the partition-dir walk recurses
+    (yr=…/mo=…), predicates over both levels match correctly, and
+    carried references keep both partition columns readable."""
+    ts = TableStore(tmp_root)
+    rows = [
+        (i, yr, mo, f"v{i}-{yr}-{mo}")
+        for i, (yr, mo) in enumerate(
+            [(1994, 1), (1994, 2), (1995, 1), (1995, 2), (1996, 1)]
+        )
+    ]
+    base = spark.createDataFrame(rows, "id int, yr int, mo int, v string")
+    ts.write(base, "t", mode="overwrite", partition_by=["yr", "mo"])
+    repl = spark.createDataFrame(
+        [(9, 1995, 2, "B")], "id int, yr int, mo int, v string"
+    )
+    ts.replace_where(spark, "t", repl, "yr = 1995 AND mo = 2")
+    commit = ts.commit_info("t")
+    assert commit.mode == "replace_where"
+    carried = [s for s in commit.segments if isinstance(s, dict)]
+    assert len(carried) == 4  # 5 leaf dirs - 1 matched
+    got = {(r.id, r.yr, r.mo) for r in ts.read(spark, "t").collect()}
+    assert got == {(0, 1994, 1), (1, 1994, 2), (2, 1995, 1),
+                   (9, 1995, 2), (4, 1996, 1)}
+    # range predicate spanning partitions at both levels
+    repl2 = spark.createDataFrame(
+        [(7, 1994, 1, "A"), (8, 1994, 2, "A")], "id int, yr int, mo int, v string"
+    )
+    ts.replace_where(spark, "t", repl2, "yr = 1994")
+    got = {(r.id, r.yr) for r in ts.read(spark, "t").collect()}
+    assert got == {(7, 1994), (8, 1994), (2, 1995), (9, 1995), (4, 1996)}
