@@ -173,6 +173,15 @@ class TableStore:
             return entry["path"], entry["base"]
         return entry, entry
 
+    def version_at(self, table: str, timestamp: float) -> int:
+        """Time travel by wall clock (the Delta ``timestampAsOf``
+        analog): the latest version committed at or before
+        ``timestamp`` (unix seconds)."""
+        commits = [c for c in self._commits(table) if c.timestamp <= timestamp]
+        if not commits:
+            raise KeyError(f"{table}: no version at or before {timestamp}")
+        return commits[-1].version
+
     def read(
         self, spark: SparkSession, table: str, version: int | None = None
     ) -> DataFrame:
@@ -200,6 +209,39 @@ class TableStore:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    # --------------------------------------------------------- vacuum
+
+    def vacuum(self, table: str, keep_versions: int = 1) -> list[str]:
+        """Delete segment directories unreferenced by the newest
+        ``keep_versions`` commits, and drop the older commit records
+        (the Delta ``VACUUM`` analog — time travel is retained only
+        for kept versions). Reference counting is prefix-aware: a
+        carried ``{"path": subdir, "base": seg}`` entry keeps its
+        whole base segment alive, since the subdir lives inside it.
+        Returns the deleted segment paths."""
+        import shutil
+
+        commits = self._commits(table)
+        if not commits or keep_versions < 1:
+            return []
+        kept, dropped = commits[-keep_versions:], commits[:-keep_versions]
+        live_roots = set()
+        for c in kept:
+            for entry in c.segments:
+                _, base = self._seg_base(entry)
+                live_roots.add(os.path.realpath(base))
+        deleted = []
+        for c in dropped:
+            for entry in c.segments:
+                _, base = self._seg_base(entry)
+                base = os.path.realpath(base)
+                if base not in live_roots and os.path.isdir(base):
+                    shutil.rmtree(base)
+                    deleted.append(base)
+                    live_roots.add(base)  # only delete once
+            os.remove(os.path.join(self._log_dir(table), f"{c.version:08d}.json"))
+        return deleted
 
     # ---------------------------------------------------------- merge
 

@@ -309,3 +309,39 @@ def test_multilevel_partitioned_replace_where(spark, tmp_root):
     ts.replace_where(spark, "t", repl2, "yr = 1994")
     got = {(r.id, r.yr) for r in ts.read(spark, "t").collect()}
     assert got == {(7, 1994), (8, 1994), (2, 1995), (9, 1995), (4, 1996)}
+
+
+def test_vacuum_and_timestamp_travel(spark, tmp_root):
+    """Vacuum deletes only segments unreferenced by kept commits —
+    including keeping a whole segment alive when a newer commit
+    carries one of its partition dirs by reference — and
+    version_at resolves wall-clock time travel."""
+    import os
+    import time
+
+    ts = TableStore(tmp_root)
+    v0 = ts.write(
+        spark.createDataFrame([(1, 1994, "a"), (2, 1995, "b")], "id int, yr int, v string"),
+        "t", mode="overwrite", partition_by=["yr"],
+    )
+    t_after_v0 = time.time()
+    repl = spark.createDataFrame([(9, 1995, "B")], "id int, yr int, v string")
+    ts.replace_where(spark, "t", repl, "yr = 1995")  # v1 carries yr=1994 of seg0
+    dead = ts.write(  # v2 overwrite: seg0 kept alive ONLY if referenced
+        spark.createDataFrame([(5, 1994, "z")], "id int, yr int, v string"),
+        "t", mode="overwrite",
+    )
+    assert ts.version_at("t", t_after_v0) == 0  # timestampAsOf
+    # keep 2 newest commits: v1 still carries seg0/yr=1994 → seg0 survives
+    deleted = ts.vacuum("t", keep_versions=2)
+    assert deleted == []
+    seg0 = v0.segments[0]
+    assert os.path.isdir(seg0)
+    assert ts.read(spark, "t", version=1).count() == 2  # carried read intact
+    # keep only the newest: v1's segments (incl. seg0 via reference) die
+    deleted = ts.vacuum("t", keep_versions=1)
+    assert any("seg-00000000" in d for d in deleted)
+    assert not os.path.isdir(seg0)
+    assert ts.read(spark, "t").count() == 1  # latest unaffected
+    with pytest.raises(KeyError):
+        ts.read(spark, "t", version=1)  # vacuumed history is gone
