@@ -550,3 +550,110 @@ def l6c_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("payload", F.encode("text", "UTF-8")), "payload", "audio/wav"
     )
     return extract_audio_features(fan_out(with_media), decoder=fake_decode_audio)
+
+
+@register(
+    "l8_doc_chunking",
+    oracle=f"""
+        WITH words_t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   array_to_string(w[(i * 24 + 1):(i * 24 + 32)], ' ')
+                       AS chunk_text,
+                   CAST(len(w[(i * 24 + 1):(i * 24 + 32)]) AS INT)
+                       AS n_tokens
+            FROM words_t,
+                 LATERAL unnest(generate_series(0,
+                     CAST(ceil(greatest(len(w) - 8, 1) / 24.0) AS BIGINT) - 1))
+                     AS t(i)
+        )
+        SELECT doc_id, chunk_idx, chunk_text, n_tokens FROM chunks
+    """,
+    tags=("llm", "L8", "chunking"),
+)
+def l8_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline staple beyond the reference surface: split
+    each document into overlapping word-window chunks (32-word
+    windows, stride 24 → 8-word overlap) — the standard pre-embedding
+    chunker. Pure higher-order expressions (sequence → transform →
+    slice) exploded JVM-side: no UDF, no Python, chunk text never
+    leaves codegen until the explode. One narrow stage, S = 0."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    window, stride = 32, 24
+    w = F.split(F.lower("text"), r"\s+")
+    w = F.filter(w, lambda x: x != "")
+    n_chunks = F.greatest(
+        F.ceil((F.greatest(F.size("__w") - (window - stride), F.lit(1)))
+               / F.lit(float(stride))).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("__w"), i * stride + 1, window), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(F.col("__w"), i * stride + 1, window)).alias(
+                "n_tokens"
+            ),
+        ),
+    )
+    return (
+        d.select("doc_id", w.alias("__w"))
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "l9_deterministic_split",
+    oracle="""
+        WITH assigned AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT % 100 AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs
+        FROM assigned GROUP BY 1
+    """,
+    tags=("llm", "L9", "sampling"),
+)
+def l9_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline staple: deterministic train/val/test
+    assignment — bucket = md5-prefix of a salted doc id, 80/10/10.
+    Hash-based (never random()): assignments are reproducible across
+    runs, engines and cluster topologies, and stable under
+    re-partitioning — the property row-level random sampling lacks.
+    The md5 basis is engine-portable (the oracle recomputes identical
+    buckets), unlike xxhash64/murmur whose seeds differ per engine.
+    One narrow projection + tiny aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split42:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.select(split.alias("split")).groupBy("split").agg(
+        F.count("*").alias("n_docs")
+    )
