@@ -34,7 +34,6 @@ from feray_spark.functions.text import (
     minhash_value,
     shingle_base_hash,
     shingles_from_words,
-    word_shingles,
     words,
 )
 from feray_spark.queries.util import fan_out

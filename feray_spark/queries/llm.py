@@ -17,7 +17,6 @@ from feray_spark.catalog import load_table
 from feray_spark.functions.text import (
     MINHASH_COEFFS,
     MINHASH_P,
-    TOKEN_REGEX,
     bpe_ish_token_count,
     doc_fingerprint,
     lang_id,
