@@ -330,3 +330,71 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the
+    step that turns L2 PAIRS into dedup CLUSTERS (keep one doc per
+    component). Output: (id, component) where component = the
+    smallest id reachable from ``id``; docs absent from ``pairs``
+    are their own components and aren't emitted.
+
+    Shape: iterative min-label propagation. Each round joins every
+    node's current label with its neighbors' and keeps the min —
+    one shuffle per round on the node id, labels localCheckpointed
+    per round so the lineage (and replay cost) stays O(1) instead of
+    O(rounds). Rounds needed = graph diameter; near-dup graphs are
+    overwhelmingly tiny cliques (diameter ≤ 2), so convergence is
+    checked and the loop exits early — ``max_iters`` only bounds
+    pathological chains. At extreme scale the classic upgrade is the
+    large-star/small-star algorithm (O(log n) rounds on any
+    topology); the label-propagation shape here is the right cost
+    for clique-like dedup graphs and keeps every step a plain
+    equi-join."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.groupBy("a")
+        .agg(F.least(F.min("b"), F.first("a")).alias("comp"))
+        .select(F.col("a").alias("id"), "comp")
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        nxt = (
+            labels.join(
+                neighbor_min.withColumnRenamed("a", "id"), "id", "left"
+            )
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if not changed:
+            break
+    return labels

@@ -656,3 +656,61 @@ def l9_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(split.alias("split")).groupBy("split").agg(
         F.count("*").alias("n_docs")
     )
+
+
+@register(
+    "l2e_neardup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_bands_cte_sql()},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        shsets AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
+                   FROM words WHERE len(w) >= 3),
+        verified AS (
+            SELECT id_a, id_b
+            FROM cand JOIN shsets sa ON id_a = sa.doc_id
+                      JOIN shsets sb ON id_b = sb.doc_id
+            WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                      / len(list_distinct(sa.sh || sb.sh)) >= {JACCARD_T}
+        ),
+        edges AS (SELECT id_a AS a, id_b AS b FROM verified
+                  UNION SELECT id_b, id_a FROM verified),
+        reach AS (
+            SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, min(dst) AS component
+        FROM reach GROUP BY src
+    """,
+    tags=("llm", "L2", "dedup", "clustering"),
+)
+def l2e_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 final step: near-duplicate CLUSTERS from the verified
+    MinHash pair graph — (doc_id, component) with component = the
+    smallest reachable doc id, i.e. the survivor a keep-one-per-
+    cluster dedup retains. Distributed min-label propagation
+    (operators.dedup.connected_components: one equi-shuffle per
+    round, early exit at fixpoint — near-dup graphs are clique-like,
+    diameter ≤ 2). The oracle computes the identical components via
+    a recursive transitive-closure CTE over the same verified
+    pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d,
+        "text",
+        "doc_id",
+        shingle_n=3,
+        num_hashes=MH_NUM_HASHES,
+        bands=MH_BANDS,
+        jaccard_threshold=JACCARD_T,
+    )
+    from feray_spark.operators.dedup import connected_components
+
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )

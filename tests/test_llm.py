@@ -255,3 +255,23 @@ def test_audio_feature_extraction_deterministic(spark, sf_dir):
     for row in a:
         assert row[3] in (0, 8000, 16000, 44100)  # sample_rate
         assert row[4] >= 0.0 and 0.0 <= row[5] <= 1.0  # duration, rms
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Label propagation converges past diameter-1: a 5-node chain
+    (diameter 4), a triangle, and an isolated pair all resolve to
+    min-id components."""
+    from feray_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14, triangle 20-21-22, pair 30-31
+        [(10, 11), (11, 12), (12, 13), (13, 14),
+         (20, 21), (21, 22), (20, 22),
+         (30, 31)],
+        "id_a long, id_b long",
+    )
+    got = {(r.id, r.comp) for r in connected_components(pairs).collect()}
+    want = {(i, 10) for i in (10, 11, 12, 13, 14)}
+    want |= {(i, 20) for i in (20, 21, 22)}
+    want |= {(30, 30), (31, 30)}
+    assert got == want
