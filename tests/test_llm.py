@@ -275,3 +275,31 @@ def test_connected_components_chain_and_cliques(spark):
     want |= {(i, 20) for i in (20, 21, 22)}
     want |= {(30, 30), (31, 30)}
     assert got == want
+
+
+def test_ann_broadcast_and_join_paths_agree(spark, sf_dir):
+    """The small-query broadcast scan and the big-query join shapes
+    implement the SAME candidate semantics (LSH: bucket collisions;
+    IVF: probed cells) with the same deterministic tie-break — their
+    top-k outputs must be identical row-for-row."""
+    from feray_spark.catalog import load_table
+    from feray_spark.operators.similarity import ivf_topk, lsh_bucketed_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+
+    def rows(df):
+        return sorted(
+            (r.q_id, r.c_id, r.rank, round(r.cosine, 9)) for r in df.collect()
+        )
+
+    lsh_b = lsh_bucketed_topk(q, c, k=3, broadcast_queries=True)
+    lsh_j = lsh_bucketed_topk(q, c, k=3, broadcast_queries=False)
+    assert rows(lsh_b) == rows(lsh_j)
+
+    ivf_b = ivf_topk(q, c, k=3, broadcast_queries=True)
+    ivf_j = ivf_topk(q, c, k=3, broadcast_queries=False)
+    assert rows(ivf_b) == rows(ivf_j)
