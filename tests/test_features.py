@@ -345,3 +345,77 @@ def test_vacuum_and_timestamp_travel(spark, tmp_root):
     assert ts.read(spark, "t").count() == 1  # latest unaffected
     with pytest.raises(KeyError):
         ts.read(spark, "t", version=1)  # vacuumed history is gone
+
+
+def test_store_model_based_random_ops(spark, tmp_root):
+    """Model-based check: a randomized (seeded) sequence of store
+    operations must keep the stored table equal to a plain-Python
+    reference model — and every historical version must stay
+    readable and correct until vacuumed."""
+    import random
+
+    rng = random.Random(42)
+    ts = TableStore(tmp_root)
+    schema = "id int, part int, v int"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+    model: dict[int, tuple[int, int]] = {}  # id -> (part, v)
+    history = []
+    next_id = 0
+
+    def fresh_rows(n, parts=(0, 1, 2)):
+        nonlocal next_id
+        out = []
+        for _ in range(n):
+            out.append((next_id, rng.choice(parts), rng.randrange(100)))
+            next_id += 1
+        return out
+
+    # v0 seed
+    rows = fresh_rows(6)
+    ts.write(df(rows), "t", mode="overwrite", partition_by=["part"])
+    model = {i: (p, v) for i, p, v in rows}
+    history.append(dict(model))
+
+    for _ in range(8):
+        op = rng.choice(["append", "merge", "replace_where"])
+        if op == "append":
+            rows = fresh_rows(rng.randint(1, 4))
+            ts.write(df(rows), "t", mode="append")
+            model.update({i: (p, v) for i, p, v in rows})
+        elif op == "merge":
+            # update a sample of existing ids + insert some new
+            upd = [
+                (i, model[i][0], rng.randrange(100))
+                for i in rng.sample(sorted(model), min(2, len(model)))
+            ]
+            ins = fresh_rows(1)
+            ts.merge(spark, "t", df(upd + ins), keys=["id"])
+            model.update({i: (p, v) for i, p, v in upd + ins})
+        else:
+            # replace_where is PARTITION-scoped, not keyed: replacement
+            # rows must come from the replaced partition (recompute) or
+            # be fresh — an id from another partition would legitimately
+            # duplicate in the store, which the keyed model can't express
+            part = rng.choice([0, 1, 2])
+            in_part = [i for i, (p, _) in model.items() if p == part]
+            repl = [
+                (i, part, rng.randrange(100))
+                for i in rng.sample(sorted(in_part), min(2, len(in_part)))
+            ] + fresh_rows(1, parts=(part,))
+            ts.replace_where(spark, "t", df(repl), f"part = {part}")
+            model = {i: pv for i, pv in model.items() if pv[0] != part}
+            model.update({i: (p, v) for i, p, v in repl})
+        history.append(dict(model))
+
+        got = {(r.id, r.part, r.v) for r in ts.read(spark, "t").collect()}
+        want = {(i, p, v) for i, (p, v) in model.items()}
+        assert got == want, f"divergence after {op}"
+
+    # every historical version still reads back exactly
+    for ver, snap in enumerate(history):
+        got = {(r.id, r.part, r.v) for r in ts.read(spark, "t", version=ver).collect()}
+        want = {(i, p, v) for i, (p, v) in snap.items()}
+        assert got == want, f"time travel divergence at v{ver}"
