@@ -398,3 +398,80 @@ def connected_components(
         if not changed:
             break
     return labels
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iters: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds — the huge-graph path beside
+    :func:`connected_components`'s label propagation. Label
+    propagation needs O(diameter) shuffles (fine for clique-like
+    near-dup graphs); this converges in O(log n) rounds on ANY
+    topology (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", the standard formulation), so chain- or mesh-shaped
+    graphs can't degrade it.
+
+    Each round is two grouped passes over the edge list:
+    - large-star: every node u links each STRICTLY LARGER neighbor
+      to m(u) = min(N(u) ∪ {u});
+    - small-star: every node u links each neighbor ≤ u (and itself)
+      to m(u).
+    Edges are localCheckpointed per round (O(1) lineage); the loop
+    exits when the edge multiset stops changing, at which point the
+    graph is a forest of stars centered on component minima. Output:
+    (id, component), component = smallest id in the component."""
+
+    def star(edges: DataFrame, large: bool) -> DataFrame:
+        # symmetrize: N(u) from both edge directions
+        nbrs = edges.unionByName(
+            edges.select(F.col("a").alias("b"), F.col("b").alias("a"))
+        )
+        grouped = nbrs.groupBy("a").agg(
+            F.collect_set("b").alias("ns")
+        )
+        m = F.array_min(F.array_union(F.col("ns"), F.array(F.col("a"))))
+        if large:
+            targets = F.filter(F.col("ns"), lambda v: v > F.col("a"))
+        else:
+            targets = F.array_union(
+                F.filter(F.col("ns"), lambda v: v <= F.col("a")),
+                F.array(F.col("a")),
+            )
+        return (
+            grouped.select(
+                F.explode(targets).alias("a"), m.alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        nxt = star(star(edges, large=True), large=False).localCheckpoint(
+            eager=False
+        )
+        changed = (
+            nxt.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(nxt).limit(1).count()
+        )
+        edges = nxt
+        if not changed:
+            break
+    # final star graphs: every non-root points at its component root
+    comp = edges.select(
+        F.greatest("a", "b").alias("id"), F.least("a", "b").alias("comp")
+    ).distinct()
+    roots = comp.select(F.col("comp").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    return comp.unionByName(roots)

@@ -303,3 +303,30 @@ def test_ann_broadcast_and_join_paths_agree(spark, sf_dir):
     ivf_b = ivf_topk(q, c, k=3, broadcast_queries=True)
     ivf_j = ivf_topk(q, c, k=3, broadcast_queries=False)
     assert rows(ivf_b) == rows(ivf_j)
+
+
+def test_connected_components_star_equals_label_prop(spark):
+    """large-star/small-star must produce the identical component
+    assignment as label propagation on random graphs — chains,
+    cliques, forests, and dense blobs alike."""
+    import random
+
+    from feray_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(5, 30)
+        n_edges = rng.randint(n // 2, n * 2)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        lp = {(r.id, r.comp) for r in connected_components(pairs, max_iters=50).collect()}
+        st = {(r.id, r.comp) for r in connected_components_star(pairs).collect()}
+        assert lp == st, f"trial {trial}: {sorted(lp)} != {sorted(st)}"
