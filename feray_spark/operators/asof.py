@@ -132,7 +132,15 @@ def asof_join_multi(
     carries a NULL payload for it (invisible to that feature's
     ``last``). At 100 TB this is the difference between O(features)
     and O(1) passes over the event log — the standard feature-store
-    "N aggregates off one event stream" pattern."""
+    "N aggregates off one event stream" pattern.
+
+    Tie rule: right rows sharing (key, ts) are ordered by the frozen
+    tuple of ALL features' (pre-fill) payload structs, and every
+    feature's ``last`` is evaluated in one projection over that
+    untouched ordering — so tie resolution is deterministic and
+    consistent across features, and matches the chained
+    :func:`asof_join` form whenever features share payload columns
+    (each asof_join breaks ties by its own payload struct)."""
     on = list(on)
     left_side, right_side = (0, 1) if not allow_exact_matches else (1, 0)
     pay_names = {sfx: f"__asof_pay{sfx}" for sfx in features}
@@ -172,11 +180,20 @@ def asof_join_multi(
         )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    matched = unioned
-    for sfx in features:
-        matched = matched.withColumn(
-            pay_names[sfx], F.last(pay_names[sfx], ignorenulls=True).over(w)
-        )
+    # All features' ``last`` must be evaluated in ONE select over the
+    # untouched union: chained withColumn would overwrite pay columns the
+    # shared window's orderBy still references, so later features could
+    # resolve (ts, side)-ties against a different right row than earlier
+    # ones. A single projection keeps tie resolution consistent across
+    # features (and identical to the chained asof_join form).
+    payset = set(pay_names.values())
+    matched = unioned.select(
+        *[F.col(c) for c in unioned.columns if c not in payset],
+        *[
+            F.last(pay_names[sfx], ignorenulls=True).over(w).alias(pay_names[sfx])
+            for sfx in features
+        ],
+    )
     out = matched.filter(F.col("__asof_lpay").isNotNull())
     return out.select(
         *[F.col(f"__asof_lpay.{c}").alias(c) for c in left.columns],

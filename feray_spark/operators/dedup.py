@@ -26,6 +26,8 @@ md5 per shingle via an affine-mod-P family (functions.text
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -371,6 +373,7 @@ def connected_components(
         .select(F.col("a").alias("id"), "comp")
         .localCheckpoint(eager=False)
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("id", "b"), "b")
@@ -396,7 +399,20 @@ def connected_components(
         )
         labels = nxt
         if not changed:
+            converged = True
             break
+    if not converged:
+        # Diameter exceeded max_iters: the labels are still moving, so
+        # returning them would be silently wrong. Fall through to the
+        # O(log n)-round star variant, which converges on any topology.
+        warnings.warn(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds the iteration bound); falling back to "
+            "connected_components_star",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return connected_components_star(pairs, id_a, id_b)
     return labels
 
 
@@ -474,4 +490,16 @@ def connected_components_star(
     roots = comp.select(F.col("comp").alias("id")).distinct().withColumn(
         "comp", F.col("id")
     )
-    return comp.unionByName(roots)
+    result = comp.unionByName(roots)
+    # Nodes appearing only in self-pairs were dropped by the a != b edge
+    # filter; emit them as their own singleton components so the output
+    # agrees with connected_components on every pair input.
+    all_ids = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    singletons = all_ids.join(result, "id", "left_anti").withColumn(
+        "comp", F.col("id")
+    )
+    return result.unionByName(singletons)

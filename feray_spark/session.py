@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark import SparkConf
 from pyspark.sql import SparkSession
 
 # Semantics-bearing configs: identical everywhere (tests, bench, cluster).
@@ -80,10 +81,13 @@ def get_spark(
     # JIT flushes hot methods and queries rerun semi-interpreted —
     # measured 2x+ slowdowns on codegen-heavy operators. Size it so
     # the whole catalog stays compiled.
-    builder = builder.config(
-        "spark.driver.extraJavaOptions",
-        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
-    )
+    # Append to (not replace) any deployment-provided driver JVM options
+    # (spark-defaults.conf / env), so cluster operators' flags survive.
+    cache_flags = "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+    existing_opts = SparkConf().get("spark.driver.extraJavaOptions", "") or ""
+    if cache_flags not in existing_opts:
+        existing_opts = f"{existing_opts} {cache_flags}".strip()
+    builder = builder.config("spark.driver.extraJavaOptions", existing_opts)
     # ...and the compiled-class cache that fronts the JIT: it holds
     # 100 generated classes by default, while the query catalog
     # compiles several codegen units per query — a sweep over the

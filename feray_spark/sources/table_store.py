@@ -422,7 +422,12 @@ class TableStore:
                 )
                 return self._commit(table, commit)
         target = self.read(spark, table)
-        kept = target.filter(f"NOT ({predicate})")
+        # Delta's replaceWhere keeps every row where the predicate is not
+        # TRUE — including NULL-evaluating rows (three-valued logic).
+        # NOT(predicate) alone would drop NULL rows here while the
+        # metadata-only partition path above carries them, so coalesce to
+        # FALSE to keep the two paths (and Delta) in agreement.
+        kept = target.filter(F.coalesce(F.expr(predicate), F.lit(False)) == F.lit(False))
         merged = kept.unionByName(replacement)
         return self.write(
             merged,

@@ -64,6 +64,23 @@ def test_replace_where_backfill_scope(spark, tmp_root):
         ts.replace_where(spark, "t", bad, "part = 'x'")
 
 
+def test_replace_where_keeps_null_predicate_rows(spark, tmp_root):
+    """Delta's replaceWhere keeps every row where the predicate is not
+    TRUE — including NULL-evaluating rows. The rewrite fallback path
+    (unpartitioned table) must match that and the metadata-only
+    partition path: a NULL-keyed row survives the backfill."""
+    ts = TableStore(tmp_root)
+    base = spark.createDataFrame(
+        [(1, "x", 10.0), (2, None, 20.0), (3, "y", 30.0)],
+        "id int, part string, v double",
+    )
+    ts.write(base, "t", mode="overwrite")  # unpartitioned → rewrite path
+    repl = spark.createDataFrame([(9, "x", 99.0)], "id int, part string, v double")
+    ts.replace_where(spark, "t", repl, "part = 'x'")
+    got = {(r.id, r.part) for r in ts.read(spark, "t").collect()}
+    assert got == {(9, "x"), (2, None), (3, "y")}
+
+
 # ----------------------------------------------------- feature store
 
 

@@ -323,10 +323,27 @@ def test_connected_components_star_equals_label_prop(spark):
         edges = [
             (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
         ]
-        edges = [(a, b) for a, b in edges if a != b]
+        # self-pairs stay in: both variants must emit a node that appears
+        # only as (a, a) as its own singleton component
+        edges.append((n, n))
         if not edges:
             continue
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         lp = {(r.id, r.comp) for r in connected_components(pairs, max_iters=50).collect()}
         st = {(r.id, r.comp) for r in connected_components_star(pairs).collect()}
         assert lp == st, f"trial {trial}: {sorted(lp)} != {sorted(st)}"
+
+
+def test_connected_components_chain_exceeding_max_iters_falls_back(spark):
+    """A chain whose diameter exceeds max_iters must NOT return the
+    still-moving (wrong) labels: the operator warns and falls through
+    to the star variant, which is correct on any topology."""
+    import pytest as _pytest
+
+    from feray_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(12)]  # diameter 12
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        labels = connected_components(pairs, max_iters=2).collect()
+    assert {(r.id, r.comp) for r in labels} == {(i, 0) for i in range(13)}

@@ -236,3 +236,55 @@ def test_asof_multi_equals_chained(spark, left, right, exact):
         (r.lid, r.payload_all, r.payload_flagged) for r in df.collect()
     )
     assert canon(multi) == canon(step2)
+
+
+def test_asof_multi_tie_resolution_matches_chained(spark):
+    """Duplicate (key, ts) right rows: multi's single-projection tie
+    rule (frozen payload tuple ordering) must agree with chaining
+    asof_join per feature when features share payload columns — the
+    regression for the sequential-fill bug where later features read
+    an already-mutated pay column out of the shared window's orderBy."""
+    from feray_spark.operators.asof import asof_join, asof_join_multi
+
+    l_df = spark.createDataFrame(
+        [(0, "k", 10), (1, "k", 20)], "lid int, k string, t long"
+    ).select("lid", "k", F.timestamp_seconds("t").alias("ts"))
+    # three right rows tied at ts=10, mixed flags
+    r_df = spark.createDataFrame(
+        [("k", 10, True, 1.0), ("k", 10, False, 5.0), ("k", 10, True, 3.0)],
+        "k string, t long, flag boolean, payload double",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "flag", "payload")
+
+    for exact in (True, False):
+        multi = asof_join_multi(
+            l_df,
+            r_df,
+            on=["k"],
+            left_ts="ts",
+            right_ts="ts",
+            features={
+                "_all": (None, ["payload"]),
+                "_flagged": (F.col("flag"), ["payload"]),
+            },
+            allow_exact_matches=exact,
+        ).select("lid", "payload_all", "payload_flagged")
+        step1 = asof_join(
+            l_df,
+            r_df.select("k", "ts", "payload"),
+            on=["k"],
+            left_ts="ts",
+            allow_exact_matches=exact,
+            suffix="_all",
+        )
+        chained = asof_join(
+            step1,
+            r_df.filter("flag").select("k", "ts", "payload"),
+            on=["k"],
+            left_ts="ts",
+            allow_exact_matches=exact,
+            suffix="_flagged",
+        ).select("lid", "payload_all", "payload_flagged")
+        canon = lambda df: sorted(  # noqa: E731
+            (r.lid, r.payload_all, r.payload_flagged) for r in df.collect()
+        )
+        assert canon(multi) == canon(chained), f"exact={exact}"
