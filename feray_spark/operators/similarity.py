@@ -320,6 +320,10 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     tau: float = 0.4,
+    max_index_rows: int = 1_000_000,
+    dim: int = 64,
+    n_planes: int = 3,
+    n_tables: int = 6,
 ) -> DataFrame:
     """L2/L3 bridge: exact embedding-cosine near-duplicate pairs —
     every (id_a, id_b, cosine) with cosine >= tau and id_a < id_b.
@@ -331,9 +335,15 @@ def embedding_neardup_pairs(
     and the scan side streams. This is the embedding analog of a
     broadcast hash join, with the same applicability bound: the
     INDEX side must fit in executor memory (64-dim floats: ~0.5 GB
-    per million vectors). Beyond that, switch to bucketed LSH
-    (lsh_bucketed_topk's with_lsh_buckets) or an IVF coarse
-    quantizer so only same-cell pairs are scored.
+    per million vectors).
+
+    The bound is ENFORCED, not advisory: past ``max_index_rows``
+    (a cheap count up front) the operator automatically switches to
+    :func:`embedding_neardup_pairs_bucketed` — LSH-bucketed
+    candidate generation whose cost scales with bucket collisions,
+    not n² — so a 100× corpus degrades to an approximate sub-
+    quadratic plan instead of OOMing the driver. Callers that need
+    exact pairs past the bound must partition the corpus themselves.
 
     float64 matmul; numpy's pairwise summation differs from a
     sequential fold by ~1 ulp, which vanishes under the harness's
@@ -341,6 +351,16 @@ def embedding_neardup_pairs(
     that (fixtures: nearest gap to tau is >= 1e-5).
     """
     sdf = corpus.select(F.col(id_col), F.col(vec_col))
+    if sdf.count() > max_index_rows:
+        return embedding_neardup_pairs_bucketed(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            tau=tau,
+            dim=dim,
+            n_planes=n_planes,
+            n_tables=n_tables,
+        )
     pdf = sdf.toPandas()
     ids = pdf[id_col].to_numpy()
     index = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -364,6 +384,57 @@ def embedding_neardup_pairs(
             )
 
     return fan_out(sdf).mapInPandas(score, "id_a long, id_b long, cosine double")
+
+
+def embedding_neardup_pairs_bucketed(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 3,
+    n_tables: int = 6,
+) -> DataFrame:
+    """The 100-TB shape of :func:`embedding_neardup_pairs`: candidate
+    pairs come from LSH bucket collisions (any of ``n_tables``
+    tables), then exact cosine re-scores and ``tau`` filters — same
+    output schema (id_a, id_b, cosine), id_a < id_b, approximate
+    recall (pairs hashing apart in every table are missed; recall
+    rises with n_tables and falls with n_planes, the standard
+    hyperplane-LSH trade).
+
+    Shuffle accounting: the collision self-join moves ONLY
+    (id, table, bucket) rows — one shuffle on (table, bucket);
+    candidate dedup is one shuffle on the pair id; vectors are
+    attached AFTER dedup by two id-keyed joins, so full embeddings
+    cross the wire O(candidates), never O(n²). Skewed buckets (dense
+    regions) are the residual risk — raise n_planes to split them."""
+    sdf = corpus.select(F.col(id_col), F.col(vec_col))
+    b = with_lsh_buckets(
+        sdf, vec_col=vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables
+    ).select(F.col(id_col), F.posexplode("__buckets").alias("__t", "__b"))
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), ["__t", "__b"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            sdf.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
+            "id_a",
+        )
+        .join(
+            sdf.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")),
+            "id_b",
+        )
+        .withColumn("cosine", cosine_similarity_batch("__va", "__vb"))
+    )
+    return scored.filter(F.col("cosine") >= tau).select("id_a", "id_b", "cosine")
 
 
 def _kmeans_refine(
@@ -410,6 +481,24 @@ def _kmeans_refine(
     return cent
 
 
+def _ivf_cell_plan(
+    n: int, target_cells: int | None = None, max_cells: int = 65_536
+) -> tuple[int, int]:
+    """(target #cells, seed stride) for an IVF index over ``n`` vectors.
+
+    Cells default to ~4·√n (the standard IVF nlist heuristic: cell
+    population ~√n/4 keeps probe cost and assignment cost balanced),
+    hard-capped at ``max_cells`` so the broadcast centroid matrix and
+    the driver-side seed collect are BOUNDED for any corpus: 65 536
+    cells × 64 dims × 8 B ≈ 34 MB at a billion-or-more vectors —
+    never O(n) driver state. Pure function so the bound is unit-
+    testable without building a giant corpus."""
+    target = target_cells if target_cells is not None else 4 * int(n**0.5)
+    target = max(8, min(int(target), max_cells, max(n, 1)))
+    stride = max(1, n // target)
+    return target, stride
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -418,7 +507,9 @@ def ivf_topk(
     corpus_id: str = "c_id",
     vec_col: str = "embedding",
     k: int = 10,
-    centroid_stride: int = 45,
+    centroid_stride: int | None = None,
+    target_cells: int | None = None,
+    max_cells: int = 65_536,
     nprobe: int = 8,
     broadcast_queries: bool = True,
     kmeans_iters: int = 0,
@@ -427,24 +518,36 @@ def ivf_topk(
     the second scale path next to hyperplane LSH. Same output schema
     as brute force: (q_id, c_id, cosine, rank).
 
-    Cells: corpus vectors whose id is ≡ 0 (mod ``centroid_stride``)
-    seed the centroids — deterministic sampled quantization (the
-    standard random-init shortcut; a k-means refinement would drop in
-    here without changing the dataflow). The seed selection runs as a
-    pushed-down filter on the corpus scan, so only the ~n/stride
-    centroid rows are ever collected to the driver — the full corpus
-    is never driver-side materialized. Every corpus vector is
-    assigned to its max-cosine cell by one numpy matmul per Arrow
-    batch against the broadcast centroid matrix; each query probes
-    its ``nprobe`` nearest cells. Candidates = corpus of the probed
-    cells, re-ranked by exact cosine.
+    Cells: corpus vectors whose id is ≡ 0 (mod seed stride) seed the
+    centroids — deterministic sampled quantization (the standard
+    random-init shortcut; a k-means refinement would drop in here
+    without changing the dataflow). The stride derives from a target
+    cell count (~4·√n, capped at ``max_cells`` — see
+    :func:`_ivf_cell_plan`) via one cheap corpus count, so the cell
+    count is BOUNDED at any corpus size; pass ``centroid_stride`` to
+    pin it explicitly instead. The seed selection runs as a pushed-
+    down filter on the corpus scan and is truncated to the target,
+    so only ~target_cells centroid rows are ever collected to the
+    driver — the full corpus is never driver-side materialized.
+    Every corpus vector is assigned to its max-cosine cell by one
+    numpy matmul per Arrow batch against the broadcast centroid
+    matrix; each query probes its ``nprobe`` nearest cells.
+    Candidates = corpus of the probed cells, re-ranked by exact
+    cosine.
 
     Scale shape: the centroid matrix is the only broadcast state
-    (#cells x dim — thousands of cells for billions of vectors); the
-    corpus partitions stream through cell assignment with no
-    shuffle, then shuffle ONCE on the cell id for the candidate
-    join. Recall/cost tunes with nprobe x stride: probed fraction
-    ~= nprobe / #cells."""
+    (#cells x dim — tens of thousands of cells at most for billions
+    of vectors); the corpus partitions stream through cell
+    assignment with no shuffle, then shuffle ONCE on the cell id for
+    the candidate join. Recall/cost tunes with nprobe x cells:
+    probed fraction ~= nprobe / #cells."""
+    if centroid_stride is None:
+        # one cheap count; the stride then bounds the seed collect to
+        # ~n_cells rows (dense ids) before any driver materialization
+        n = corpus.count()
+        n_cells, centroid_stride = _ivf_cell_plan(n, target_cells, max_cells)
+    else:
+        n_cells = None  # explicit stride: caller owns the cell count
     seed = (
         corpus.select(F.col(corpus_id).alias("__sid"), F.col(vec_col).alias("__sv"))
         .filter((F.col("__sid") % centroid_stride) == 0)
@@ -459,7 +562,11 @@ def ivf_topk(
             .limit(max(8, nprobe))
             .toPandas()
         )
-    cent = np.stack(seed.sort_values("__sid")["__sv"].to_numpy()).astype(np.float64)
+    seed = seed.sort_values("__sid")
+    if n_cells is not None:
+        # deterministic trim (smallest ids win) of the rounding excess
+        seed = seed.head(n_cells)
+    cent = np.stack(seed["__sv"].to_numpy()).astype(np.float64)
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
     if kmeans_iters:
         cent = _kmeans_refine(corpus, cent, vec_col=vec_col, iters=kmeans_iters)

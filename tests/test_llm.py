@@ -347,3 +347,59 @@ def test_connected_components_chain_exceeding_max_iters_falls_back(spark):
     with _pytest.warns(RuntimeWarning, match="did not converge"):
         labels = connected_components(pairs, max_iters=2).collect()
     assert {(r.id, r.comp) for r in labels} == {(i, 0) for i in range(13)}
+
+
+def test_ivf_cell_plan_bounded_at_any_corpus_size():
+    """The derived IVF cell count must stay bounded (driver collect +
+    broadcast are O(max_cells), never O(n)) from fixture scale up to
+    100×-fixture and billion-vector corpora."""
+    from feray_spark.operators.similarity import _ivf_cell_plan
+
+    for n in (500, 2_000, 200_000, 10**9, 10**11):
+        cells, stride = _ivf_cell_plan(n)
+        assert 8 <= cells <= 65_536, (n, cells)
+        assert stride >= 1
+        # stride actually lands ~cells seeds for dense ids
+        assert n // stride <= 2 * cells + 8, (n, cells, stride)
+    # explicit target respected and still capped
+    cells, _ = _ivf_cell_plan(10**9, target_cells=1024)
+    assert cells == 1024
+    cells, _ = _ivf_cell_plan(10**9, target_cells=10**8)
+    assert cells == 65_536
+
+
+def test_ivf_topk_default_derived_cells(spark, sf_dir):
+    """ivf_topk with no explicit stride (the l3c path) derives a
+    bounded cell count from the corpus and still finds neighbors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    got = ivf_topk(q, c, k=3).collect()
+    assert len(got) > 0
+    assert all(r.rank <= 3 for r in got)
+
+
+def test_embedding_neardup_guard_switches_to_bucketed(spark, sf_dir):
+    """Past max_index_rows the exact broadcast path must hand off to
+    the LSH-bucketed plan: output is a subset of the exact pairs
+    (approximate recall, identical scores) and recall on the fixture
+    band stays high."""
+    from feray_spark.operators.similarity import embedding_neardup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(e, id_col="vec_id", tau=0.4).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_neardup_pairs(
+            e, id_col="vec_id", tau=0.4, max_index_rows=10
+        ).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    assert len(bucketed) >= 0.5 * len(exact), (len(bucketed), len(exact))
+    for pair, cos in bucketed.items():
+        assert abs(cos - exact[pair]) < 1e-9
