@@ -9,6 +9,7 @@ reads are uniform.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -68,8 +69,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
+_VIEW_CACHE: "WeakKeyDictionary[SparkSession, str]" = WeakKeyDictionary()
+
+
+def register_views(spark: SparkSession, sf_dir: str, *, force: bool = False) -> None:
     """Register every fixture table as a temp view for the SQL entry
-    point (SURVEY §3 EP3: we expose spark.sql over feature tables)."""
+    point (SURVEY §3 EP3: we expose spark.sql over feature tables).
+
+    Idempotent per (session, sf_dir): re-registering the same fixture
+    set is a no-op (the views are just named logical plans over
+    immutable parquet), so repeated SQL entry-point calls don't re-pay
+    10 footer reads + view swaps each time. Switching sf_dir on the
+    same session re-registers; ``force=True`` re-registers
+    unconditionally (e.g. after external view mutation)."""
+    sf = sf_dir.rstrip("/")
+    if not force and _VIEW_CACHE.get(spark) == sf:
+        return
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    _VIEW_CACHE[spark] = sf

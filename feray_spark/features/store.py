@@ -195,6 +195,55 @@ class FeatureStore:
             raise CheckFailure(f"{name}: checks failed: {failed}")
         return self.store.read(self.spark, name), True
 
+    # ----------------------------------------------------------- sync
+
+    def _topo_order(self) -> list[str]:
+        """All registered views, upstream-before-downstream."""
+        order: list[str] = []
+        seen: set[str] = set()
+        visiting: set[str] = set()
+
+        def visit(n: str) -> None:
+            if n in seen:
+                return
+            if n in visiting:
+                raise ValueError(f"feature view cycle at {n!r}")
+            visiting.add(n)
+            for up in self.views[n].inputs:
+                if up in self.views:
+                    visit(up)
+            visiting.discard(n)
+            seen.add(n)
+            order.append(n)
+
+        for n in self.views:
+            visit(n)
+        return order
+
+    def sync(self, *, raise_on_check_failure: bool = True) -> dict[str, bool]:
+        """The automation-condition analog of the reference's
+        ``AutomationCondition.eager() | on_missing()``
+        (``examples/dagster_feray_example/definitions.py:25-27``):
+        one pass over the whole registered DAG in dependency order,
+        recomputing EXACTLY the views whose fingerprint is stale —
+        upstream data changed (source digest or upstream commit
+        fingerprint), code changed, or semantic config flipped — or
+        that have never been materialized (on_missing). Everything
+        else is an FS3 memoization hit served without a job.
+
+        Returns ``{view_name: recomputed}`` — the audit trail of what
+        a scheduler tick actually did. Push-based triggering at scale
+        is this exact function run off a table-commit notification;
+        the recompute set is identical either way because staleness
+        is derived from stored fingerprints, not from who called."""
+        report: dict[str, bool] = {}
+        for name in self._topo_order():
+            _, recomputed = self.materialize(
+                name, raise_on_check_failure=raise_on_check_failure
+            )
+            report[name] = recomputed
+        return report
+
     # ------------------------------------------------------ backfill
 
     def backfill(self, name: str, predicate: str) -> None:

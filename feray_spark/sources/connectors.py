@@ -69,6 +69,7 @@ def jdbc_reader(
     *,
     user: str | None = None,
     password: str | None = None,
+    driver: str | None = None,
     num_partitions: int | None = None,
     partition_column: str | None = None,
     lower_bound: int | None = None,
@@ -81,6 +82,11 @@ def jdbc_reader(
     for anything larger pass (num_partitions, partition_column,
     lower/upper_bound) so Spark issues parallel range queries instead
     of one full scan through a single connection.
+
+    ``driver`` pins the JDBC driver class when the URL scheme isn't
+    auto-registered (e.g. ``org.apache.hive.jdbc.HiveDriver`` for
+    ``jdbc:hive2://`` endpoints — exercised end-to-end in
+    tests/test_connectors.py against an in-process Thrift server).
     """
     reader = (
         spark.read.format("jdbc")
@@ -92,6 +98,8 @@ def jdbc_reader(
         reader = reader.option("user", user)
     if password is not None:
         reader = reader.option("password", password)
+    if driver is not None:
+        reader = reader.option("driver", driver)
     parts = (num_partitions, partition_column, lower_bound, upper_bound)
     if any(p is not None for p in parts):
         if any(p is None for p in parts):

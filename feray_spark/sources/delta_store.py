@@ -1,0 +1,154 @@
+"""Delta Lake backend for the versioned-table contract — the
+"mechanical swap" promised in :mod:`feray_spark.sources.table_store`.
+
+The reference stack claims Delta via delta-rs (reference
+``README.md:15``); our segment-log :class:`TableStore` reproduces the
+capability contract (time travel, MERGE, replaceWhere, commit user
+metadata) over plain parquet. This module is the other half of that
+promise: the SAME API surface implemented with real ``delta-spark``
+calls, so a deployment with the Delta jars switches backends by
+swapping the constructor — nothing downstream changes.
+
+Import-gated: ``delta-spark`` is not in the test image, so
+construction raises a clear error when the package is missing and
+``available()`` lets callers/tests probe first. The shared contract
+suite (tests/test_store_contract.py) runs every assertion against the
+segment-log store unconditionally and against this backend whenever
+the runtime actually has Delta — which is exactly what "mechanical
+swap" should mean: one test file, two backends, identical behavior.
+
+Session requirements (static confs, documented by delta-spark):
+    spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension
+    spark.sql.catalog.spark_catalog=
+        org.apache.spark.sql.delta.catalog.DeltaCatalog
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def available() -> bool:
+    """True when the delta-spark python package is importable."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def session_ready(spark: SparkSession) -> bool:
+    """True when the session was built with the Delta SQL extension
+    (a static conf — it cannot be added after the session exists)."""
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    return "DeltaSparkSessionExtension" in ext
+
+
+class DeltaTableStore:
+    """TableStore-shaped facade over delta-spark.
+
+    Implements the subset the engine uses: ``write`` (overwrite /
+    append, partitioning, commit user metadata), ``read`` (latest or
+    ``versionAsOf`` time travel), ``latest_version``, ``merge``
+    (keyed upsert), ``replace_where`` (predicate-scoped overwrite
+    with Delta's keep-rows-where-predicate-not-TRUE semantics —
+    matching the segment-log store's NULL handling, see
+    table_store.py replace_where), and ``user_metadata`` readback.
+    """
+
+    def __init__(self, root: str):
+        if not available():  # pragma: no cover - exercised only sans delta
+            raise ImportError(
+                "delta-spark is not installed; use "
+                "feray_spark.sources.table_store.TableStore (same API) "
+                "or add the delta-spark package + jars to the session"
+            )
+        self.root = root
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    # ------------------------------------------------------- write
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        *,
+        mode: str = "overwrite",
+        user_metadata: dict[str, Any] | None = None,
+        partition_by: Sequence[str] | None = None,
+    ) -> None:
+        writer = df.write.format("delta").mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if user_metadata:
+            writer = writer.option("userMetadata", json.dumps(user_metadata))
+        if mode == "overwrite":
+            writer = writer.option("overwriteSchema", "true")
+        writer.save(self._path(table))
+
+    # -------------------------------------------------------- read
+
+    def read(
+        self, spark: SparkSession, table: str, *, version: int | None = None
+    ) -> DataFrame:
+        reader = spark.read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", str(version))
+        return reader.load(self._path(table))
+
+    def latest_version(self, spark: SparkSession, table: str) -> int:
+        from delta.tables import DeltaTable
+
+        hist = DeltaTable.forPath(spark, self._path(table)).history(1)
+        return int(hist.select("version").collect()[0][0])
+
+    def user_metadata(self, spark: SparkSession, table: str) -> dict[str, Any]:
+        from delta.tables import DeltaTable
+
+        hist = DeltaTable.forPath(spark, self._path(table)).history(1)
+        raw = hist.select("userMetadata").collect()[0][0]
+        return json.loads(raw) if raw else {}
+
+    # ------------------------------------------------------- merge
+
+    def merge(
+        self, spark: SparkSession, table: str, source: DataFrame, keys: Sequence[str]
+    ) -> None:
+        from delta.tables import DeltaTable
+
+        target = DeltaTable.forPath(spark, self._path(table))
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        (
+            target.alias("t")
+            .merge(source.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+    # ----------------------------------------------------- backfill
+
+    def replace_where(
+        self,
+        spark: SparkSession,
+        table: str,
+        replacement: DataFrame,
+        predicate: str,
+        *,
+        user_metadata: dict[str, Any] | None = None,
+    ) -> None:
+        writer = (
+            replacement.write.format("delta")
+            .mode("overwrite")
+            .option("replaceWhere", predicate)
+        )
+        if user_metadata:
+            writer = writer.option("userMetadata", json.dumps(user_metadata))
+        writer.save(self._path(table))

@@ -63,3 +63,82 @@ def test_jdbc_writer_builds(spark):
     df = spark.range(3)
     w = jdbc_writer(df, "jdbc:postgresql://db:5432/registry", "t", mode="overwrite")
     assert w is not None
+
+
+# ------------------------------------------- live S4 round-trip (real)
+
+
+def test_jdbc_partitioned_round_trip_live(spark):
+    """S4 executed for real, zero external services: Spark's own Hive
+    Thrift server is started in-process over the test session, a
+    fixture slice is exposed as a global temp view, and
+    ``jdbc_reader`` pulls it back over genuine JDBC (hive-jdbc driver,
+    TCP, wire types) as a PARTITIONED read — 3 parallel range scans.
+
+    Two environment-specific requirements, both discovered the hard
+    way: (1) the generic JDBC dialect double-quotes identifiers,
+    which a Spark server only parses as identifiers under
+    ``ansi.enabled`` + ``ansi.doubleQuotedIdentifiers`` — shipped as
+    URL session confs so only the server-side sessions flip; (2) the
+    scan tasks occupy executor slots while the server needs slots to
+    answer, so num_partitions must stay below the local[] core count
+    or the read deadlocks (real clusters: reader and server are
+    different executors)."""
+    import time
+
+    from feray_spark.sources.connectors import jdbc_reader
+
+    jvm = spark._jvm
+    try:
+        jvm.java.lang.Class.forName("org.apache.hive.jdbc.HiveDriver")
+    except Exception:
+        pytest.skip("hive-jdbc driver not on the classpath")
+    if not spark._jsparkSession.sqlContext():
+        pytest.skip("no sqlContext")
+
+    src = (
+        spark.range(1000)
+        .selectExpr("id", "cast(id * 7 as double) as amount")
+    )
+    src.createOrReplaceGlobalTempView("s4_roundtrip")
+
+    try:
+        jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(
+            spark._jsparkSession.sqlContext()
+        )
+    except Exception as exc:  # port bound by a parallel run, jars absent…
+        pytest.skip(f"thrift server unavailable: {exc}")
+
+    url = (
+        "jdbc:hive2://localhost:10000/default"
+        "?spark.sql.ansi.enabled=true"
+        ";spark.sql.ansi.doubleQuotedIdentifiers=true"
+    )
+    # wait for the listener (the server binds asynchronously)
+    deadline = time.time() + 60
+    last = None
+    while time.time() < deadline:
+        try:
+            conn = jvm.java.sql.DriverManager.getConnection(url)
+            conn.close()
+            break
+        except Exception as exc:
+            last = exc
+            time.sleep(1)
+    else:
+        pytest.skip(f"thrift server never came up: {last}")
+
+    got = jdbc_reader(
+        spark,
+        url,
+        "global_temp.s4_roundtrip",
+        driver="org.apache.hive.jdbc.HiveDriver",
+        num_partitions=3,
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1000,
+    ).load()
+    assert got.rdd.getNumPartitions() == 3
+    assert got.count() == 1000
+    spark_sum = got.agg({"amount": "sum"}).collect()[0][0]
+    assert spark_sum == sum(i * 7.0 for i in range(1000))

@@ -436,3 +436,53 @@ def test_store_model_based_random_ops(spark, tmp_root):
         got = {(r.id, r.part, r.v) for r in ts.read(spark, "t", version=ver).collect()}
         want = {(i, p, v) for i, (p, v) in snap.items()}
         assert got == want, f"time travel divergence at v{ver}"
+
+
+def test_sync_recomputes_exactly_stale_views(spark, tmp_root):
+    """The automation-condition analog (eager | on_missing): first
+    sync materializes everything; a clean second sync recomputes
+    nothing; mutating ONE upstream source recomputes exactly that
+    branch of the DAG and leaves the independent branch memoized."""
+    import os
+    import shutil
+
+    src_a = os.path.join(tmp_root, "src_a")
+    src_b = os.path.join(tmp_root, "src_b")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double").write.parquet(src_a)
+    spark.createDataFrame([(1, 5.0)], "k int, w double").write.parquet(src_b)
+
+    fs = FeatureStore(
+        spark, os.path.join(tmp_root, "store"), sources={"sa": src_a, "sb": src_b}
+    )
+
+    @fs.feature_view(name="va", inputs=["sa"], entities=["k"])
+    def va(spark, inputs):
+        return inputs["sa"].groupBy("k").agg(F.sum("v").alias("v_sum"))
+
+    @fs.feature_view(name="vb", inputs=["sb"], entities=["k"])
+    def vb(spark, inputs):
+        return inputs["sb"].select("k", "w")
+
+    @fs.feature_view(name="vc", inputs=["va"], entities=["k"])
+    def vc(spark, inputs):
+        return inputs["va"].select("k", (F.col("v_sum") * 2).alias("v2"))
+
+    # on_missing: everything computes
+    assert fs.sync() == {"va": True, "vb": True, "vc": True}
+    # clean tick: everything is a memoization hit
+    assert fs.sync() == {"va": False, "vb": False, "vc": False}
+
+    # mutate upstream sa (new content + bumped mtime: the source digest
+    # is (name, size, mtime) — second-resolution, so bump explicitly)
+    shutil.rmtree(src_a)
+    spark.createDataFrame(
+        [(1, 11.0), (2, 20.0), (3, 30.0)], "k int, v double"
+    ).write.parquet(src_a)
+    future = os.stat(src_a).st_mtime + 5
+    for f in os.listdir(src_a):
+        os.utime(os.path.join(src_a, f), (future, future))
+
+    # eager: exactly the sa-branch recomputes
+    assert fs.sync() == {"va": True, "vb": False, "vc": True}
+    got = {(r.k, r.v2) for r in fs.store.read(spark, "vc").select("k", "v2").collect()}
+    assert got == {(1, 22.0), (2, 40.0), (3, 60.0)}

@@ -1,0 +1,144 @@
+"""One versioned-table contract, two backends.
+
+The segment-log :class:`TableStore` documents itself as a mechanical
+swap for real Delta (table_store.py module docstring); this suite is
+that promise made executable: every assertion runs against the
+segment-log store unconditionally, and against
+:class:`feray_spark.sources.delta_store.DeltaTableStore` whenever the
+runtime actually has delta-spark (package + session extension). In
+this image delta-spark is absent, so the delta parametrization
+reports as skipped — on a Delta-equipped deployment the same file
+proves behavioral equivalence with zero edits.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from feray_spark.sources import delta_store
+from feray_spark.sources.table_store import TableStore
+
+BACKENDS = ["segment_log", "delta"]
+
+
+class _SegmentAdapter:
+    def __init__(self, spark, root):
+        self.spark = spark
+        self.ts = TableStore(root)
+
+    def write(self, df, table, mode="overwrite", user_metadata=None, partition_by=None):
+        self.ts.write(
+            df, table, mode=mode, user_metadata=user_metadata, partition_by=partition_by
+        )
+
+    def read(self, table, version=None):
+        return self.ts.read(self.spark, table, version=version)
+
+    def latest_version(self, table):
+        return self.ts.latest_version(table)
+
+    def user_metadata(self, table):
+        return self.ts.commit_info(table).user_metadata
+
+    def merge(self, table, source, keys):
+        self.ts.merge(self.spark, table, source, keys=keys)
+
+    def replace_where(self, table, replacement, predicate):
+        self.ts.replace_where(self.spark, table, replacement, predicate)
+
+
+class _DeltaAdapter:
+    def __init__(self, spark, root):
+        self.spark = spark
+        self.ds = delta_store.DeltaTableStore(root)
+
+    def write(self, df, table, mode="overwrite", user_metadata=None, partition_by=None):
+        self.ds.write(
+            df, table, mode=mode, user_metadata=user_metadata, partition_by=partition_by
+        )
+
+    def read(self, table, version=None):
+        return self.ds.read(self.spark, table, version=version)
+
+    def latest_version(self, table):
+        return self.ds.latest_version(self.spark, table)
+
+    def user_metadata(self, table):
+        return self.ds.user_metadata(self.spark, table)
+
+    def merge(self, table, source, keys):
+        self.ds.merge(self.spark, table, source, keys=keys)
+
+    def replace_where(self, table, replacement, predicate):
+        self.ds.replace_where(self.spark, table, replacement, predicate)
+
+
+@pytest.fixture(params=BACKENDS)
+def store(request, spark):
+    root = tempfile.mkdtemp(prefix=f"store_contract_{request.param}_")
+    if request.param == "delta":
+        if not delta_store.available():
+            pytest.skip("delta-spark not installed in this image")
+        if not delta_store.session_ready(spark):
+            pytest.skip(
+                "delta-spark installed but the session lacks "
+                "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension"
+            )
+        yield _DeltaAdapter(spark, root)
+    else:
+        yield _SegmentAdapter(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_contract_versions_and_time_travel(store, spark):
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    store.write(df1, "t", mode="overwrite")
+    df2 = spark.createDataFrame([(3, "c")], "id int, v string")
+    store.write(df2, "t", mode="append")
+
+    assert store.latest_version("t") == 1
+    assert store.read("t").count() == 3
+    assert store.read("t", version=0).count() == 2
+
+
+def test_contract_commit_user_metadata(store, spark):
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    store.write(df, "t", mode="overwrite", user_metadata={"fingerprint": "abc123"})
+    assert store.user_metadata("t").get("fingerprint") == "abc123"
+
+
+def test_contract_merge_upsert(store, spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    store.write(base, "t", mode="overwrite")
+    src = spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")
+    store.merge("t", src, keys=["id"])
+    got = {(r.id, r.v) for r in store.read("t").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_contract_replace_where_scope_and_nulls(store, spark):
+    """Delta semantics both backends must share: replaceWhere swaps
+    exactly the predicate-TRUE slice and KEEPS NULL-evaluating rows."""
+    base = spark.createDataFrame(
+        [(1, "x", 10.0), (2, None, 20.0), (3, "y", 30.0)],
+        "id int, part string, v double",
+    )
+    store.write(base, "t", mode="overwrite")
+    repl = spark.createDataFrame([(9, "x", 99.0)], "id int, part string, v double")
+    store.replace_where("t", repl, "part = 'x'")
+    got = {(r.id, r.part) for r in store.read("t").collect()}
+    assert got == {(9, "x"), (2, None), (3, "y")}
+
+
+def test_contract_partitioned_write_roundtrip(store, spark):
+    df = spark.createDataFrame(
+        [(1, 1995, 10.0), (2, 1995, 20.0), (3, 1996, 30.0)],
+        "id int, yr int, v double",
+    )
+    store.write(df, "t", mode="overwrite", partition_by=["yr"])
+    got = store.read("t").filter("yr = 1995")
+    assert got.count() == 2
+    assert {r.id for r in got.collect()} == {1, 2}
