@@ -714,3 +714,128 @@ def l2e_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), F.col("comp").alias("component")
     )
+
+
+# --------------------------------------------------- L10/L11 text ops
+
+#: PII patterns shared verbatim by the Spark expressions and the
+#: DuckDB oracle — both engines run RE2-compatible syntax, so one
+#: pattern string serves Java regex and DuckDB alike.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "l10_pii_redaction",
+    oracle=f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or call +1-555-0142'
+                       ELSE '' END AS t
+            FROM documents
+        ), red AS (
+            SELECT doc_id, t,
+                   regexp_replace(
+                       regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g') AS r
+            FROM planted
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
+               CAST(length(r) AS BIGINT) AS redacted_len,
+               md5(r) AS redacted_md5
+        FROM red
+    """,
+    tags=("llm", "L10", "pii"),
+)
+def l10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10: PII detection + redaction — the compliance pass every
+    training-data pipeline runs before anything else. Emails and
+    phone numbers are regex-counted and replaced with typed
+    placeholder tags; the md5 of the redacted text pins the exact
+    output byte-for-byte against the oracle.
+
+    The fixture corpus contains no natural PII, so a deterministic
+    contact line is planted for doc_id % 7 == 0 INSIDE the query
+    (identically on both engines) — the redaction regexes then have
+    real ground truth to hit, and every other doc proves the
+    no-false-positive side.
+
+    Scale shape: one projection, zero shuffles — regexp_count /
+    regexp_replace / md5 are all JVM-side codegen'd expressions, so
+    the pass runs at scan speed and pushes nothing to Python."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call +1-555-0142"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(planted, F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(planted, F.lit(_PHONE_RE)).alias("n_phones"),
+        F.length(red).cast("bigint").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+@register(
+    "l11_repetition_signals",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
+        ), wc AS (
+            SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               COUNT(*) AS n_distinct_words,
+               1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                   AS dup_word_ratio,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                   AS top_word_share
+        FROM wc GROUP BY doc_id
+    """,
+    tags=("llm", "L11", "quality"),
+)
+def l11_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11: within-document repetition signals (the Gopher-rules
+    family): duplicate-word ratio (1 - distinct/total) and top-word
+    dominance (mode frequency / total) — the standard filters for
+    boilerplate, keyword stuffing and degenerate generations.
+
+    Scale shape: the canonical token pipeline — explode tokens, one
+    hash-agg on (doc_id, word) with map-side partial counts, then a
+    second partial-agg rollup to doc_id. Both shuffles are keyed on
+    doc-scoped keys (no global hot key possible: a key's volume is
+    bounded by its own document's length)."""
+    from feray_spark.functions.text import words as words_fn
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    wc = (
+        d.select("doc_id", F.explode(words_fn("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        (F.lit(1.0) - F.count("*") / F.sum("c")).alias("dup_word_ratio"),
+        (F.max("c") / F.sum("c")).alias("top_word_share"),
+    )
