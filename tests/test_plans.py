@@ -274,3 +274,25 @@ def test_subquery_decorrelation(spark, sf_dir):
     plan = plan_of(q.fn(spark, sf_dir))
     assert "LeftSemi" in plan, plan
     assert "Subquery" in plan or "ReusedSubquery" in plan, plan
+
+
+def test_pii_redaction_is_zero_shuffle_projection(spark, sf_dir):
+    """l10: the PII pass must run at scan speed — a single projection
+    with no KEYED shuffle and no Python evaluation (regexp_count /
+    regexp_replace / md5 are JVM expressions). The only allowed
+    exchange is fan_out's round-robin rebalance of an
+    under-partitioned scan (data moves once, no key, no sort)."""
+    q = load_all()["l10_pii_redaction"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # fan_out round-robin only
+    assert "Python" not in plan, plan  # no BatchEvalPython/ArrowEval
+
+
+def test_repetition_signals_two_docscoped_shuffles(spark, sf_dir):
+    """l11: exactly the two aggregation exchanges of the token
+    pipeline — (doc_id, word) then doc_id — with map-side partial
+    aggregation before each."""
+    q = load_all()["l11_repetition_signals"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
