@@ -839,3 +839,73 @@ def l11_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) - F.count("*") / F.sum("c")).alias("dup_word_ratio"),
         (F.max("c") / F.sum("c")).alias("top_word_share"),
     )
+
+
+_CONTAM_N = 12  # words per probe n-gram (GPT-3-style decontamination uses 13)
+
+
+@register(
+    "l12_contamination_check",
+    oracle=f"""
+        WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+        grams AS (
+            SELECT doc_id, unnest(list_distinct(
+                list_transform(range(1, len(w) - {_CONTAM_N} + 2),
+                    i -> list_aggregate(w[i:i+{_CONTAM_N}-1], 'string_agg', ' '))))
+                AS g
+            FROM words WHERE len(w) >= {_CONTAM_N}
+        ),
+        probes AS (
+            SELECT doc_id AS eval_id,
+                   list_aggregate(w[1:{_CONTAM_N}], 'string_agg', ' ') AS g
+            FROM words WHERE doc_id % 97 = 0 AND len(w) >= {_CONTAM_N}
+        )
+        SELECT p.eval_id,
+               COUNT(DISTINCT g.doc_id) AS n_docs_containing,
+               CAST(MAX(CASE WHEN g.doc_id = p.eval_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS self_hit
+        FROM probes p JOIN grams g USING (g)
+        GROUP BY p.eval_id
+    """,
+    tags=("llm", "L12", "dedup", "contamination"),
+)
+def l12_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12: train/eval contamination check — for every benchmark
+    probe (here: the first 12 words of each doc_id % 97 == 0 doc,
+    so each probe has guaranteed ground truth in its source doc),
+    find every corpus document containing that n-gram. The
+    GPT-3-style decontamination pass, word-n-gram variant.
+
+    Scale shape: the PRODUCTION shape for decontamination — the
+    benchmark probe set is small by construction (benchmarks are
+    MBs; the corpus is the 100 TB side), so probes broadcast and the
+    corpus n-gram stream map-side joins against them: the corpus is
+    scanned ONCE, nothing corpus-sized ever shuffles, and the only
+    exchange is the final tiny per-eval-item aggregate."""
+    from feray_spark.functions.text import shingles_from_words
+    from feray_spark.functions.text import words as words_fn
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        fan_out(d)
+        .select("doc_id", words_fn("text").alias("__w"))
+        .filter(F.size("__w") >= _CONTAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_from_words(F.col("__w"), _CONTAM_N))
+            ).alias("g"),
+        )
+    )
+    probes = (
+        d.select(F.col("doc_id").alias("eval_id"), words_fn("text").alias("__w"))
+        .filter((F.col("eval_id") % 97 == 0) & (F.size("__w") >= _CONTAM_N))
+        .select("eval_id", F.concat_ws(" ", F.slice("__w", 1, _CONTAM_N)).alias("g"))
+    )
+    joined = grams.join(F.broadcast(probes), "g")
+    return joined.groupBy("eval_id").agg(
+        F.countDistinct("doc_id").alias("n_docs_containing"),
+        F.max(F.when(F.col("doc_id") == F.col("eval_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("self_hit"),
+    )

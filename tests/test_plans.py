@@ -296,3 +296,13 @@ def test_repetition_signals_two_docscoped_shuffles(spark, sf_dir):
     q = load_all()["l11_repetition_signals"]
     plan = plan_of(q.fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_contamination_probes_broadcast(spark, sf_dir):
+    """l12: the benchmark probe set must broadcast — the corpus gram
+    stream map-side joins it; a SortMergeJoin here would shuffle the
+    corpus-sized side."""
+    q = load_all()["l12_contamination_check"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
