@@ -289,13 +289,15 @@ def test_pii_redaction_is_zero_shuffle_projection(spark, sf_dir):
     assert "Python" not in plan, plan  # no BatchEvalPython/ArrowEval
 
 
-def test_repetition_signals_two_docscoped_shuffles(spark, sf_dir):
-    """l11: exactly the two aggregation exchanges of the token
-    pipeline — (doc_id, word) then doc_id — with map-side partial
-    aggregation before each."""
+def test_repetition_signals_zero_keyed_shuffles(spark, sf_dir):
+    """l11: per-document repetition must never shuffle tokens — the
+    sorted-array run-length shape has NO keyed exchange (only
+    fan_out's round-robin rebalance) and no Python evaluation."""
     q = load_all()["l11_repetition_signals"]
     plan = plan_of(q.fn(spark, sf_dir))
-    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # fan_out round-robin only
+    assert "Python" not in plan, plan
 
 
 def test_contamination_probes_broadcast(spark, sf_dir):
