@@ -308,3 +308,41 @@ def running_counts_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents fixture — the unbounded
+    twin of the LLM text-pipeline inputs, staged the same way as
+    :func:`stream_events`."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = table_path(sf_dir, "documents")
+    tag = hashlib.sha256(src.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"feray_stream_doc_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).format("parquet").load(stage)
+
+
+def quality_filter_stream(docs: DataFrame) -> DataFrame:
+    """The ingest half of the L7 quality pipeline on an unbounded
+    document stream: length bounds → language allowlist →
+    within-stream dedup on the exact text hash. Every stage is
+    either stateless (predicates run per micro-batch at scan speed)
+    or watermark-free key dedup (the seen-hash map is the only
+    state; production bounds it with
+    ``dropDuplicatesWithinWatermark`` once docs carry event time).
+    Batch parity: the same predicates + first-seen-wins dedup
+    semantics as the bounded pipeline — asserted by the streaming
+    smoke test."""
+    kept = docs.filter(
+        F.length("text").between(50, 100000) & F.col("lang").isin("en", "de")
+    )
+    return kept.withColumn("__h", F.sha2(F.col("text"), 256)).dropDuplicates(
+        ["__h"]
+    ).drop("__h")

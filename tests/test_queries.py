@@ -36,3 +36,30 @@ def test_register_views_cache_tracks_sf_dir(spark):
     # repeat registration is served from cache (same result, no swap)
     register_views(spark, "/root/testdata/sf0.01")
     assert spark.sql("SELECT count(*) AS n FROM orders").collect()[0].n == n_big
+
+
+def test_driver_window_is_the_priority_rotation():
+    """The driver's correctness runner checks only the FIRST 50
+    entries of queries(); this round's goal is verifying the
+    never-yet-checked queries, so the window must be exactly the
+    rotation list — in order, every entry oracle-gated."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__spark_entry__.py"),
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    q = entry.queries()
+    osql = entry.oracle_sql()
+    window = list(q)[:50]
+    assert window == entry._DRIVER_PRIORITY[:50]
+    assert all(n in osql for n in window), [n for n in window if n not in osql]
+    # ordering helper must keep every registry entry exactly once
+    assert sorted(q) == sorted(set(q)) and len(q) == len(osql) + sum(
+        1 for n in q if n not in osql
+    )

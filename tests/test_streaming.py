@@ -264,3 +264,40 @@ def test_transform_with_state_running_count(spark, tmp_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_quality_filter_stream_matches_batch(spark, tmp_dir):
+    """The L7 ingest pipeline (length/lang predicates + exact-text
+    dedup) run as a document stream must keep exactly the same doc
+    set as the bounded run — stateless predicates micro-batch
+    cleanly and dedup state keys on the content hash."""
+    from feray_spark.streaming.fastlane import (
+        quality_filter_stream,
+        stream_documents,
+    )
+
+    stream = quality_filter_stream(stream_documents(spark, SF_DIR))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("doc_quality_out")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM doc_quality_out").collect()}
+
+    batch = quality_filter_stream(load_table(spark, SF_DIR, "documents"))
+    # batch dropDuplicates keeps an arbitrary winner per hash; compare
+    # the KEPT TEXT SET (the pipeline's contract), not winner doc_ids
+    got_texts = {
+        r.text
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id").isin(list(got)))
+        .select("text")
+        .collect()
+    }
+    want_texts = {r.text for r in batch.select("text").collect()}
+    assert got_texts == want_texts
+    assert len(got) == len(want_texts)  # one winner per distinct text
