@@ -392,3 +392,70 @@ def a2_first_last_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
     )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "a12_table_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS DOUBLE) AS min_v,
+               CAST(MAX({c}) AS DOUBLE) AS max_v,
+               CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT({c}) AS mean_v
+        FROM lineitem
+        """
+        for c in _PROFILE_COLS
+    ),
+    tags=("agg", "A12", "profiling"),
+)
+def a12_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (beyond the brief): column profiling — null count, exact
+    distinct count, min/max/mean per numeric column, one output row
+    per column. The precursor to every FS5 asset check (bounds,
+    null-rate, cardinality drift) and the first thing a data
+    pipeline materializes about a new table.
+
+    Scale note: ALL columns profile in one pass over the scan —
+    Spark plans the multi-countDistinct via one Expand (input ×
+    #columns into partial aggs, map-side combined), so the table is
+    read once, not once per column. At 100 TB swap the exact
+    ``countDistinct`` for ``approx_count_distinct`` (the A5 path) —
+    exact NDV is the only term whose state grows with cardinality;
+    everything else is O(1) per column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            # decimal-exact accumulation: a raw double AVG is
+            # partial-sum-order dependent and can drift past the
+            # harness's 1e-9 rounding at scale (all four columns are
+            # 2-decimal fixed-point in the fixtures)
+            (F.sum(F.col(c).cast("decimal(18,2)")).cast("double") / F.count(c)).alias(
+                f"{c}__mean"
+            ),
+        ]
+    wide = li.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__ndv").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_v"),
+                F.col(f"{c}__max").alias("max_v"),
+                F.col(f"{c}__mean").alias("mean_v"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select("p.*")
