@@ -11,6 +11,7 @@ stay in lock-step with the Spark-side parameters.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W_llm
 from pyspark.sql import functions as F
 
 from feray_spark.catalog import load_table
@@ -924,4 +925,228 @@ def l12_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("doc_id") == F.col("eval_id"), 1).otherwise(0))
         .cast("bigint")
         .alias("self_hit"),
+    )
+
+
+# DuckDB twin of functions.text.quality_score (same integer/ratio
+# arithmetic, same IEEE ops) — shared by the sampling/cap oracles.
+_QUALITY_SQL = f"""(CAST((length(text) BETWEEN 20 AND 100000) AS INT)
+                + CAST((len(list_filter({_WORDS_SQL},
+                       x -> list_contains(['the','a','of','and','to','in'], x)
+                       ))::DOUBLE / len({_WORDS_SQL}) >= 0.05) AS INT)
+                + CAST(((length(text) - len({_WORDS_SQL}) + 1)::DOUBLE
+                        / len({_WORDS_SQL}) BETWEEN 2.0 AND 12.0) AS INT)
+               )::DOUBLE / 3.0"""
+
+_PACK_CTX = 2048  # tokens per packed training sequence
+_PACK_SHARDS = 32  # deterministic packing shards (parallelism unit)
+
+
+@register(
+    "l13_sequence_packing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('pack13:' || CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT % {_PACK_SHARDS} AS shard,
+                   len({_WORDS_SQL}) AS n_tokens
+            FROM documents
+        ), packed AS (
+            SELECT shard, n_tokens,
+                   CAST(floor((SUM(n_tokens) OVER (
+                            PARTITION BY shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) / {_PACK_CTX}) AS BIGINT) AS pack_id
+            FROM toks
+        )
+        SELECT shard, pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        FROM packed GROUP BY shard, pack_id
+    """,
+    tags=("llm", "L13", "packing"),
+)
+def l13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13: sequence packing — assign every document to a fixed-size
+    training context window (concat-and-split packing: documents are
+    concatenated in a deterministic order and cut every ``_PACK_CTX``
+    tokens; a document belongs to the pack holding its first token).
+    The step that turns a filtered corpus into trainer-ready rows.
+
+    Scale shape: packing needs a total order, and a single global
+    ORDER BY is the one window Spark cannot parallelize — so the
+    corpus is first split into ``_PACK_SHARDS`` deterministic
+    md5-bucket shards and packed independently per shard (exactly how
+    a real pretraining pipeline shards its data files). The running
+    token count is then a PARTITIONED window — every shard packs in
+    parallel, one shuffle on the shard id, and the shard count (not
+    the corpus size) bounds the serial work. Assignments are
+    hash-derived, so stable across runs, engines and repartitioning.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pack13:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _PACK_SHARDS
+    )
+    toks = d.select(
+        "doc_id", shard.alias("shard"), token_count("text").alias("n_tokens")
+    )
+    w = (
+        W_llm.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W_llm.unboundedPreceding, W_llm.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_CTX),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+@register(
+    "l14_quality_weighted_sample",
+    oracle=f"""
+        SELECT doc_id, lang, source, {_QUALITY_SQL} AS quality
+        FROM documents
+        WHERE ('0x' || substr(md5('sample7:' || CAST(doc_id AS VARCHAR)),
+                   1, 8))::BIGINT % 1000000
+              < {_QUALITY_SQL} * 1000000.0
+    """,
+    tags=("llm", "L14", "sampling"),
+)
+def l14_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L14: quality-weighted corpus sampling — keep each document
+    with probability equal to its quality score (the CCNet/refined-web
+    pattern: low-quality text is downsampled, not hard-dropped, so
+    the trained model still sees some of the distribution's tail).
+
+    Hash-acceptance, never ``rand()``: the acceptance draw is an
+    md5-derived uniform in [0,1) per doc id, so the SAMPLE ITSELF is
+    reproducible across runs, engines and cluster topologies, and a
+    re-run after adding documents keeps every previous decision (the
+    property random sampling lacks, and the reason every production
+    pipeline samples by hash). One narrow projection + filter, zero
+    shuffles, pushed to the scan."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample7:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    q = quality_score("text")
+    return d.filter(u < q * 1_000_000.0).select(
+        "doc_id", "lang", "source", q.alias("quality")
+    )
+
+
+_SOURCE_CAP = 20  # max docs kept per source
+
+
+@register(
+    "l15_source_cap",
+    oracle=f"""
+        SELECT doc_id, source, rn FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY {_QUALITY_SQL} DESC, doc_id) AS rn
+            FROM documents) t
+        WHERE rn <= {_SOURCE_CAP}
+    """,
+    tags=("llm", "L15", "dedup", "sampling"),
+)
+def l15_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L15: per-source document cap — keep the ``_SOURCE_CAP``
+    highest-quality documents per source/domain. The domain-balancing
+    pass every web-scale corpus runs so a handful of boilerplate-heavy
+    domains can't dominate the training mix (the C4/RefinedWeb
+    "domain cap").
+
+    Scale shape: one window partitioned by source — shuffles on the
+    domain key only, parallel across domains. The ``rn <= cap``
+    filter triggers Spark's WindowGroupLimit rule (plan-asserted:
+    Partial BEFORE the exchange, Final after), so each scan partition
+    pre-cuts to ``cap`` rows per domain before anything shuffles —
+    the mega-domain skew case (one domain = billions of rows) moves
+    at most cap × partitions rows for that domain, not the domain.
+    Deterministic tie-break (quality desc, doc_id) so the kept set is
+    reproducible."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W_llm.partitionBy("source").orderBy(
+        quality_score("text").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _SOURCE_CAP)
+        .select("doc_id", "source", "rn")
+    )
+
+
+@register(
+    "l16_unigram_logprob",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, unnest({_WORDS_SQL}) AS token
+                      FROM documents),
+        tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+               FROM toks GROUP BY token),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM tf)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(ln(c::DOUBLE / t)), 6) AS avg_logprob
+        FROM toks JOIN tf USING (token) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+    tags=("llm", "L16", "quality"),
+)
+def l16_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L16: unigram language-model score — per-document mean token
+    log-probability under the corpus's own unigram distribution (the
+    CCNet-style LM quality signal: gibberish and boilerplate score
+    far from the corpus mode; a KenLM-grade model drops into the
+    same dataflow with the tf table swapped for its vocab).
+
+    Scale shape: two passes. Pass 1 builds the term-frequency table —
+    explode + hash-agg on token, where map-side partial aggregation
+    collapses each partition to its vocabulary before the ONLY
+    corpus-sized shuffle. Pass 2 re-explodes and BROADCASTS the tf
+    table onto the token stream (web-scale vocab follows Zipf: ~10M
+    types ≈ a few hundred MB — broadcastable; an unbounded vocab
+    falls back to a shuffle join on token), then per-doc aggregation
+    partial-aggregates map-side because exploded tokens stay inside
+    their document's partition. The corpus total rides the broadcast
+    as a 1-row cross join, so the whole query is one action with no
+    driver-side state. Output rounded to 6 dp: the per-token terms
+    are IEEE-identical across engines, but summation order inside
+    AVG is not — rounding removes the ~1e-13 association noise."""
+    from feray_spark.functions.text import words as words_fn
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = fan_out(d).select(
+        "doc_id", F.explode(words_fn("text")).alias("token")
+    )
+    tf = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
+    tot = tf.agg(F.sum("c").cast("bigint").alias("t"))
+    scored = toks.join(F.broadcast(tf.crossJoin(tot)), "token")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("c").cast("double") / F.col("t"))), 6).alias(
+            "avg_logprob"
+        ),
     )

@@ -308,3 +308,45 @@ def test_contamination_probes_broadcast(spark, sf_dir):
     plan = plan_of(q.fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_quality_sample_is_scan_level_filter(spark, sf_dir):
+    """l14: hash-acceptance sampling must be a pure scan-level
+    filter — no shuffle of any kind beyond fan_out's rebalance, no
+    Python, no aggregation (the draw and the quality score are both
+    JVM expressions)."""
+    q = load_all()["l14_quality_weighted_sample"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan  # fan_out round-robin only
+    assert "Python" not in plan, plan
+
+
+def test_sequence_packing_partitions_by_shard(spark, sf_dir):
+    """l13: packing must be the PARTITIONED window — exchanges keyed
+    on the md5 shard (never a single-partition global window, which
+    is the shape that dies at 100 TB) and no global sort."""
+    q = load_all()["l13_sequence_packing"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "Exchange hashpartitioning(shard" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_unigram_logprob_broadcasts_tf_table(spark, sf_dir):
+    """l16: the vocabulary-sized tf table must broadcast onto the
+    corpus token stream — a SortMergeJoin would shuffle every token
+    twice."""
+    q = load_all()["l16_unigram_logprob"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_source_cap_precuts_before_shuffle(spark, sf_dir):
+    """l15: the rn <= cap filter must trigger WindowGroupLimit with a
+    PARTIAL pass before the exchange — the mega-domain guard: each
+    scan partition ships at most cap rows per domain."""
+    q = load_all()["l15_source_cap"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan and "Final" in plan, plan
