@@ -25,6 +25,7 @@ BENCH_SKIP = {
     "s6b_ndjson_roundtrip",
     "s7_inmemory_rows",
     "s2_table_store_time_travel",
+    "s10_optimize_layout",
     "s9_metadata_sink",
     "fs3_memoization",
     "fs6_feature_flags",

@@ -421,41 +421,44 @@ def a12_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-rate, cardinality drift) and the first thing a data
     pipeline materializes about a new table.
 
-    Scale note: ALL columns profile in one pass over the scan —
-    Spark plans the multi-countDistinct via one Expand (input ×
-    #columns into partial aggs, map-side combined), so the table is
-    read once, not once per column. At 100 TB swap the exact
-    ``countDistinct`` for ``approx_count_distinct`` (the A5 path) —
-    exact NDV is the only term whose state grows with cardinality;
+    Scale note: one UNION branch per column, all in ONE job — each
+    branch prunes the scan to just its column (columnar parquet:
+    only that column's pages are read), hash-aggregates by VALUE
+    (map-side combine collapses each partition to its local NDV
+    before the only shuffle), and derives every statistic from the
+    tiny (value, count) table: nulls/NDV by counting groups, the
+    exact-decimal mean as Σ(value·count)/Σcount. This distributes
+    the NDV state across the cluster instead of funneling an
+    Expand×columns blowup through one aggregation (measured ~4×
+    faster at sf0.1: 3.2 s → 0.9 s median; no fan_out — an extra
+    round-robin exchange of the column data costs more than the
+    fixture's 3-partition scan limits, and a real 100 TB scan has
+    natural parallelism). At extreme cardinality swap the
+    value-groupBy for ``approx_count_distinct`` (the A5 path) —
     everything else is O(1) per column."""
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in _PROFILE_COLS:
-        aggs += [
-            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__ndv"),
-            F.min(c).cast("double").alias(f"{c}__min"),
-            F.max(c).cast("double").alias(f"{c}__max"),
+
+    def branch(c: str) -> DataFrame:
+        vc = li.select(c).groupBy(c).agg(F.count("*").alias("__n"))
+        return vc.agg(
+            F.lit(c).alias("col_name"),
+            F.sum(F.when(F.col(c).isNull(), F.col("__n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_nulls"),
+            F.count(c).alias("n_distinct"),
+            F.min(c).cast("double").alias("min_v"),
+            F.max(c).cast("double").alias("max_v"),
             # decimal-exact accumulation: a raw double AVG is
             # partial-sum-order dependent and can drift past the
             # harness's 1e-9 rounding at scale (all four columns are
             # 2-decimal fixed-point in the fixtures)
-            (F.sum(F.col(c).cast("decimal(18,2)")).cast("double") / F.count(c)).alias(
-                f"{c}__mean"
-            ),
-        ]
-    wide = li.agg(*aggs)
-    per_col = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("col_name"),
-                F.col(f"{c}__nulls").alias("n_nulls"),
-                F.col(f"{c}__ndv").alias("n_distinct"),
-                F.col(f"{c}__min").alias("min_v"),
-                F.col(f"{c}__max").alias("max_v"),
-                F.col(f"{c}__mean").alias("mean_v"),
-            )
-            for c in _PROFILE_COLS
-        ]
-    )
-    return wide.select(F.explode(per_col).alias("p")).select("p.*")
+            (
+                F.sum(F.col(c).cast("decimal(18,2)") * F.col("__n")).cast("double")
+                / F.sum(F.when(F.col(c).isNotNull(), F.col("__n")).otherwise(0))
+            ).alias("mean_v"),
+        ).select("col_name", "n_nulls", "n_distinct", "min_v", "max_v", "mean_v")
+
+    out = branch(_PROFILE_COLS[0])
+    for c in _PROFILE_COLS[1:]:
+        out = out.unionByName(branch(c))
+    return out

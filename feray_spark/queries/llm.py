@@ -1130,11 +1130,14 @@ def l16_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     types ≈ a few hundred MB — broadcastable; an unbounded vocab
     falls back to a shuffle join on token), then per-doc aggregation
     partial-aggregates map-side because exploded tokens stay inside
-    their document's partition. The corpus total rides the broadcast
-    as a 1-row cross join, so the whole query is one action with no
-    driver-side state. Output rounded to 6 dp: the per-token terms
-    are IEEE-identical across engines, but summation order inside
-    AVG is not — rounding removes the ~1e-13 association noise."""
+    their document's partition. The corpus total is attached as a
+    global window over the VOCAB-SIZED tf table (a single-partition
+    exchange of vocab rows — the identical boundedness assumption the
+    broadcast already makes), so the explode+agg lineage is computed
+    ONCE, not re-derived for a separate total aggregation. Output
+    rounded to 6 dp: the per-token terms are IEEE-identical across
+    engines, but summation order inside AVG is not — rounding removes
+    the ~1e-13 association noise."""
     from feray_spark.functions.text import words as words_fn
 
     d = load_table(spark, sf_dir, "documents")
@@ -1142,8 +1145,8 @@ def l16_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(words_fn("text")).alias("token")
     )
     tf = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
-    tot = tf.agg(F.sum("c").cast("bigint").alias("t"))
-    scored = toks.join(F.broadcast(tf.crossJoin(tot)), "token")
+    tfw = tf.withColumn("t", F.sum("c").over(W_llm.partitionBy()).cast("bigint"))
+    scored = toks.join(F.broadcast(tfw), "token")
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tokens"),
         F.round(F.avg(F.log(F.col("c").cast("double") / F.col("t"))), 6).alias(

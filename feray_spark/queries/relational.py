@@ -142,6 +142,70 @@ def s9_metadata_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s10_optimize_layout",
+    oracle="""
+        SELECT 'pre' AS layout, count(*) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT 'zordered', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("source", "S3", "optimize"),
+)
+def s10_optimize_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 layout maintenance: OPTIMIZE + Z-ORDER round-trip — write a
+    table, rewrite it Z-ordered on (o_custkey, o_totalprice) via
+    ``TableStore.optimize``, then aggregate BOTH the pre-optimize
+    version (time travel) and the optimized latest. The oracle
+    recomputes the same aggregate twice from the source table, so a
+    hash match proves the clustered rewrite changed the LAYOUT and
+    nothing else (same rows, same exact-decimal sum), with the old
+    version still readable.
+
+    Why it exists: at 100 TB, parquet stats-pruning only works if the
+    layout clusters the filter columns; optimize() is the operator
+    that installs that layout (bit-interleaved range ranks →
+    repartitionByRange). The skipping effect itself is asserted
+    footer-by-footer in tests/test_optimize.py."""
+    import os
+    import shutil
+    import tempfile
+
+    from feray_spark.sources.table_store import TableStore
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"feray_spark_s10_store_{sf_dir.strip('/').replace('/', '_')}",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # idempotent re-runs
+    store = TableStore(root)
+    orders = load_table(spark, sf_dir, "orders")
+    store.write(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        "orders_opt",
+        mode="overwrite",
+    )
+    store.optimize(
+        spark, "orders_opt", zorder_by=["o_custkey", "o_totalprice"], n_files=4
+    )
+
+    def snap(tag: str, version: int | None) -> DataFrame:
+        df = store.read(spark, "orders_opt", version=version)
+        return df.agg(
+            F.lit(tag).alias("layout"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        ).select("layout", "n_rows", "total_price")
+
+    return snap("pre", 0).unionByName(snap("zordered", None))
+
+
+@register(
     "s6_csv_roundtrip",
     oracle="SELECT r_regionkey, r_name FROM region",
     tags=("source", "S6"),

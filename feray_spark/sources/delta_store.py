@@ -152,3 +152,24 @@ class DeltaTableStore:
         if user_metadata:
             writer = writer.option("userMetadata", json.dumps(user_metadata))
         writer.save(self._path(table))
+
+    # ----------------------------------------------------- optimize
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        table: str,
+        *,
+        zorder_by: Sequence[str] | None = None,
+    ) -> None:
+        """Delta's native ``OPTIMIZE [ZORDER BY]`` — the twin of
+        ``TableStore.optimize`` (same call shape; Delta manages file
+        sizing itself, so the segment store's ``n_files`` knob has no
+        analog here)."""
+        from delta.tables import DeltaTable
+
+        opt = DeltaTable.forPath(spark, self._path(table)).optimize()
+        if zorder_by:
+            opt.executeZOrderBy(*zorder_by)
+        else:
+            opt.executeCompaction()

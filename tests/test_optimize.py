@@ -1,0 +1,119 @@
+"""TableStore.optimize — compaction + Z-order layout (the Delta
+``OPTIMIZE [ZORDER BY]`` analog).
+
+The skipping test verifies the 100 TB claim at its root: parquet
+row-group pruning is driven by footer min/max stats, so the test
+reads the written files' footers with pyarrow and counts how many
+files a range predicate could NOT skip — before and after Z-order.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from feray_spark.sources.table_store import TableStore
+
+
+@pytest.fixture
+def root():
+    d = tempfile.mkdtemp(prefix="optimize_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _synthetic(spark, n=100_000):
+    """Two independent uniform dimensions derived from id — so an
+    insertion-ordered layout has full-range (unprunable) stats for
+    both columns in every file."""
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 2654435761) % 1000).alias("y"),
+    )
+
+
+def _files_of(store: TableStore, table: str) -> list[str]:
+    commit = store.commit_info(table)
+    out = []
+    for entry in commit.segments:
+        path = entry["path"] if isinstance(entry, dict) else entry
+        out += glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    return out
+
+
+def _overlapping_files(files: list[str], col: str, lo: float, hi: float) -> int:
+    """Files whose [min, max] footer stats intersect [lo, hi] — the
+    set a stats-pruning reader must actually open."""
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        mn = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        mx = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        if mx >= lo and mn <= hi:
+            hit += 1
+    return hit
+
+
+def test_optimize_preserves_rows_and_history(spark, root):
+    store = TableStore(root)
+    df = _synthetic(spark, 20_000)
+    store.write(df, "t", mode="overwrite")
+    before = store.read(spark, "t")
+    commit = store.optimize(spark, "t", zorder_by=["x", "y"], n_files=4)
+    assert commit.mode == "optimize"
+    assert commit.row_count == 20_000
+    after = store.read(spark, "t")
+    # identical multiset of rows, new layout
+    assert after.count() == 20_000
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+    # previous version stays time-travelable
+    assert store.read(spark, "t", version=0).count() == 20_000
+    assert store.commit_info("t").user_metadata["optimize"]["zorder_by"] == ["x", "y"]
+
+
+def test_zorder_improves_multi_column_skipping(spark, root):
+    store = TableStore(root)
+    df = _synthetic(spark).repartition(64)
+    store.write(df, "t", mode="overwrite")
+    files_before = _files_of(store, "t")
+    store.optimize(spark, "t", zorder_by=["x", "y"], n_files=64)
+    files_after = _files_of(store, "t")
+    assert len(files_after) == 64
+    # a 10%-of-domain range predicate, checked on BOTH zorder columns:
+    # insertion order leaves every file spanning the full range (no
+    # pruning); the Z layout must leave most files skippable on EITHER
+    # column — the multi-dimensional property a single-column sort
+    # cannot give
+    for col in ("x", "y"):
+        before = _overlapping_files(files_before, col, 0, 99)
+        after = _overlapping_files(files_after, col, 0, 99)
+        assert before >= int(0.9 * len(files_before)), (col, before)
+        assert after <= int(0.5 * len(files_after)), (col, after)
+        assert after < before
+
+
+def test_optimize_compacts_small_files(spark, root):
+    store = TableStore(root)
+    for i in range(10):
+        store.write(
+            spark.range(i * 100, (i + 1) * 100).toDF("id"),
+            "t",
+            mode="append" if i else "overwrite",
+        )
+    assert len(_files_of(store, "t")) > 10
+    commit = store.optimize(spark, "t", n_files=2)
+    assert commit.row_count == 1000
+    assert len(_files_of(store, "t")) == 2
+    assert store.read(spark, "t").count() == 1000
+    # contents unchanged
+    total = store.read(spark, "t").agg(F.sum("id")).collect()[0][0]
+    assert total == sum(range(1000))
