@@ -28,9 +28,16 @@ FLAGSHIP = "a1_groupby_q1"
 #: queries that have never received a driver correctness row (all oracle-
 #: gated: scalar families, set ops, feature store, UDF surface, LLM ops,
 #: streaming batch-parity) so that by end of round 3 nearly the whole
-#: catalog has hard driver-side evidence. Two sibling variants
-#: (u1b_union_diagonal, f_datetime_diff) plus the 7 rows-only queries
-#: rotate in next round. Queries not listed here follow in registry order.
+#: catalog has hard driver-side evidence. Queries not listed here follow
+#: in registry order.
+#:
+#: ROUND-4 ROTATION (swap this list after CORRECTNESS_r03 lands): the
+#: remaining never-driver-checked oracled queries are a12_table_profile,
+#: u1b_union_diagonal, f_datetime_diff, fs3_memoization, l5b_ml_tfidf,
+#: l10_pii_redaction, l11_repetition_signals, l12_contamination_check,
+#: l13_sequence_packing, l14_quality_weighted_sample, l15_source_cap,
+#: l16_unigram_logprob, s10_optimize_layout (+ rows-only: f_hash_native,
+#: l2b_simhash, l3b_lsh_topk, l3c_ivf_topk, l6c_audio_features).
 _DRIVER_PRIORITY = [
     # §2.9 streaming batch-parity contract (t1–t8)
     "t1_tumbling_window",

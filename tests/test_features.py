@@ -397,11 +397,14 @@ def test_store_model_based_random_ops(spark, tmp_root):
     history.append(dict(model))
 
     for _ in range(8):
-        op = rng.choice(["append", "merge", "replace_where"])
+        op = rng.choice(["append", "merge", "replace_where", "optimize"])
         if op == "append":
             rows = fresh_rows(rng.randint(1, 4))
             ts.write(df(rows), "t", mode="append")
             model.update({i: (p, v) for i, p, v in rows})
+        elif op == "optimize":
+            # layout-only rewrite: the model must NOT change
+            ts.optimize(spark, "t", zorder_by=["id", "v"], n_files=2)
         elif op == "merge":
             # update a sample of existing ids + insert some new
             upd = [
