@@ -4,17 +4,30 @@ Model: media payloads are opaque ``binary`` columns wrapped in a
 typed struct ``{mime, uri, data}`` (SURVEY §1.2: BinaryType + typed
 metadata; pointers to object-store URIs for payloads too large to
 inline). Decode / feature-extraction runs as Arrow-batched
-``mapInPandas`` — the Spark-side plumbing (schema, partitioning, UDF
-signature, batch shape) is real; the actual image/audio codecs are
-NOT in this environment, so the decoder is stubbed behind
-``NotImplementedError`` with a deterministic fake used by tests
-(clearly marked; swap in PIL/librosa/av in production).
+``mapInPandas``.
+
+Codec policy — real where a format needs no external library, an
+explicit ``NotImplementedError`` where it does:
+
+- REAL, dependency-free: WAV/PCM decode (RIFF parse + numpy —
+  :func:`decode_wav`), image DIMENSIONS for PNG/JPEG/GIF/BMP/netpbm
+  (header-only parsing, :func:`image_dimensions` — the same trick
+  the ``imagesize`` family of libraries uses), netpbm pixel decode /
+  nearest-neighbor resize (:func:`resize_netpbm`), and frame
+  splitting of concatenated-netpbm streams (self-delimiting headers,
+  :func:`split_netpbm_stream`).
+- STUBBED (codec genuinely required): full pixel decode of
+  compressed formats (PNG/JPEG inflate), compressed video and audio
+  (mp4/mp3/flac) — production swaps in PIL/av/soundfile at the same
+  function slots; deterministic fakes remain for plumbing tests.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,14 +62,66 @@ def attach_media(
     )
 
 
-def decode_image(data: bytes) -> tuple[int, int]:
-    """STUB — image decoding needs a codec library not present in
-    this environment. Production: PIL.Image.open(io.BytesIO(data)).
-    """
+def _netpbm_header(data: bytes) -> tuple[str, int, int, int]:
+    """Parse a netpbm (P5/P6) header: (magic, width, height, offset
+    of the first pixel byte). Handles comments and any whitespace,
+    per the spec: magic, width, height, maxval, ONE whitespace byte,
+    then raw samples."""
+    magic = data[:2].decode("ascii")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    return magic, fields[0], fields[1], pos + 1  # single whitespace after maxval
+
+
+def image_dimensions(data: bytes) -> tuple[int, int]:
+    """REAL, dependency-free (width, height) extraction for
+    PNG / JPEG / GIF / BMP / netpbm — dimensions live in the headers,
+    no pixel decode needed (the ``imagesize``-library technique).
+    Raises ``NotImplementedError`` for unrecognized formats."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":  # IHDR is always first
+        w, h = struct.unpack(">II", data[16:24])
+        return int(w), int(h)
+    if data[:3] == b"\xff\xd8\xff":  # JPEG: scan for a SOFn marker
+        pos = 2
+        while pos + 9 < len(data):
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = data[pos + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                return int(w), int(h)
+            seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+            pos += 2 + seg_len
+        raise NotImplementedError("JPEG without SOF frame header")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return int(w), int(h)
+    if data[:2] == b"BM":  # BITMAPINFOHEADER
+        w, h = struct.unpack("<ii", data[18:26])
+        return int(w), abs(int(h))
+    if data[:2] in (b"P5", b"P6"):
+        _, w, h, _ = _netpbm_header(data)
+        return w, h
     raise NotImplementedError(
-        "image codecs unavailable in this environment; use fake_decode "
-        "for tests or install a codec in production"
+        "unrecognized image format; install a codec (PIL) in production "
+        "or use fake_decode for plumbing tests"
     )
+
+
+#: decode_image is the L6 decoder slot: real header-dimension parsing
+#: for the common formats, NotImplementedError past them.
+decode_image = image_dimensions
 
 
 def fake_decode(data: bytes) -> tuple[int, int]:
@@ -109,14 +174,37 @@ FRAME_SCHEMA = (
 )
 
 
+def split_netpbm_stream(data: bytes) -> list[bytes]:
+    """REAL frame extraction for the one video container that needs
+    no codec: a concatenated stream of binary netpbm images (P5/P6 —
+    the format ffmpeg emits with ``-f image2pipe -vcodec ppm``).
+    Headers are self-delimiting (width × height × channels fixes the
+    pixel byte count), so the stream splits exactly."""
+    frames = []
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos:]
+        magic, w, h, off = _netpbm_header(chunk)
+        nbytes = w * h * (3 if magic == "P6" else 1)
+        end = off + nbytes
+        if end > len(chunk):
+            raise ValueError("truncated netpbm frame in stream")
+        frames.append(chunk[:end])
+        pos += end
+    return frames
+
+
 def extract_video_frames(data: bytes) -> list[bytes]:
-    """STUB — video frame decoding needs a codec (av/ffmpeg) not
-    present in this environment. Production: iterate
-    ``av.open(io.BytesIO(data)).decode(video=0)`` and re-encode each
-    frame."""
+    """The L6 frame-extractor slot: real splitting for concatenated
+    netpbm streams; compressed video (mp4/webm) genuinely needs a
+    codec — production drops ``av.open(...).decode(video=0)`` in
+    here."""
+    if data[:2] in (b"P5", b"P6"):
+        return split_netpbm_stream(data)
     raise NotImplementedError(
-        "video codecs unavailable in this environment; use "
-        "fake_chunk_frames for tests or install av/ffmpeg in production"
+        "compressed video codecs unavailable in this environment; use "
+        "a netpbm stream, fake_chunk_frames for tests, or av/ffmpeg "
+        "in production"
     )
 
 
@@ -182,12 +270,29 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def resize_netpbm(data: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize for binary netpbm (P5/P6):
+    header parse → (h, w, c) numpy view → integer index maps → new
+    header + raw bytes. Pure numpy, no codec."""
+    magic, w, h, off = _netpbm_header(data)
+    ch = 3 if magic == "P6" else 1
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=off)
+    px = px.reshape(h, w, ch)
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    out = px[rows][:, cols]
+    header = f"{magic}\n{width} {height}\n255\n".encode("ascii")
+    return header + out.tobytes()
+
+
 def resize_image(data: bytes, width: int, height: int) -> bytes:
-    """STUB — image resizing needs a codec library. Production:
-    PIL ``Image.open(...).resize((width, height))`` re-encoded."""
+    """The L6 resizer slot: real for netpbm; compressed formats need
+    a codec (PIL ``Image.open(...).resize(...)`` in production)."""
+    if data[:2] in (b"P5", b"P6"):
+        return resize_netpbm(data, width, height)
     raise NotImplementedError(
-        "image codecs unavailable in this environment; use fake_resize "
-        "for tests or install a codec in production"
+        "compressed-image codecs unavailable in this environment; use "
+        "netpbm payloads, fake_resize for tests, or PIL in production"
     )
 
 
@@ -247,13 +352,63 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+def synth_wav(samples: "np.ndarray", sample_rate: int, channels: int = 1) -> bytes:
+    """REAL PCM16 WAV writer (RIFF struct packing, no codec): the
+    test/fixture twin of :func:`decode_wav`. ``samples`` is int16,
+    interleaved when multi-channel."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    data_chunk = struct.pack("<4sI", b"data", len(pcm)) + pcm
+    body = b"WAVE" + fmt + data_chunk
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, float, float]:
+    """REAL PCM WAV decode — RIFF chunk walk + numpy, no codec:
+    returns (sample_rate, duration_seconds, rms) with rms normalized
+    to [0, 1] (int16 full scale = 32768; u8 biased at 128). Raises
+    ``NotImplementedError`` for compressed wFormatTags."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, channels, bits, fmt_tag, pcm = 12, None, None, None, None, None
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack("<4sI", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_tag, channels, sr = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sr is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if fmt_tag != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"compressed/unsupported WAV (fmt={fmt_tag}, bits={bits}); "
+            "install soundfile in production"
+        )
+    if bits == 16:
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+    else:
+        x = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    n_frames = len(x) // channels
+    rms = float(np.sqrt(np.mean(np.square(x)))) if len(x) else 0.0
+    return int(sr), n_frames / float(sr), rms
+
+
 def decode_audio(data: bytes) -> tuple[int, float, float]:
-    """STUB — audio decoding needs a codec library not present in
-    this environment. Production: soundfile.read(io.BytesIO(data))
-    → (sample_rate, duration_seconds, rms_amplitude)."""
+    """The L6 audio-decoder slot: real for PCM WAV; compressed audio
+    (mp3/flac/ogg) genuinely needs a codec — production drops
+    ``soundfile.read`` in here."""
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
     raise NotImplementedError(
-        "audio codecs unavailable in this environment; use "
-        "fake_decode_audio for tests or install a codec in production"
+        "compressed-audio codecs unavailable in this environment; use "
+        "WAV payloads, fake_decode_audio for tests, or soundfile in "
+        "production"
     )
 
 

@@ -535,21 +535,65 @@ def l7_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows
 
 
-@register("l6c_audio_features", tags=("llm", "L6", "multimodal"))
+@register(
+    "l6c_audio_features",
+    oracle="""
+        SELECT doc_id,
+               'audio/wav' AS mime,
+               CAST(44 + 2 * (800 + (doc_id % 5) * 80) AS BIGINT) AS n_bytes,
+               CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+               CAST(800 + (doc_id % 5) * 80 AS DOUBLE)
+                   / (8000 + (doc_id % 3) * 4000) AS duration_s,
+               (1000 + (doc_id % 7) * 100) / 32768.0 AS rms
+        FROM documents
+    """,
+    tags=("llm", "L6", "multimodal"),
+)
 def l6c_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L6 audio path (rows-only): pack payloads as audio/wav media
-    structs and run the mapInPandas feature extractor with the
-    deterministic fake decoder (sample_rate, duration, rms) — the
-    codec itself is stubbed (not in this image), the Spark-side
-    schema/batch plumbing is real and exercised end-to-end. Value
-    determinism is unit-tested in test_llm.py."""
-    from feray_spark.multimodal import attach_media, extract_audio_features, fake_decode_audio
+    """L6 audio path — REAL decode, closed-form oracle: each doc gets
+    a genuine PCM16 WAV payload (RIFF bytes from
+    multimodal.synth_wav: a ±amp square wave whose rate/length/
+    amplitude derive from doc_id), and the mapInPandas extractor runs
+    the real RIFF parser (multimodal.decode_wav — numpy, no codec
+    library). The oracle recomputes every feature analytically:
+    n_bytes = 44-byte header + 2·n samples, duration = n/sr, and the
+    square wave makes rms = amp/32768 BIT-EXACT in IEEE doubles (all
+    intermediate values are representable), so the hash gate pins the
+    decoder itself, not a fake. Compressed formats (mp3/flac) remain
+    honestly stubbed behind NotImplementedError in
+    multimodal.decode_audio."""
+    import numpy as np
+
+    from feray_spark.multimodal import extract_audio_features, synth_wav
 
     d = load_table(spark, sf_dir, "documents")
-    with_media = attach_media(
-        d.withColumn("payload", F.encode("text", "UTF-8")), "payload", "audio/wav"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                sr = 8000 + (i % 3) * 4000
+                n = 800 + (i % 5) * 80
+                amp = 1000 + (i % 7) * 100
+                wave = np.where(np.arange(n) % 2 == 0, amp, -amp)
+                out.append(
+                    {
+                        "mime": "audio/wav",
+                        "uri": f"synthetic://{i}",
+                        "data": synth_wav(wave, sr),
+                    }
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": out})
+
+    with_media = fan_out(d.select("doc_id")).mapInPandas(
+        gen, "doc_id long, media struct<mime:string,uri:string,data:binary>"
     )
-    return extract_audio_features(fan_out(with_media), decoder=fake_decode_audio)
+    return extract_audio_features(with_media)
 
 
 @register(

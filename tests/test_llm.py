@@ -128,7 +128,10 @@ def test_multimodal_extract_with_fake_decoder(spark):
     assert rows[2]["payload_sha256"] == hashlib.sha256(b"\x40payload-two\x21").hexdigest()
 
 
-def test_decode_image_stub_raises(spark):
+def test_decode_image_rejects_unknown_format(spark):
+    """decode_image is real header parsing for PNG/JPEG/GIF/BMP/
+    netpbm (tests/test_multimodal.py); anything else must raise, not
+    guess."""
     import pytest
 
     from feray_spark.multimodal import decode_image
@@ -173,7 +176,10 @@ def test_resize_with_fake_resizer(spark):
     assert out["media"]["mime"] == "image/png"
 
 
-def test_video_and_resize_stubs_raise(spark):
+def test_video_and_resize_reject_compressed_formats(spark):
+    """The real paths cover netpbm payloads (tests/test_multimodal
+    .py); compressed video/images still need a codec and must raise
+    clearly rather than mis-decode."""
     import pytest
 
     from feray_spark.multimodal import extract_video_frames, resize_image
