@@ -596,6 +596,73 @@ def l6c_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(with_media)
 
 
+_L6D_W, _L6D_H, _L6D_EVERY = 16, 8, 2
+# P6 header "P6\n16 8\n255\n" = 12 bytes + 16*8*3 pixel bytes
+_L6D_FRAME_BYTES = 12 + _L6D_W * _L6D_H * 3
+
+
+@register(
+    "l6d_video_frame_split",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST({_L6D_FRAME_BYTES} AS INT) AS frame_n_bytes
+        FROM documents,
+             LATERAL unnest(generate_series(0, 2 + doc_id % 5)) AS t(i)
+        WHERE i % {_L6D_EVERY} = 0
+    """,
+    tags=("llm", "L6", "multimodal"),
+)
+def l6d_video_frame_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 video path — REAL container splitting, closed-form oracle:
+    each doc gets a genuine concatenated-netpbm stream (3 + doc_id%5
+    P6 frames of 16×8, the format ffmpeg's image2pipe/ppm emits),
+    and sample_frames runs the real self-delimiting splitter
+    (multimodal.split_netpbm_stream) keeping every 2nd frame. The
+    oracle recomputes frame indices and byte sizes analytically, so
+    the hash gate pins the splitter's framing arithmetic — not a
+    fake chunker (that plumbing twin is l6b). Compressed video stays
+    honestly stubbed."""
+    import numpy as np
+    import pandas as pd
+
+    from feray_spark.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents")
+    header = f"P6\n{_L6D_W} {_L6D_H}\n255\n".encode()
+    npix = _L6D_W * _L6D_H * 3
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            media = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                frames = [
+                    header + bytes(np.full(npix, (i + f) % 256, dtype=np.uint8))
+                    for f in range(3 + i % 5)
+                ]
+                media.append(
+                    {
+                        "mime": "video/x-netpbm",
+                        "uri": f"synthetic://{i}",
+                        "data": b"".join(frames),
+                    }
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
+
+    with_media = fan_out(d.select("doc_id")).mapInPandas(
+        gen, "doc_id long, media struct<mime:string,uri:string,data:binary>"
+    )
+    frames = sample_frames(with_media, every=_L6D_EVERY)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("int").alias("frame_n_bytes"),
+    )
+
+
 @register(
     "l8_doc_chunking",
     oracle=f"""

@@ -350,3 +350,39 @@ def test_source_cap_precuts_before_shuffle(spark, sf_dir):
     plan = plan_of(q.fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan and "Final" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """100 TB lever: for a shuffle join with a selective build side,
+    Spark injects a runtime BLOOM filter on the probe side
+    (InjectRuntimeFilter) — probe rows that cannot match are dropped
+    AT THE SCAN, before the shuffle. Enabled by default
+    (spark.sql.optimizer.runtime.bloomFilter.enabled=true) but gated
+    on size thresholds a local fixture never meets
+    (applicationSideScanSizeThreshold=10GB — exactly the regime a
+    real cluster IS in), so this test lowers the gates to pin the
+    capability and the plan shape."""
+    import re
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = plan_of(j)
+        assert re.search("might_contain", plan), plan
+        assert re.search("bloom_filter_agg", plan), plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
