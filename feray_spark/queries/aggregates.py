@@ -462,3 +462,53 @@ def a12_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _PROFILE_COLS[1:]:
         out = out.unionByName(branch(c))
     return out
+
+
+_HH_K = 20  # heavy hitters reported
+
+
+@register(
+    "a13_heavy_hitters",
+    oracle=f"""
+        WITH counts AS (
+            SELECT o_custkey AS key, COUNT(*) AS n
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT key, n,
+               CAST(n AS DOUBLE) / (SELECT COUNT(*) FROM orders) AS share,
+               rn
+        FROM (SELECT key, n,
+                     ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rn
+              FROM counts) t
+        WHERE rn <= {_HH_K}
+    """,
+    tags=("agg", "A13", "skew"),
+)
+def a13_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (beyond the brief): heavy-hitter report — the top-k most
+    frequent join/grouping keys with their share of the table. The
+    diagnostic every skew decision rests on: J10's salting factor,
+    AQE skew-join thresholds and the L15 domain cap are all sized
+    from exactly this query.
+
+    Scale shape: one hash-agg on the key (map-side combined), then
+    ``orderBy(n).limit(k)`` — Spark plans TakeOrderedAndProject
+    (plan-asserted): each partition keeps a k-row heap and only
+    #partitions × k rows reach the driver-side merge; NO global sort
+    of the key-cardinality table. The total for the share is a
+    parquet-footer count, and the rank window runs over k rows only.
+    Deterministic tie-break (count desc, key asc)."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("key")).limit(_HH_K)
+    n_total = o.count()  # parquet footer metadata only
+    from pyspark.sql import Window as W
+
+    rank_w = W.orderBy(F.col("n").desc(), F.col("key"))  # k rows by now
+    return (
+        top.withColumn("share", F.col("n").cast("double") / F.lit(float(n_total)))
+        .withColumn("rn", F.row_number().over(rank_w).cast("bigint"))
+        .select("key", "n", "share", "rn")
+    )

@@ -386,3 +386,12 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_heavy_hitters_avoids_global_sort(spark, sf_dir):
+    """a13: the top-k over key counts must be TakeOrderedAndProject
+    (per-partition k-row heaps), never a full Sort of the
+    key-cardinality table."""
+    q = load_all()["a13_heavy_hitters"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
