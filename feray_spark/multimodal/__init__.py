@@ -62,11 +62,12 @@ def attach_media(
     )
 
 
-def _netpbm_header(data: bytes) -> tuple[str, int, int, int]:
-    """Parse a netpbm (P5/P6) header: (magic, width, height, offset
-    of the first pixel byte). Handles comments and any whitespace,
-    per the spec: magic, width, height, maxval, ONE whitespace byte,
-    then raw samples."""
+def _netpbm_header(data: bytes) -> tuple[str, int, int, int, int]:
+    """Parse a netpbm (P5/P6) header: (magic, width, height, maxval,
+    offset of the first sample byte). Handles comments and any
+    whitespace, per the spec: magic, width, height, maxval, ONE
+    whitespace byte, then raw samples (1 byte each for maxval ≤ 255,
+    2 big-endian bytes past that)."""
     magic = data[:2].decode("ascii")
     pos, fields = 2, []
     while len(fields) < 3:
@@ -80,7 +81,8 @@ def _netpbm_header(data: bytes) -> tuple[str, int, int, int]:
         while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
         fields.append(int(data[start:pos]))
-    return magic, fields[0], fields[1], pos + 1  # single whitespace after maxval
+    # fields = width, height, maxval; + single whitespace after maxval
+    return magic, fields[0], fields[1], fields[2], pos + 1
 
 
 def image_dimensions(data: bytes) -> tuple[int, int]:
@@ -98,6 +100,12 @@ def image_dimensions(data: bytes) -> tuple[int, int]:
                 pos += 1
                 continue
             marker = data[pos + 1]
+            if marker == 0xFF:  # 0xFF fill byte before a marker
+                pos += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                pos += 2  # standalone marker (TEM/RSTn/SOI/EOI): no length
+                continue
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
                 return int(w), int(h)
@@ -107,11 +115,17 @@ def image_dimensions(data: bytes) -> tuple[int, int]:
     if data[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", data[6:10])
         return int(w), int(h)
-    if data[:2] == b"BM":  # BITMAPINFOHEADER
-        w, h = struct.unpack("<ii", data[18:26])
-        return int(w), abs(int(h))
+    if data[:2] == b"BM":
+        hdr_size = struct.unpack("<I", data[14:18])[0]
+        if hdr_size == 12:  # BITMAPCOREHEADER (OS/2): 16-bit dims
+            w, h = struct.unpack("<HH", data[18:22])
+            return int(w), int(h)
+        if hdr_size >= 40:  # BITMAPINFOHEADER family: 32-bit signed
+            w, h = struct.unpack("<ii", data[18:26])
+            return int(w), abs(int(h))
+        raise NotImplementedError(f"unknown BMP header size {hdr_size}")
     if data[:2] in (b"P5", b"P6"):
-        _, w, h, _ = _netpbm_header(data)
+        _, w, h, _, _ = _netpbm_header(data)
         return w, h
     raise NotImplementedError(
         "unrecognized image format; install a codec (PIL) in production "
@@ -141,8 +155,10 @@ def extract_media_features(
     """L6 feature extraction over media structs via ``mapInPandas``:
     Arrow-batched, one Python process per partition, constant memory
     per batch. Emits payload accounting (size, sha256) plus decoded
-    dimensions from ``decoder`` (default: the NotImplementedError
-    stub — pass :func:`fake_decode` in tests)."""
+    dimensions from ``decoder`` (default: the REAL header parser
+    :func:`image_dimensions`, which raises NotImplementedError only
+    for unrecognized formats — pass :func:`fake_decode` for
+    format-free plumbing tests)."""
     import hashlib
 
     decode = decoder or decode_image
@@ -184,8 +200,9 @@ def split_netpbm_stream(data: bytes) -> list[bytes]:
     pos = 0
     while pos < len(data):
         chunk = data[pos:]
-        magic, w, h, off = _netpbm_header(chunk)
-        nbytes = w * h * (3 if magic == "P6" else 1)
+        magic, w, h, maxval, off = _netpbm_header(chunk)
+        bytes_per_sample = 2 if maxval > 255 else 1  # 16-bit netpbm is legal
+        nbytes = w * h * (3 if magic == "P6" else 1) * bytes_per_sample
         end = off + nbytes
         if end > len(chunk):
             raise ValueError("truncated netpbm frame in stream")
@@ -228,9 +245,11 @@ def sample_frames(
     in ``mapInPandas``: per Arrow batch, each payload expands to its
     sampled frames — memory is bounded by (batch rows x frames per
     payload), and the expansion parallelizes with the scan, no
-    shuffle. ``frame_extractor`` defaults to the NotImplementedError
-    codec stub; tests and the oracle-gated query pass
-    :func:`fake_chunk_frames`."""
+    shuffle. ``frame_extractor`` defaults to
+    :func:`extract_video_frames` — REAL splitting for netpbm streams
+    (the l6d oracle-gated path), NotImplementedError for compressed
+    video; :func:`fake_chunk_frames` remains for format-free
+    plumbing tests (the l6b path)."""
     import hashlib
 
     extract_frames = frame_extractor or extract_video_frames
@@ -273,15 +292,18 @@ RESIZED_SCHEMA = T.StructType(
 def resize_netpbm(data: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbor resize for binary netpbm (P5/P6):
     header parse → (h, w, c) numpy view → integer index maps → new
-    header + raw bytes. Pure numpy, no codec."""
-    magic, w, h, off = _netpbm_header(data)
+    header + raw bytes. Pure numpy, no codec. Honors the parsed
+    maxval (16-bit samples are big-endian per the spec) and restamps
+    the SAME maxval, never a silent re-scale."""
+    magic, w, h, maxval, off = _netpbm_header(data)
     ch = 3 if magic == "P6" else 1
-    px = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=off)
+    dtype = ">u2" if maxval > 255 else np.uint8
+    px = np.frombuffer(data, dtype=dtype, count=w * h * ch, offset=off)
     px = px.reshape(h, w, ch)
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
     out = px[rows][:, cols]
-    header = f"{magic}\n{width} {height}\n255\n".encode("ascii")
+    header = f"{magic}\n{width} {height}\n{maxval}\n".encode("ascii")
     return header + out.tobytes()
 
 

@@ -495,20 +495,23 @@ def a13_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``orderBy(n).limit(k)`` — Spark plans TakeOrderedAndProject
     (plan-asserted): each partition keeps a k-row heap and only
     #partitions × k rows reach the driver-side merge; NO global sort
-    of the key-cardinality table. The total for the share is a
-    parquet-footer count, and the rank window runs over k rows only.
+    of the key-cardinality table. The share denominator rides along
+    as a broadcast 1-row cross join (count(*) over the scan — kept
+    LAZY so the whole query is one action and plan-only callers run
+    no job), and the rank window runs over k rows only.
     Deterministic tie-break (count desc, key asc)."""
     o = load_table(spark, sf_dir, "orders")
     counts = o.groupBy(F.col("o_custkey").alias("key")).agg(
         F.count("*").alias("n")
     )
     top = counts.orderBy(F.col("n").desc(), F.col("key")).limit(_HH_K)
-    n_total = o.count()  # parquet footer metadata only
+    total = o.agg(F.count("*").alias("__t"))
     from pyspark.sql import Window as W
 
     rank_w = W.orderBy(F.col("n").desc(), F.col("key"))  # k rows by now
     return (
-        top.withColumn("share", F.col("n").cast("double") / F.lit(float(n_total)))
+        top.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n").cast("double") / F.col("__t"))
         .withColumn("rn", F.row_number().over(rank_w).cast("bigint"))
         .select("key", "n", "share", "rn")
     )

@@ -294,18 +294,35 @@ class TableStore:
         if zorder_by:
             ncols = len(zorder_by)
             bits = max(1, (int(n_buckets) - 1).bit_length())
-            bucketed = df
+            rankable = (
+                "tinyint", "smallint", "int", "bigint", "float", "double",
+                "date", "timestamp", "timestamp_ntz",
+            )
+            dbls: dict[str, F.Column] = {}
             for c in zorder_by:
                 dt = df.schema[c].dataType.simpleString()
+                if not (dt in rankable or dt.startswith("decimal")):
+                    # a silent all-NULL cast would bucket every row to 0
+                    # and record a clustered layout that never happened
+                    raise ValueError(
+                        f"zorder column {c!r} has non-rankable type {dt}; "
+                        "Z-order needs numeric/temporal columns"
+                    )
                 if dt == "date":
-                    dbl = F.col(c).cast("timestamp").cast("double")
+                    dbls[c] = F.col(c).cast("timestamp").cast("double")
                 else:
-                    dbl = F.col(c).cast("double")  # numeric/timestamp
-                probs = [i / n_buckets for i in range(1, n_buckets)]
-                cuts = sorted(
-                    set(df.select(dbl.alias("__q")).approxQuantile("__q", probs, 0.01))
-                )
+                    dbls[c] = F.col(c).cast("double")
+            # ONE multi-column quantile job (not a scan per column)
+            probs = [i / n_buckets for i in range(1, n_buckets)]
+            qdf = df.select(*[dbls[c].alias(f"__q_{c}") for c in zorder_by])
+            all_cuts = qdf.approxQuantile(
+                [f"__q_{c}" for c in zorder_by], probs, 0.01
+            )
+            bucketed = df
+            for c, col_cuts in zip(zorder_by, all_cuts):
+                cuts = sorted(set(col_cuts))
                 arr = F.array(*[F.lit(float(x)) for x in cuts])
+                dbl = dbls[c]
                 # single-arg lambda: a defaulted second param would make
                 # pyspark pass the array INDEX into it; the closure over
                 # dbl is safe because F.filter builds the expression

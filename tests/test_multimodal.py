@@ -82,7 +82,10 @@ def test_image_dimensions_all_formats():
     assert image_dimensions(png) == (640, 480)
     gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
     assert image_dimensions(gif) == (320, 200)
-    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 1024, -768) + b"\x00" * 8
+    bmp = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40)  # BITMAPINFOHEADER size
+        + struct.pack("<ii", 1024, -768) + b"\x00" * 8
+    )
     assert image_dimensions(bmp) == (1024, 768)  # top-down BMP: |height|
     # minimal JPEG: SOI, APP0 (skipped by length), SOF0
     jpeg = (
@@ -127,3 +130,37 @@ def test_split_netpbm_stream_and_spark_sampling(spark):
 def test_truncated_netpbm_stream_raises():
     with pytest.raises(ValueError):
         split_netpbm_stream(_p6(4, 4, bytes(48))[:-5])
+
+
+def test_16bit_netpbm_split_and_resize():
+    """maxval > 255 means 2 big-endian bytes per sample (legal
+    netpbm); framing and resize must honor it, not desync."""
+    px = np.arange(2 * 2, dtype=">u2") * 300  # values past 255
+    frame = b"P5\n2 2\n65535\n" + px.tobytes()
+    assert split_netpbm_stream(frame * 3) == [frame] * 3
+    out = resize_netpbm(frame, 1, 1)
+    assert out.startswith(b"P5\n1 1\n65535\n")  # maxval preserved
+    assert np.frombuffer(out[len(b"P5\n1 1\n65535\n"):], dtype=">u2")[0] == 0
+
+
+def test_jpeg_with_fill_bytes_and_rst_markers():
+    """0xFF fill bytes and standalone RSTn markers have no length
+    field; the scanner must step over them, not mis-skip."""
+    jpeg = (
+        b"\xff\xd8\xff"
+        + b"\xe0\x00\x04\x00\x00"  # APP0
+        + b"\xff\xff"              # fill byte then next marker's 0xFF
+        + b"\xff\xd0"              # standalone RST0
+        + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 10, 20) + b"\x03"
+    )
+    assert image_dimensions(jpeg) == (20, 10)
+
+
+def test_bmp_core_header_variant():
+    """BITMAPCOREHEADER (OS/2) stores 16-bit dims; the 40-byte-header
+    parse would return garbage, so the variant must be dispatched on
+    the header-size field."""
+    core = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack("<HH", 640, 480)
+    assert image_dimensions(core) == (640, 480)
+    with pytest.raises(NotImplementedError):
+        image_dimensions(b"BM" + b"\x00" * 12 + struct.pack("<I", 7) + b"\x00" * 8)

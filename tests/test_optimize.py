@@ -117,3 +117,16 @@ def test_optimize_compacts_small_files(spark, root):
     # contents unchanged
     total = store.read(spark, "t").agg(F.sum("id")).collect()[0][0]
     assert total == sum(range(1000))
+
+
+def test_optimize_rejects_non_rankable_zorder_column(spark, root):
+    """A string zorder key would cast to all-NULL doubles, bucket
+    everything to 0, and record a clustered layout that never
+    happened — it must raise instead."""
+    store = TableStore(root)
+    store.write(
+        spark.createDataFrame([(1, "a")], "id long, name string"), "t",
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="non-rankable"):
+        store.optimize(spark, "t", zorder_by=["name"], n_files=1)
