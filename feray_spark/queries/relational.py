@@ -493,3 +493,90 @@ def ep3b_subquery_decorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EP3B_SQL)
+
+
+_EP3C_SQL = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+@register(
+    "ep3c_tpch_q3",
+    oracle=_EP3C_SQL,
+    tags=("sql", "EP3"),
+)
+def ep3c_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3: TPC-H-Q3-shaped shipping-priority query — a three-way
+    customer⨝orders⨝lineitem join with selective filters on both
+    dimensions, grouped revenue, and a top-10 cut. THE SAME SQL TEXT
+    runs on Spark and DuckDB; the revenue sum uses the decimal-exact
+    idiom so the hash gate holds bit-for-bit.
+
+    Plan shape at scale: the filtered customer side broadcasts under
+    the size threshold (or hash-joins above it), the orders⨝lineitem
+    join shuffles on the order key, revenue partial-aggregates
+    map-side on the (already co-partitioned) group keys, and the
+    ORDER BY ... LIMIT 10 plans as TakeOrderedAndProject — per-
+    partition heaps, no global sort. Deterministic tie-break on
+    l_orderkey."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP3C_SQL)
+
+
+_EP3D_SQL = """
+    SELECT n_name,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o_orderdate < TIMESTAMP '1995-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+@register(
+    "ep3d_tpch_q5",
+    oracle=_EP3D_SQL,
+    tags=("sql", "EP3"),
+)
+def ep3d_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3: TPC-H-Q5-shaped local-supplier-volume query — a six-table
+    join (two fact tables, four dims, including the non-equi-ish
+    c_nationkey = s_nationkey cross-constraint), region-filtered,
+    grouped by nation. Same text on both engines, decimal-exact
+    revenue.
+
+    Plan shape at scale: Catalyst reorders so region→nation prune
+    supplier BEFORE the fact joins (broadcast chains down the dim
+    side), the two fact tables shuffle once each on the order key,
+    and the supplier join carries the nation constraint as part of
+    the join key — six tables, two real shuffles. The final sort is
+    #nations rows."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP3D_SQL)
