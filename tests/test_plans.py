@@ -395,3 +395,22 @@ def test_heavy_hitters_avoids_global_sort(spark, sf_dir):
     q = load_all()["a13_heavy_hitters"]
     plan = plan_of(q.fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q3_topk_and_broadcast(spark, sf_dir):
+    """ep3c: the ORDER BY ... LIMIT 10 must plan as
+    TakeOrderedAndProject and the filtered customer dim should
+    broadcast rather than shuffling the fact side."""
+    q = load_all()["ep3c_tpch_q3"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_q5_dim_chain_broadcasts(spark, sf_dir):
+    """ep3d: region→nation→supplier must join as a broadcast chain —
+    six tables, but the only sort-merge/shuffle joins allowed are on
+    the fact keys."""
+    q = load_all()["ep3d_tpch_q5"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
