@@ -19,7 +19,10 @@ from feray_spark.session import get_spark
 
 #: queries excluded from the bench: side-effecting (their wall-clock
 #: is dominated by table-store WRITES while the DuckDB oracle only
-#: reads — structurally incomparable) or trivially tiny round-trips
+#: reads — structurally incomparable), trivially tiny round-trips, or
+#: real-codec queries whose oracle merely evaluates the closed-form
+#: expectation (synthesize+decode vs arithmetic — not a comparison of
+#: the same work)
 BENCH_SKIP = {
     "s6_csv_roundtrip",
     "s6b_ndjson_roundtrip",
@@ -30,6 +33,8 @@ BENCH_SKIP = {
     "fs3_memoization",
     "fs6_feature_flags",
     "fs7_backfill",
+    "l6c_audio_features",
+    "l6d_video_frame_split",
 }
 
 
