@@ -1264,3 +1264,106 @@ def l16_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logprob"
         ),
     )
+
+
+_MIX_BUDGET_FRAC = 0.5  # token budget as a fraction of the corpus
+
+
+@register(
+    "l17_mixture_sampling",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5('mix17:' || CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT % 1000000 AS u,
+                   len({_WORDS_SQL}) AS n_tok
+            FROM documents
+        ), per_src AS (
+            SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+                   1 + CAST(substr(source, 4) AS INT) % 5 AS w_raw
+            FROM tok GROUP BY source
+        ), tot AS (
+            SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(w_raw) AS BIGINT) AS total_w
+            FROM per_src
+        ), ratios AS (
+            SELECT source, src_tokens,
+                   least(1.0, ((CAST(w_raw AS DOUBLE) / total_w)
+                       * ({_MIX_BUDGET_FRAC} * total_tokens)) / src_tokens)
+                       AS keep_ratio
+            FROM per_src CROSS JOIN tot
+        )
+        SELECT t.source,
+               COUNT(*) AS n_docs_kept,
+               CAST(SUM(t.n_tok) AS BIGINT) AS tokens_kept,
+               ROUND(MIN(r.keep_ratio), 9) AS keep_ratio
+        FROM tok t JOIN ratios r USING (source)
+        WHERE t.u < r.keep_ratio * 1000000.0
+        GROUP BY t.source
+    """,
+    tags=("llm", "L17", "sampling"),
+)
+def l17_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17: data-mixture sampling — resample every source toward
+    declared mixture weights under a global token budget (the
+    Pile/DoReMi pretraining step: per-source acceptance ratio =
+    min(1, weight-share of budget / source tokens), then a
+    reproducible hash draw per document). Weights here derive from
+    the source id so the oracle computes them identically.
+
+    Determinism: the acceptance threshold is a double computed with
+    IDENTICAL operation order on both engines (weight/total, times
+    budget, over source tokens), the draw is an exact md5 rational,
+    and both sides of the comparison are bit-equal — so even the
+    boundary documents match exactly.
+
+    Scale shape: two passes over a two-column projection of the
+    corpus. Pass 1 aggregates per-source token counts (shuffle of
+    #sources rows); the ratio table (#sources rows) then BROADCASTS
+    onto pass 2's scan, the acceptance filter runs scan-side, and
+    the summary agg shuffles #sources rows again. Nothing
+    document-sized ever exchanges, and the same plan serves the
+    keep-the-rows variant (drop the final agg)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix17:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    tok = fan_out(d).select(
+        "doc_id", "source", u.alias("u"), token_count("text").alias("n_tok")
+    )
+    w_raw = 1 + F.expr("CAST(substring(source, 4) AS INT)") % 5
+    per_src = tok.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("src_tokens")
+    ).withColumn("w_raw", w_raw)
+    tot = per_src.agg(
+        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("w_raw").cast("bigint").alias("total_w"),
+    )
+    ratios = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (
+                (F.col("w_raw").cast("double") / F.col("total_w"))
+                * (F.lit(_MIX_BUDGET_FRAC) * F.col("total_tokens"))
+            )
+            / F.col("src_tokens"),
+        ).alias("keep_ratio"),
+    )
+    kept = tok.join(F.broadcast(ratios), "source").filter(
+        F.col("u") < F.col("keep_ratio") * 1_000_000.0
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+        F.round(F.min("keep_ratio"), 9).alias("keep_ratio"),
+    )
