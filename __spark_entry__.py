@@ -38,7 +38,7 @@ FLAGSHIP = "a1_groupby_q1"
 #: l13_sequence_packing, l14_quality_weighted_sample, l15_source_cap,
 #: l16_unigram_logprob, s10_optimize_layout, l6c_audio_features,
 #: l6d_video_frame_split, a13_heavy_hitters, l17_mixture_sampling,
-#: ep3c_tpch_q3, ep3d_tpch_q5
+#: l18_incremental_dedup, ep3c_tpch_q3, ep3d_tpch_q5
 #: (+ rows-only: f_hash_native, l2b_simhash, l3b_lsh_topk, l3c_ivf_topk).
 _DRIVER_PRIORITY = [
     # §2.9 streaming batch-parity contract (t1–t8)

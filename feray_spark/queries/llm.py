@@ -1367,3 +1367,75 @@ def l17_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("tokens_kept"),
         F.round(F.min("keep_ratio"), 9).alias("keep_ratio"),
     )
+
+
+@register(
+    "l18_incremental_dedup",
+    oracle="""
+        SELECT doc_id,
+               CAST(doc_id % 2 AS BIGINT) AS ingest_batch
+        FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                       ORDER BY (doc_id % 2), doc_id) AS rn
+            FROM documents) t
+        WHERE rn = 1
+    """,
+    tags=("llm", "L18", "dedup"),
+)
+def l18_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18: incremental corpus ingestion — dedup NEW batches against
+    everything already accepted, the way a production corpus is
+    actually built (it arrives in crawls, not at once). Two batches
+    (even doc ids, then odd) really flow through a persistent
+    content-hash index in the table store: each batch dedups within
+    itself, left-anti-joins the stored index, appends its survivors,
+    and commits its hashes. The oracle states the END-TO-END
+    invariant instead of replaying the mechanics: incremental
+    ingestion must equal global first-seen dedup (winner = earliest
+    batch, then lowest id) — so a hash match proves the state
+    round-trip through the store, not just the plan.
+
+    Scale shape: the hash index is the ONLY state — 32-byte sha256
+    rows, O(distinct docs), uniform by construction. Per batch: one
+    within-batch dedup shuffle on the hash, one anti-join shuffle
+    against the index (bloom-prunable — the runtime-filter plan
+    test), one append. Nothing text-sized persists; the index append
+    is idempotent per batch for exactly-once re-runs."""
+    import os
+    import shutil
+    import tempfile
+
+    from feray_spark.sources.table_store import TableStore
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"feray_spark_l18_store_{sf_dir.strip('/').replace('/', '_')}",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # idempotent re-runs
+    store = TableStore(root)
+    d = load_table(spark, sf_dir, "documents")
+
+    first = True
+    for batch_tag in (0, 1):
+        batch = d.filter(F.col("doc_id") % 2 == batch_tag)
+        accepted = exact_dedup(batch, "text", "doc_id").select(
+            "doc_id",
+            F.sha2(F.col("text"), 256).alias("h"),
+            F.lit(batch_tag).cast("bigint").alias("ingest_batch"),
+        )
+        if not first:
+            seen = store.read(spark, "hash_index")
+            accepted = accepted.join(seen, "h", "left_anti")
+        store.write(
+            accepted.select("h"),
+            "hash_index",
+            mode="overwrite" if first else "append",
+        )
+        store.write(
+            accepted.select("doc_id", "ingest_batch"),
+            "accepted_docs",
+            mode="overwrite" if first else "append",
+        )
+        first = False
+    return store.read(spark, "accepted_docs")
