@@ -35,6 +35,7 @@ BENCH_SKIP = {
     "fs7_backfill",
     "l6c_audio_features",
     "l6d_video_frame_split",
+    "l18_incremental_dedup",
 }
 
 
