@@ -25,10 +25,14 @@ production deployment would swap this for ``DeltaTable`` calls — the
 API here is deliberately shaped so the swap is mechanical
 (import-gated; the jars are not in this image).
 
-Concurrency: single-writer per table (commit files are written
-atomically via rename). The grading workloads are single-writer; a
-multi-writer deployment needs the real Delta log's optimistic
-conflict protocol.
+Concurrency: optimistic, Delta-log style — the commit record is
+published with an atomic put-if-absent (``os.link``), so of two
+writers racing for the same version exactly one wins and the other
+gets :class:`ConcurrentWriteError` to re-resolve and retry. This is
+the same contract Delta's LogStore requires of its storage layer;
+on object stores the link step maps to the store's
+conditional-put. (No automatic retry loop — callers own the
+re-resolve policy, like Delta's commit loop.)
 """
 
 from __future__ import annotations
@@ -43,6 +47,11 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the same version first (optimistic
+    concurrency conflict) — reload the latest version and retry."""
 
 
 @dataclass(frozen=True)
@@ -152,12 +161,28 @@ class TableStore:
         )
 
     def _commit(self, table: str, commit: Commit) -> Commit:
+        """Atomic put-if-absent of the commit record — the optimistic
+        concurrency primitive of every lakehouse log (Delta's
+        LogStore contract): ``os.link`` fails with EEXIST if another
+        writer already claimed this version number, so a losing racer
+        gets :class:`ConcurrentWriteError` (re-resolve latest and
+        retry) instead of silently clobbering the winner's commit,
+        which a plain rename would do."""
         log_dir = self._log_dir(table)
         os.makedirs(log_dir, exist_ok=True)
         tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             json.dump(commit.__dict__, f)
-        os.rename(tmp, os.path.join(log_dir, f"{commit.version:08d}.json"))
+        dst = os.path.join(log_dir, f"{commit.version:08d}.json")
+        try:
+            os.link(tmp, dst)  # atomic: EEXIST iff someone committed first
+        except FileExistsError as e:
+            raise ConcurrentWriteError(
+                f"{table}: version {commit.version} was committed by another "
+                "writer; reload latest_version and retry"
+            ) from e
+        finally:
+            os.unlink(tmp)
         return commit
 
     # ----------------------------------------------------------- read

@@ -130,3 +130,33 @@ def test_optimize_rejects_non_rankable_zorder_column(spark, root):
     )
     with pytest.raises(ValueError, match="non-rankable"):
         store.optimize(spark, "t", zorder_by=["name"], n_files=1)
+
+
+def test_commit_put_if_absent_rejects_racing_writer(spark, root):
+    """Optimistic concurrency at the log: of two writers publishing
+    the same version, exactly one wins; the loser gets
+    ConcurrentWriteError (not a silent clobber) and succeeds after
+    re-resolving the next version."""
+    import time as _time
+
+    from feray_spark.sources.table_store import Commit, ConcurrentWriteError
+
+    store = TableStore(root)
+    df = spark.range(10).toDF("id")
+    store.write(df, "t", mode="overwrite")
+    base = store.commit_info("t")
+
+    def commit_v(v):
+        return Commit(
+            version=v, mode="append", segments=base.segments,
+            schema=base.schema, row_count=base.row_count,
+            timestamp=_time.time(), user_metadata={}, partition_by=[],
+        )
+
+    store._commit("t", commit_v(1))  # writer A wins version 1
+    with pytest.raises(ConcurrentWriteError):
+        store._commit("t", commit_v(1))  # writer B loses the race
+    # winner's record is intact, loser retries at the next version
+    assert store.commit_info("t", 1).user_metadata == {}
+    store._commit("t", commit_v(2))
+    assert store.latest_version("t") == 2
