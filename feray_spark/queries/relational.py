@@ -206,6 +206,98 @@ def s10_optimize_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s11_change_feed",
+    oracle="""
+        SELECT CAST(1 AS BIGINT) AS commit_version,
+               'insert' AS change_type,
+               count(*) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders WHERE o_orderpriority = '3-MEDIUM'
+        UNION ALL
+        SELECT 2, 'insert', count(*),
+               CAST(sum(CAST(o_totalprice + CAST(1.0 AS DOUBLE)
+                   AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders
+        WHERE o_orderkey % 13 = 0 AND o_orderpriority = '4-NOT SPECIFIED'
+        UNION ALL
+        SELECT 2, 'update_preimage', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders
+        WHERE o_orderkey % 13 = 0 AND o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT 2, 'update_postimage', count(*),
+               CAST(sum(CAST(o_totalprice + CAST(1.0 AS DOUBLE)
+                   AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders
+        WHERE o_orderkey % 13 = 0 AND o_orderpriority = '1-URGENT'
+    """,
+    tags=("source", "S2", "S3", "cdf"),
+)
+def s11_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 change data feed (the Delta CDF analog,
+    ``TableStore.changes``): build a 3-version table — v0 overwrite
+    (urgent+high orders), v1 append (medium orders), v2 keyed MERGE
+    (bump urgent ``%13`` keys by 1.0, insert not-specified ``%13``
+    keys) — then read the keyed change feed over (v0, v2] and
+    aggregate rows per (commit_version, change_type). The oracle
+    recomputes each change class straight from the source table, so a
+    hash match proves: the append surfaced as metadata-only inserts,
+    the merge classified update pre/post images and inserts exactly,
+    and unchanged rows emitted NOTHING.
+
+    Scale shape: the append's change set is resolved from the log (a
+    scan of just the appended segment — nothing else read); only the
+    rewrite commit pays a diff (two ``exceptAll`` hash-aggregates),
+    the documented read-time-CDF trade vs Delta's write-time
+    ``_change_data`` files."""
+    import os
+    import shutil
+    import tempfile
+
+    from feray_spark.sources.table_store import TableStore
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"feray_spark_s11_store_{sf_dir.strip('/').replace('/', '_')}",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # idempotent re-runs
+    store = TableStore(root)
+    orders = load_table(spark, sf_dir, "orders")
+    store.write(
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        "orders_cdf",
+        mode="overwrite",
+    )
+    store.write(
+        orders.filter(F.col("o_orderpriority") == "3-MEDIUM"),
+        "orders_cdf",
+        mode="append",
+    )
+    src = (
+        orders.filter(
+            (F.col("o_orderkey") % 13 == 0)
+            & F.col("o_orderpriority").isin("1-URGENT", "4-NOT SPECIFIED")
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    )
+    store.merge(spark, "orders_cdf", src, keys=["o_orderkey"])
+    feed = store.changes(spark, "orders_cdf", from_version=0, keys=["o_orderkey"])
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
     "s6_csv_roundtrip",
     oracle="SELECT r_regionkey, r_name FROM region",
     tags=("source", "S6"),

@@ -83,6 +83,7 @@ class DeltaTableStore:
         mode: str = "overwrite",
         user_metadata: dict[str, Any] | None = None,
         partition_by: Sequence[str] | None = None,
+        merge_schema: bool = False,
     ) -> None:
         writer = df.write.format("delta").mode(mode)
         if partition_by:
@@ -91,6 +92,8 @@ class DeltaTableStore:
             writer = writer.option("userMetadata", json.dumps(user_metadata))
         if mode == "overwrite":
             writer = writer.option("overwriteSchema", "true")
+        if merge_schema:
+            writer = writer.option("mergeSchema", "true")
         writer.save(self._path(table))
 
     # -------------------------------------------------------- read
@@ -115,6 +118,33 @@ class DeltaTableStore:
         hist = DeltaTable.forPath(spark, self._path(table)).history(1)
         raw = hist.select("userMetadata").collect()[0][0]
         return json.loads(raw) if raw else {}
+
+    # -------------------------------------------- change data feed
+
+    def changes(
+        self,
+        spark: SparkSession,
+        table: str,
+        from_version: int,
+        to_version: int | None = None,
+        keys: Sequence[str] | None = None,  # noqa: ARG002 - Delta classifies
+    ) -> DataFrame:
+        """Delta's native CDF (``readChangeFeed``) — the twin of
+        ``TableStore.changes``. Delta materializes change files at
+        write time, so the read is a plain scan; requires the table
+        property ``delta.enableChangeDataFeed=true``. ``keys`` is
+        accepted for call-shape parity (Delta's MERGE classifies
+        updates itself). Exclusive ``from_version`` base, matching
+        the segment store: Delta's startingVersion is inclusive, so
+        start at ``from_version + 1``."""
+        reader = (
+            spark.read.format("delta")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", str(from_version + 1))
+        )
+        if to_version is not None:
+            reader = reader.option("endingVersion", str(to_version))
+        return reader.load(self._path(table)).drop("_commit_timestamp")
 
     # ------------------------------------------------------- merge
 

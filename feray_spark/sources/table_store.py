@@ -115,6 +115,7 @@ class TableStore:
         mode: str = "append",
         user_metadata: dict[str, Any] | None = None,
         partition_by: Sequence[str] | None = None,
+        merge_schema: bool = False,
     ) -> Commit:
         """Append or overwrite, creating version latest+1. The row
         count is collected from the write via ``df.count()`` on the
@@ -123,7 +124,15 @@ class TableStore:
         ``partition_by`` — hive-style partition columns for the new
         segment (the Delta ``partitionBy`` analog): enables partition
         pruning on read and partition-scoped ``replace_where``.
-        Appends must keep the table's existing partitioning."""
+        Appends must keep the table's existing partitioning.
+
+        Schema enforcement + evolution (the Delta contract): an
+        append whose columns differ from the table's schema is
+        REJECTED unless ``merge_schema=True`` (Delta's
+        ``mergeSchema`` option), in which case new columns are added
+        to the table schema and earlier segments read them as NULL.
+        Type changes on an existing column are never allowed — that
+        is a rewrite, not an evolution."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         prev = self.commit_info(table)
@@ -136,6 +145,9 @@ class TableStore:
             raise ValueError(
                 f"append partitioning {partition_by} != table's {prev.partition_by}"
             )
+        schema_json = df.schema.json()
+        if prev is not None and mode == "append":
+            schema_json = self._evolved_schema(table, prev, df, merge_schema)
         version = 0 if prev is None else prev.version + 1
         seg = os.path.join(self.root, table, f"seg-{version:08d}-{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("errorifexists")
@@ -152,13 +164,50 @@ class TableStore:
                 version=version,
                 mode=mode,
                 segments=segments,
-                schema=df.schema.json(),
+                schema=schema_json,
                 row_count=row_count,
                 timestamp=time.time(),
                 user_metadata=user_metadata or {},
                 partition_by=partition_by,
             ),
         )
+
+    @staticmethod
+    def _evolved_schema(
+        table: str, prev: Commit, df: DataFrame, merge_schema: bool
+    ) -> str:
+        """Table schema after appending ``df``: identical schemas pass
+        through; new columns evolve (with ``merge_schema``) by
+        appending their fields; anything else — a type change, or any
+        difference without the flag — raises. Pure metadata, no IO."""
+        from pyspark.sql import types as T
+
+        old = T.StructType.fromJson(json.loads(prev.schema))
+        old_fields = {f.name: f for f in old.fields}
+        new_fields = {f.name: f for f in df.schema.fields}
+        changed = [
+            n
+            for n, f in new_fields.items()
+            if n in old_fields and old_fields[n].dataType != f.dataType
+        ]
+        if changed:
+            raise ValueError(
+                f"{table}: column type change on append for {changed} "
+                "(schema evolution adds columns; it never retypes them)"
+            )
+        if set(new_fields) == set(old_fields):
+            return prev.schema
+        if not merge_schema:
+            missing = sorted(set(old_fields) - set(new_fields))
+            extra = sorted(set(new_fields) - set(old_fields))
+            raise ValueError(
+                f"{table}: append schema mismatch (missing {missing}, "
+                f"new {extra}); pass merge_schema=True to evolve"
+            )
+        merged = list(old.fields) + [
+            f for n, f in new_fields.items() if n not in old_fields
+        ]
+        return T.StructType(merged).json()
 
     def _commit(self, table: str, commit: Commit) -> Commit:
         """Atomic put-if-absent of the commit record — the optimistic
@@ -211,18 +260,24 @@ class TableStore:
         self, spark: SparkSession, table: str, version: int | None = None
     ) -> DataFrame:
         """Read a table at a version (time travel) or latest.
-        Unpartitioned tables read as ONE multi-path parquet scan;
-        partitioned tables read per-segment (each with its own
-        ``basePath`` so partition columns materialize) and union —
-        pushdown, column pruning and partition pruning all intact
-        (a filter on a partition column prunes directories before
-        any file IO)."""
+        Unpartitioned tables read as ONE multi-path parquet scan —
+        under the commit's recorded schema, so segments written
+        before a schema evolution surface the added columns as NULL
+        (no footer-merging pass; the log IS the schema authority,
+        exactly Delta's model); partitioned tables read per-segment
+        (each with its own ``basePath`` so partition columns
+        materialize) and union by name — pushdown, column pruning
+        and partition pruning all intact (a filter on a partition
+        column prunes directories before any file IO)."""
+        from pyspark.sql import types as T
+
         commit = self.commit_info(table, version)
         if commit is None:
             raise KeyError(f"unknown table {table!r}")
+        schema = T.StructType.fromJson(json.loads(commit.schema))
         pairs = [self._seg_base(s) for s in commit.segments]
         if not commit.partition_by:
-            return spark.read.parquet(*[p for p, _ in pairs])
+            return spark.read.schema(schema).parquet(*[p for p, _ in pairs])
         by_base: dict[str, list[str]] = {}
         for path, base in pairs:
             by_base.setdefault(base, []).append(path)
@@ -230,8 +285,153 @@ class TableStore:
             spark.read.option("basePath", base).parquet(*paths)
             for base, paths in by_base.items()
         ]
-        out = parts[0]
-        for p in parts[1:]:
+        names = [f.name for f in schema.fields]
+        aligned = [
+            p.select(
+                *[
+                    # cast: partition values are path-inferred per
+                    # segment; pin them to the committed type (no-op
+                    # on data columns whose types already match)
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in p.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            for p in parts
+        ]
+        out = aligned[0]
+        for p in aligned[1:]:
+            out = out.unionByName(p)
+        return out.select(*names)
+
+    # -------------------------------------------------- change data feed
+
+    def changes(
+        self,
+        spark: SparkSession,
+        table: str,
+        from_version: int,
+        to_version: int | None = None,
+        keys: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Row-level change feed over ``(from_version, to_version]`` —
+        the Delta Change-Data-Feed analog (``table_changes`` /
+        ``readChangeFeed``): the table's data columns plus
+        ``_change_type`` (``insert`` | ``delete`` |
+        ``update_preimage`` | ``update_postimage``) and
+        ``_commit_version``. ``from_version`` is the exclusive base
+        snapshot, matching Delta's "changes AFTER version" reading.
+
+        Per-commit fast paths (the 100 TB shape):
+
+        - ``append`` commits never diff: the change set IS the new
+          segment — a metadata-resolved scan of just the appended
+          files tagged ``insert``; the rest of the table is never
+          read.
+        - ``optimize`` commits rewrite layout, not contents: no
+          change rows.
+        - rewrite commits (``overwrite`` / ``merge`` /
+          ``replace_where``) compute a snapshot diff v-1 → v: one
+          ``exceptAll`` each way (hash-aggregate on the row — the
+          honest cost of a rewrite). With ``keys``, rows changed on
+          both sides of the same key classify as update pre/post
+          images via two semi/anti joins on the (small) changed set;
+          without keys they surface as delete+insert.
+
+        Unlike Delta — which materializes ``_change_data`` files at
+        WRITE time — the diff here is computed at read time: no write
+        amplification on every commit, diff cost only on the (rare)
+        rewrite commits you actually ask about. Net-change semantics:
+        a rewrite that re-emits an identical row produces no change
+        row for it."""
+        commits = {c.version: c for c in self._commits(table)}
+        if not commits:
+            raise KeyError(f"unknown table {table!r}")
+        last = max(commits)
+        to_version = last if to_version is None else to_version
+        if from_version not in commits:
+            raise KeyError(f"{table}: no version {from_version}")
+        from pyspark.sql import types as T
+
+        # align every piece (old segments, evolved schemas) to the
+        # requested end-version's schema
+        schema_fields = T.StructType.fromJson(
+            json.loads(commits[to_version].schema)
+        ).fields
+
+        def aligned(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in schema_fields
+                ]
+            )
+
+        def tagged(df: DataFrame, change: str, version: int) -> DataFrame:
+            return aligned(df).select(
+                "*",
+                F.lit(change).alias("_change_type"),
+                F.lit(version).cast("bigint").alias("_commit_version"),
+            )
+
+        pieces: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            c = commits.get(v)
+            if c is None:
+                continue
+            if c.mode == "append":
+                seg = c.segments[-1]
+                path, base = self._seg_base(seg)
+                new = (
+                    spark.read.option("basePath", base).parquet(path)
+                    if c.partition_by
+                    else spark.read.parquet(path)
+                )
+                pieces.append(tagged(new, "insert", v))
+                continue
+            if c.mode == "optimize":
+                continue
+            prev_df = aligned(self.read(spark, table, version=v - 1))
+            cur_df = aligned(self.read(spark, table, version=v))
+            removed = prev_df.exceptAll(cur_df)
+            added = cur_df.exceptAll(prev_df)
+            if keys:
+                klist = list(keys)
+                rem_keys = removed.select(*klist).distinct()
+                add_keys = added.select(*klist).distinct()
+                pieces.append(
+                    tagged(
+                        removed.join(add_keys, klist, "left_semi"),
+                        "update_preimage",
+                        v,
+                    )
+                )
+                pieces.append(
+                    tagged(
+                        removed.join(add_keys, klist, "left_anti"), "delete", v
+                    )
+                )
+                pieces.append(
+                    tagged(
+                        added.join(rem_keys, klist, "left_semi"),
+                        "update_postimage",
+                        v,
+                    )
+                )
+                pieces.append(
+                    tagged(added.join(rem_keys, klist, "left_anti"), "insert", v)
+                )
+            else:
+                pieces.append(tagged(removed, "delete", v))
+                pieces.append(tagged(added, "insert", v))
+        if not pieces:
+            empty = self.read(spark, table, version=to_version).limit(0)
+            return tagged(empty, "insert", to_version).limit(0)
+        out = pieces[0]
+        for p in pieces[1:]:
             out = out.unionByName(p)
         return out
 

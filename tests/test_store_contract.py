@@ -29,9 +29,11 @@ class _SegmentAdapter:
         self.spark = spark
         self.ts = TableStore(root)
 
-    def write(self, df, table, mode="overwrite", user_metadata=None, partition_by=None):
+    def write(self, df, table, mode="overwrite", user_metadata=None, partition_by=None,
+              merge_schema=False):
         self.ts.write(
-            df, table, mode=mode, user_metadata=user_metadata, partition_by=partition_by
+            df, table, mode=mode, user_metadata=user_metadata,
+            partition_by=partition_by, merge_schema=merge_schema,
         )
 
     def read(self, table, version=None):
@@ -49,15 +51,31 @@ class _SegmentAdapter:
     def replace_where(self, table, replacement, predicate):
         self.ts.replace_where(self.spark, table, replacement, predicate)
 
+    def changes(self, table, from_version, to_version=None, keys=None):
+        return self.ts.changes(
+            self.spark, table, from_version, to_version=to_version, keys=keys
+        )
+
 
 class _DeltaAdapter:
     def __init__(self, spark, root):
         self.spark = spark
         self.ds = delta_store.DeltaTableStore(root)
+        # CDF must be on at table creation for the change-feed leg
+        try:
+            spark.conf.set(
+                "spark.databricks.delta.properties.defaults."
+                "enableChangeDataFeed",
+                "true",
+            )
+        except Exception:
+            pass
 
-    def write(self, df, table, mode="overwrite", user_metadata=None, partition_by=None):
+    def write(self, df, table, mode="overwrite", user_metadata=None, partition_by=None,
+              merge_schema=False):
         self.ds.write(
-            df, table, mode=mode, user_metadata=user_metadata, partition_by=partition_by
+            df, table, mode=mode, user_metadata=user_metadata,
+            partition_by=partition_by, merge_schema=merge_schema,
         )
 
     def read(self, table, version=None):
@@ -74,6 +92,11 @@ class _DeltaAdapter:
 
     def replace_where(self, table, replacement, predicate):
         self.ds.replace_where(self.spark, table, replacement, predicate)
+
+    def changes(self, table, from_version, to_version=None, keys=None):
+        return self.ds.changes(
+            self.spark, table, from_version, to_version=to_version, keys=keys
+        )
 
 
 @pytest.fixture(params=BACKENDS)
@@ -131,6 +154,58 @@ def test_contract_replace_where_scope_and_nulls(store, spark):
     store.replace_where("t", repl, "part = 'x'")
     got = {(r.id, r.part) for r in store.read("t").collect()}
     assert got == {(9, "x"), (2, None), (3, "y")}
+
+
+def test_contract_schema_evolution(store, spark):
+    """Delta semantics both backends must share: a mismatched append
+    is rejected without mergeSchema; with it, new columns evolve the
+    table schema and pre-evolution rows read the new column as NULL."""
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    store.write(base, "t", mode="overwrite")
+    wider = spark.createDataFrame([(3, "c", 1.5)], "id int, v string, score double")
+    with pytest.raises(Exception, match="(?i)schema|merge"):
+        store.write(wider, "t", mode="append")
+    store.write(wider, "t", mode="append", merge_schema=True)
+    got = store.read("t")
+    assert set(got.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in got.collect()}
+    assert rows == {1: None, 2: None, 3: 1.5}
+    # time travel still serves the PRE-evolution schema
+    assert set(store.read("t", version=0).columns) == {"id", "v"}
+
+
+def test_contract_schema_evolution_rejects_retype(store, spark):
+    base = spark.createDataFrame([(1, "a")], "id int, v string")
+    store.write(base, "t", mode="overwrite")
+    retyped = spark.createDataFrame([(2, 3.0)], "id int, v double")
+    with pytest.raises(Exception):
+        store.write(retyped, "t", mode="append", merge_schema=True)
+
+
+def test_contract_change_feed_append_is_inserts(store, spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    store.write(base, "t", mode="overwrite")
+    more = spark.createDataFrame([(3, "c"), (4, "d")], "id int, v string")
+    store.write(more, "t", mode="append")
+    ch = store.changes("t", from_version=0).collect()
+    assert {(r.id, r._change_type, r._commit_version) for r in ch} == {
+        (3, "insert", 1),
+        (4, "insert", 1),
+    }
+
+
+def test_contract_change_feed_merge_classifies_updates(store, spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    store.write(base, "t", mode="overwrite")
+    src = spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")
+    store.merge("t", src, keys=["id"])
+    ch = store.changes("t", from_version=0, keys=["id"])
+    got = {(r.id, r.v, r._change_type) for r in ch.collect()}
+    assert got == {
+        (2, "b", "update_preimage"),
+        (2, "B", "update_postimage"),
+        (3, "c", "insert"),
+    }
 
 
 def test_contract_partitioned_write_roundtrip(store, spark):
