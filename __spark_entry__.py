@@ -39,7 +39,9 @@ FLAGSHIP = "a1_groupby_q1"
 #: l16_unigram_logprob, s10_optimize_layout, l6c_audio_features,
 #: l6d_video_frame_split, a13_heavy_hitters, l17_mixture_sampling,
 #: l18_incremental_dedup, ep3c_tpch_q3, ep3d_tpch_q5
-#: (+ rows-only: f_hash_native, l2b_simhash, l3b_lsh_topk, l3c_ivf_topk).
+#: (+ rows-only: f_hash_native, l2b_simhash, l3b_lsh_topk, l3c_ivf_topk)
+#: and the round-3 additions s11_change_feed, a14_exact_quantiles,
+#: l19_fuzzy_blocked_pairs.
 _DRIVER_PRIORITY = [
     # §2.9 streaming batch-parity contract (t1–t8)
     "t1_tumbling_window",

@@ -29,6 +29,7 @@ BENCH_SKIP = {
     "s7_inmemory_rows",
     "s2_table_store_time_travel",
     "s10_optimize_layout",
+    "s11_change_feed",
     "s9_metadata_sink",
     "fs3_memoization",
     "fs6_feature_flags",

@@ -14,6 +14,7 @@ shuffle moves only #groups × #partitions rows, not the fact table.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from feray_spark.catalog import load_table
@@ -462,6 +463,70 @@ def a12_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _PROFILE_COLS[1:]:
         out = out.unionByName(branch(c))
     return out
+
+
+@register(
+    "a14_exact_quantiles",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderpriority AS priority,
+                   o_totalprice AS v,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders
+        )
+        SELECT priority,
+               CAST(MAX(n) AS BIGINT) AS n_rows,
+               MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                   THEN v END) AS p25,
+               MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                   THEN v END) AS p50,
+               MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT)
+                   THEN v END) AS p75
+        FROM ranked GROUP BY priority
+    """,
+    tags=("agg", "A14", "quantiles"),
+)
+def a14_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 (beyond the brief): exact per-group quantiles — the
+    polars ``quantile`` surface / SQL ``percentile_disc`` analog,
+    computed as a RANK PICK: the p-quantile of a group is its
+    ``ceil(p·n)``-th smallest element. Discrete (an actual data
+    value, no interpolation), which makes it engine-portable — the
+    rank-k element of a multiset is a well-defined VALUE regardless
+    of how either engine breaks ties, and no floating-point
+    arithmetic ever touches the result.
+
+    Scale shape: ONE shuffle on the group key; the sort runs
+    per-group inside the window, the three picks fold into the same
+    hash aggregate. This is the exact path — at extreme group sizes
+    (billions of rows per group) swap in ``approx_percentile``
+    (t-digest-style sketch, the A5 pattern) and keep the same output
+    schema; the window form is right whenever a group fits a
+    partition, which holds for every dimension-keyed profile."""
+    o = load_table(spark, sf_dir, "orders")
+    ranked = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("v"),
+        )
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("priority").orderBy("v"))
+        )
+        .withColumn("n", F.count("*").over(W.partitionBy("priority")))
+    )
+
+    def pick(p: float):
+        rank = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        return F.max(F.when(F.col("rn") == rank, F.col("v")))
+
+    return ranked.groupBy("priority").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        pick(0.25).alias("p25"),
+        pick(0.50).alias("p50"),
+        pick(0.75).alias("p75"),
+    )
 
 
 _HH_K = 20  # heavy hitters reported

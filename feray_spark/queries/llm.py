@@ -1439,3 +1439,67 @@ def l18_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         first = False
     return store.read(spark, "accepted_docs")
+
+
+@register(
+    "l19_fuzzy_blocked_pairs",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, lang,
+                   substr(text, 1, 24) AS pfx,
+                   substr(text, 1, 80) AS head
+            FROM documents
+        )
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               CAST(levenshtein(x.head, y.head) AS BIGINT) AS edit_dist
+        FROM b x JOIN b y
+          ON x.lang = y.lang AND x.pfx = y.pfx AND x.doc_id < y.doc_id
+        WHERE levenshtein(x.head, y.head) <= 20
+    """,
+    tags=("llm", "L19", "dedup"),
+)
+def l19_fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L19 (beyond the brief): fuzzy near-duplicate pairs by EDIT
+    DISTANCE under blocking — the record-linkage workhorse for typo-
+    grade duplicates that hash-based dedup (L1) misses and shingle
+    methods (L2/L2c) over-segment: block on (lang, 24-char prefix),
+    compare candidates by Levenshtein over the 80-char head, keep
+    pairs within distance 20.
+
+    Scale shape: the O(n²) comparison NEVER materializes — the block
+    self-join shuffles once on the (lang, prefix) block key and edit
+    distance (a JVM built-in, quadratic in the CAPPED head length
+    only) runs on Σ C(block_size, 2) candidate pairs. Blocking
+    choice is the recall/cost dial: longer prefixes → smaller blocks
+    → fewer candidates (miss pairs differing in the first chars);
+    production stacks add a second pass blocked on a suffix or a
+    sorted-token key to recover prefix-divergent pairs — same plan,
+    different key. Degenerate mega-blocks (empty prefix, boilerplate
+    headers) are the L2c ``max_df`` stop-shingle situation: cap or
+    drop blocks past a bound before the join."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 24).alias("pfx"),
+        F.substring("text", 1, 80).alias("head"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.pfx") == F.col("y.pfx"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("x.head"), F.col("y.head")).cast("bigint"),
+        )
+        .filter(F.col("edit_dist") <= 20)
+    )
+    return pairs.select(
+        F.col("x.doc_id").alias("id_a"),
+        F.col("y.doc_id").alias("id_b"),
+        "edit_dist",
+    )

@@ -414,3 +414,20 @@ def test_tpch_q5_dim_chain_broadcasts(spark, sf_dir):
     q = load_all()["ep3d_tpch_q5"]
     plan = plan_of(q.fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_exact_quantiles_single_exchange(spark, sf_dir):
+    """a14: the rank windows and the final aggregate share ONE
+    hash partitioning on the group key — no second shuffle."""
+    q = load_all()["a14_exact_quantiles"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_fuzzy_blocked_pairs_equi_join(spark, sf_dir):
+    """l19: the blocked self-join must key on (lang, prefix) — a
+    hash-partitioned equi join, never the O(n^2) nested loop."""
+    q = load_all()["l19_fuzzy_blocked_pairs"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
