@@ -1503,3 +1503,107 @@ def l19_fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y.doc_id").alias("id_b"),
         "edit_dist",
     )
+
+
+_LINE_W = 8  # tokens per span for the span-dedup query
+
+
+@register(
+    "l20_span_dedup",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+        chunks AS (
+          SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+                 array_to_string(
+                     w[(pos-1)*{_LINE_W}+1 : (pos-1)*{_LINE_W}+{_LINE_W}],
+                     ' ') AS chunk
+          FROM toks,
+               UNNEST(range(1, greatest(CAST(ceil(len(w)/{_LINE_W}.0)
+                   AS BIGINT), 1) + 1)) AS t(pos)
+        ),
+        winners AS (
+          SELECT chunk, MIN(doc_id * 100000 + pos) AS wk
+          FROM chunks GROUP BY chunk
+        ),
+        kept AS (
+          SELECT c.doc_id, c.pos, c.chunk,
+                 (c.doc_id * 100000 + c.pos = w.wk) AS keep
+          FROM chunks c JOIN winners w USING (chunk)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               md5(string_agg(CASE WHEN keep THEN chunk END,
+                   ' ' ORDER BY pos)) AS kept_md5
+        FROM kept GROUP BY doc_id
+    """,
+    tags=("llm", "L20", "dedup"),
+)
+def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20 (beyond the brief): duplicated-SPAN removal — the
+    C4/RefinedWeb cleaning step that exact-doc dedup (L1) cannot do:
+    a span (here: an {_LINE_W}-token window; a line or 3-sentence
+    span in prose corpora) repeated ANYWHERE in the corpus is
+    removed from every document except its first occurrence
+    (winner = smallest (doc_id, position)), and each document is
+    reassembled from its surviving spans in order. Output per doc:
+    span counts + an md5 of the reassembled text, so the oracle
+    hash-checks the exact surviving content.
+
+    Scale shape: three key-shuffles, all sub-corpus-sized — explode
+    to spans (map-side), hash-agg on the span string for the winner
+    (vocabulary-sized after map-side combine), join winners back on
+    the span key, re-aggregate per doc. The span join is the same
+    inverted-index pattern as L2c with the same skew valve: a
+    boilerplate mega-span (cookie banners) is one hot key — cap or
+    salt it past a document-frequency bound."""
+    from feray_spark.functions.text import words as words_fn
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.greatest(
+        F.ceil(F.size(words_fn("text")) / F.lit(_LINE_W)), F.lit(1)
+    ).cast("int")
+    spans = fan_out(d).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("pos"),
+                    F.array_join(
+                        F.slice(words_fn("text"), i * _LINE_W + 1, _LINE_W), " "
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.chunk").alias("chunk"))
+    winners = spans.groupBy("chunk").agg(
+        F.min(F.col("doc_id") * 100000 + F.col("pos")).alias("wk")
+    )
+    kept = spans.join(winners, "chunk").withColumn(
+        "keep", (F.col("doc_id") * 100000 + F.col("pos")) == F.col("wk")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        # NULL (not md5('')) when every span was removed, matching the
+        # oracle's string_agg-over-no-rows
+        F.when(
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)) > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "keep", "chunk"))
+                            ),
+                            lambda x: x["keep"],
+                        ),
+                        lambda x: x["chunk"],
+                    ),
+                    " ",
+                )
+            ),
+        ).alias("kept_md5"),
+    )

@@ -305,6 +305,65 @@ class TableStore:
             out = out.unionByName(p)
         return out.select(*names)
 
+    # ------------------------------------------------------ streaming
+
+    def read_stream(
+        self, spark: SparkSession, table: str, ignore_changes: bool = False
+    ) -> DataFrame:
+        """Unbounded read of an APPEND-ONLY table — the Delta
+        streaming-source analog: downstream pipelines consume the
+        table incrementally (each micro-batch sees only newly
+        committed files, offsets checkpoint with the query) instead
+        of re-scanning snapshots.
+
+        Mechanics: a parquet file-stream over the table's segment
+        glob. Segments are immutable and appends only ADD segment
+        directories, so "new files" is exactly "newly appended rows"
+        — the same invariant Delta's streaming source relies on.
+        Rewrite commits (overwrite/merge/replace_where/optimize)
+        break it (their rewritten files would replay as inserts), so
+        a history containing any rewrite after version 0 is REJECTED
+        unless ``ignore_changes=True`` (Delta's ``ignoreChanges``
+        contract: the caller accepts replayed rows). The check
+        guards commits made BEFORE the stream starts; commits made
+        while it runs are on the append-only discipline of the
+        writer, as with Delta.
+
+        Partitioned tables are not streamable here (the file source
+        would need per-segment basePaths); at 100 TB the streaming
+        ingest table is the unpartitioned hot tail that a scheduled
+        ``optimize``/backfill later compacts into the partitioned
+        history table — exactly the two-tier layout the FS7 backfill
+        path serves."""
+        from pyspark.sql import types as T
+
+        commit = self.commit_info(table)
+        if commit is None:
+            raise KeyError(f"unknown table {table!r}")
+        if commit.partition_by:
+            raise ValueError(
+                f"{table} is hive-partitioned; stream the unpartitioned "
+                "ingest tail instead (see read_stream docstring)"
+            )
+        if not ignore_changes:
+            rewrites = [
+                c.version
+                for c in self._commits(table)
+                if c.version > 0 and c.mode != "append"
+            ]
+            if rewrites:
+                raise ValueError(
+                    f"{table} has rewrite commits {rewrites}; a file "
+                    "stream would replay their rewritten rows — pass "
+                    "ignore_changes=True to accept that"
+                )
+        schema = T.StructType.fromJson(json.loads(commit.schema))
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(self.root, table, "seg-*"))
+        )
+
     # -------------------------------------------------- change data feed
 
     def changes(

@@ -301,3 +301,46 @@ def test_quality_filter_stream_matches_batch(spark, tmp_dir):
     want_texts = {r.text for r in batch.select("text").collect()}
     assert got_texts == want_texts
     assert len(got) == len(want_texts)  # one winner per distinct text
+
+
+def test_table_store_stream_incremental_consumption(spark, tmp_dir):
+    """TableStore.read_stream: an append-only table consumed as a
+    stream delivers each commit's rows exactly once across restarts
+    on the same checkpoint (the Delta streaming-source contract)."""
+    store = TableStore(f"{tmp_dir}/store")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    store.write(base, "feed", mode="overwrite")
+
+    def drain():
+        # file sink: the one that actually supports checkpoint recovery
+        q = (
+            store.read_stream(spark, "feed")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", f"{tmp_dir}/out")
+            .option("checkpointLocation", f"{tmp_dir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = [(r.id, r.v) for r in spark.read.parquet(f"{tmp_dir}/out").collect()]
+        return sorted(rows)
+
+    assert drain() == [(1, "a"), (2, "b")]
+    store.write(
+        spark.createDataFrame([(3, "c")], "id int, v string"), "feed", mode="append"
+    )
+    # restart on the SAME checkpoint: exactly the new commit arrives —
+    # multiset equality, so a replay of the first two rows would fail
+    assert drain() == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_table_store_stream_rejects_rewritten_history(spark, tmp_dir):
+    store = TableStore(f"{tmp_dir}/store")
+    base = spark.createDataFrame([(1, "a")], "id int, v string")
+    store.write(base, "feed", mode="overwrite")
+    store.write(base, "feed", mode="overwrite")  # v1 rewrite
+    with pytest.raises(ValueError, match="rewrite"):
+        store.read_stream(spark, "feed")
+    # explicit opt-in (Delta ignoreChanges) unblocks it
+    assert store.read_stream(spark, "feed", ignore_changes=True).isStreaming
