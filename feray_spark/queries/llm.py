@@ -1607,3 +1607,88 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("kept_md5"),
     )
+
+
+@register(
+    "l21_embedding_outliers",
+    oracle="""
+        WITH dims AS (
+            SELECT label, i AS d, CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings,
+                 UNNEST(range(1, len(embedding) + 1)) t(i)
+        ),
+        cent AS (
+            SELECT label, d, ROUND(AVG(x), 9) AS m
+            FROM dims GROUP BY label, d
+        ),
+        carr AS (
+            SELECT label, list(m ORDER BY d) AS c FROM cent GROUP BY label
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label,
+                   list_reduce(list_transform(list_zip(e.embedding, a.c),
+                       p -> CAST(p[1] AS DOUBLE) * p[2]),
+                       (acc, x) -> acc + x)
+                   / (sqrt(list_reduce(list_transform(e.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                          (acc, x) -> acc + x))
+                      * sqrt(list_reduce(list_transform(a.c, x -> x * x),
+                          (acc, x) -> acc + x))) AS cosine
+            FROM embeddings e JOIN carr a USING (label)
+        )
+        SELECT label, vec_id,
+               ROUND(cosine, 6) AS cos_centroid, rank
+        FROM (SELECT label, vec_id, cosine,
+                     ROW_NUMBER() OVER (PARTITION BY label
+                         ORDER BY cosine, vec_id) AS rank
+              FROM scored) t
+        WHERE rank <= 5
+    """,
+    tags=("llm", "L21", "similarity", "quality"),
+)
+def l21_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L21 (beyond the brief): embedding outlier detection — the 5
+    vectors LEAST similar to their own label's centroid, per label
+    (the curation step behind CLIP-score-style filtering: items far
+    from their cluster center are mislabeled/noise candidates for
+    human review, FS6's annotation queue).
+
+    Determinism across engines: the per-dimension centroid mean is
+    rounded to 9 dp on BOTH sides (summation order differs between
+    engines; the round collapses the ~1e-15 association drift), after
+    which every downstream value — sequential-fold dot, norms,
+    cosine — is computed bit-identically, so even the RANKING
+    matches without a rounding hedge (the L3 fold-parity pattern).
+
+    Scale shape: centroids are one explode + hash-agg (labels×dims
+    rows after map-side combine — KB-sized for any corpus), re-packed
+    to arrays and BROADCAST onto the corpus scan; scoring is a
+    zero-shuffle codegen projection, and only the per-label bottom-5
+    rank shuffles (WindowGroupLimit pre-cuts partitions)."""
+    d = fan_out(load_table(spark, sf_dir, "embeddings"))
+    dims = d.select(
+        "label", F.posexplode("embedding").alias("d", "x")
+    ).groupBy("label", "d").agg(
+        F.round(F.avg(F.col("x").cast("double")), 9).alias("m")
+    )
+    carr = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+        ).alias("c")
+    )
+    from feray_spark.functions.vectors import cosine_similarity
+
+    scored = d.join(F.broadcast(carr), "label").withColumn(
+        "cosine", cosine_similarity("embedding", "c")
+    )
+    w = W_llm.partitionBy("label").orderBy("cosine", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "label",
+            "vec_id",
+            F.round("cosine", 6).alias("cos_centroid"),
+            "rank",
+        )
+    )

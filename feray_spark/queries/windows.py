@@ -315,3 +315,79 @@ def o3_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_totalprice")
         .limit(10)
     )
+
+
+@register(
+    "w9_resample_gap_fill",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS day_total
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        span AS (
+            SELECT user_id, MIN(day) AS lo, MAX(day) AS hi
+            FROM daily GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id, CAST(t.d AS DATE) AS day
+            FROM span, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) t(d)
+        ),
+        j AS (
+            SELECT g.user_id, g.day, d.day_total
+            FROM grid g LEFT JOIN daily d USING (user_id, day)
+        )
+        SELECT user_id, day,
+               LAST_VALUE(day_total IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_total,
+               day_total IS NULL AS is_gap
+        FROM j
+    """,
+    tags=("window", "W9", "timeseries"),
+)
+def w9_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 (beyond the brief): time-series resample + gap fill — the
+    polars ``upsample``/``fill_null(strategy='forward')`` surface:
+    per-user daily totals re-gridded onto a dense day calendar over
+    each user's active span, with missing days FORWARD-FILLED from
+    the last observed day and flagged. The feature-store shape
+    behind "latest value as of day D" training matrices (FS8's
+    spine, densified).
+
+    Scale shape: the daily rollup is one hash-agg (exact-decimal
+    money sum); the calendar comes from ``sequence()`` exploded
+    per user — rows generated ON the user's partition, no
+    driver-side calendar, no cross join against a global date dim;
+    the gap join is keyed on (user, day) — broadcast at fixture
+    scale, SMJ at 100 TB — and the forward fill is a running
+    ``last(ignorenulls)`` frame over the user partitioning the grid
+    side already has, so the dense grid shuffles once."""
+    e = load_table(spark, sf_dir, "events")
+    from feray_spark.queries.util import dsum
+
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(dsum("value").alias("day_total"))
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+        )
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("day_total", ignorenulls=True).over(w).alias("filled_total"),
+        F.col("day_total").isNull().alias("is_gap"),
+    )

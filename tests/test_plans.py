@@ -431,3 +431,13 @@ def test_fuzzy_blocked_pairs_equi_join(spark, sf_dir):
     plan = plan_of(q.fn(spark, sf_dir))
     assert "NestedLoop" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_embedding_outliers_precut_and_broadcast(spark, sf_dir):
+    """l21: centroids broadcast onto the corpus scan; the bottom-5
+    rank pre-cuts per partition (WindowGroupLimit Partial) before
+    anything shuffles."""
+    q = load_all()["l21_embedding_outliers"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
