@@ -174,26 +174,76 @@ class FeatureStore:
         result = with_data_version(result, view.version_cols)
         result = result.withColumn(CODE_VERSION_COL, F.lit(code_version(view.fn)))
 
-        check_results = {}
-        for check_name, check in view.checks.items():
-            passed = bool(result.agg(check(result).alias("ok")).collect()[0]["ok"])
-            check_results[check_name] = passed
+        # Asset checks ride the WRITE job as observed metrics
+        # (df.observe): the boolean aggregates are folded into the
+        # materialization scan itself, so checks cost ZERO extra
+        # passes over the view — at 100 TB the difference between
+        # "checks are free" and "checks double the pipeline".
+        # Observed metrics can't carry every aggregate (e.g. DISTINCT
+        # forms); those checks fall back to the explicit per-check
+        # aggregation job, detected at plan time.
+        observation = None
+        fallback_checks: dict[str, Callable] = {}
+        if view.checks:
+            from pyspark.sql import Observation
+
+            try:
+                observation = Observation()
+                result = result.observe(
+                    observation,
+                    *[
+                        check(result).alias(check_name)
+                        for check_name, check in view.checks.items()
+                    ],
+                )
+            except Exception:
+                observation = None
+                fallback_checks = dict(view.checks)
         meta = {
             "fingerprint": fp,
             "code_version": code_version(view.fn),
-            "checks": check_results,
         }
-        self.store.write(
+        commit = self.store.write(
             result,
             name,
             mode="overwrite",
             user_metadata=meta,
             partition_by=list(view.partition_by),  # declaration is truth
         )
+        check_results: dict[str, bool] = {}
+        if observation is not None:
+            # the write above was the observed action; metrics are in
+            check_results = {k: bool(v) for k, v in observation.get.items()}
+        elif fallback_checks:
+            stored = self.store.read(self.spark, name)
+            for check_name, check in fallback_checks.items():
+                check_results[check_name] = bool(
+                    stored.agg(check(stored).alias("ok")).collect()[0]["ok"]
+                )
+        if view.checks:
+            # amend the commit record with the verdicts (metadata-only)
+            self._amend_checks(name, commit, check_results)
         if raise_on_check_failure and not all(check_results.values()):
             failed = [k for k, ok in check_results.items() if not ok]
             raise CheckFailure(f"{name}: checks failed: {failed}")
         return self.store.read(self.spark, name), True
+
+    def _amend_checks(self, name, commit, check_results: dict[str, bool]) -> None:
+        """Record check verdicts on the just-written commit. The
+        verdicts only exist AFTER the write job ran (observed
+        metrics), so they're patched into the commit file in place —
+        same version, enriched metadata (what Delta does by writing
+        checks into the commitInfo action post-hoc is not available
+        to a put-if-absent log, and a separate metadata commit would
+        burn a version per materialization)."""
+        log = os.path.join(self.store._log_dir(name), f"{commit.version:08d}.json")
+        with open(log) as f:
+            rec = json.load(f)
+        rec["user_metadata"]["checks"] = check_results
+        tmp = log + ".amend"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, log)
 
     # ----------------------------------------------------------- sync
 

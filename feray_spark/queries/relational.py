@@ -672,3 +672,58 @@ def ep3d_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EP3D_SQL)
+
+
+_EP4_SQL = """
+    WITH RECURSIVE seq AS (
+        SELECT o_custkey AS cust, o_orderkey AS k,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey) AS rn
+        FROM orders
+    ),
+    walk AS (
+        SELECT cust, k, rn, price AS cum
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT n.cust, n.k, n.rn,
+               CAST(w.cum + n.price AS DECIMAL(18,2))
+        FROM walk w JOIN seq n ON n.cust = w.cust AND n.rn = w.rn + 1
+    )
+    SELECT cust AS o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MAX(rn) AS BIGINT) AS chain_depth,
+           CAST(MAX(cum) AS DOUBLE) AS lifetime_spend
+    FROM walk GROUP BY cust
+"""
+
+
+@register(
+    "ep4_recursive_cte",
+    oracle=_EP4_SQL,
+    tags=("sql", "EP4", "recursive"),
+)
+def ep4_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP4: recursive CTE surface (``WITH RECURSIVE``, Spark 4) —
+    walk every customer's order sequence step by step, accumulating
+    lifetime spend along the chain. THE SAME SQL TEXT runs on Spark
+    and DuckDB; the running sum is carried as exact DECIMAL through
+    the recursion (sequential along each chain, so the fold order is
+    identical on both engines by construction) and cast to double
+    once at the end.
+
+    Scale shape: each recursion step is one distributed hash join
+    keyed on (customer, step) — the whole frontier advances per
+    iteration, so total work is O(rows · 1), not O(rows · depth);
+    depth is bounded by the longest per-customer chain (~25 on the
+    fixtures, far under Spark's recursion guard of 100, which turns
+    a runaway recursion into an error instead of an infinite loop).
+    Anchor-only rows (rn = 1) enter the recursion with no self-join.
+    Note the acyclicity requirement: Spark recursion is UNION ALL
+    only, so closure over CYCLIC graphs belongs to the dedicated
+    operator (operators.dedup.connected_components), not this
+    surface."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP4_SQL)

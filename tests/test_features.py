@@ -489,3 +489,26 @@ def test_sync_recomputes_exactly_stale_views(spark, tmp_root):
     assert fs.sync() == {"va": True, "vb": False, "vc": True}
     got = {(r.k, r.v2) for r in fs.store.read(spark, "vc").select("k", "v2").collect()}
     assert got == {(1, 22.0), (2, 40.0), (3, 60.0)}
+
+
+def test_asset_check_distinct_falls_back(spark, tmp_root):
+    """DISTINCT aggregates can't ride observed metrics; the check
+    must still evaluate via the explicit fallback aggregation."""
+    fs = _make_store(spark, tmp_root)
+
+    @fs.feature_view(
+        name="distinct_checked",
+        inputs=["orders"],
+        checks={
+            "unique_keys": lambda df: F.count_distinct("o_orderkey")
+            == F.count("*"),
+            "nonempty": lambda df: F.count("*") > 0,
+        },
+    )
+    def distinct_checked(spark, inputs):
+        return inputs["orders"].select("o_orderkey", "o_totalprice")
+
+    _, recomputed = fs.materialize("distinct_checked")
+    assert recomputed
+    meta = fs.store.commit_info("distinct_checked").user_metadata
+    assert meta["checks"] == {"unique_keys": True, "nonempty": True}
