@@ -166,6 +166,11 @@ class FeatureStore:
             not force
             and latest is not None
             and latest.user_metadata.get("fingerprint") == fp
+            # verdicts are amended AFTER the write job (observed
+            # metrics); a commit missing them means the process died
+            # in that window — never serve it as a memo hit, or the
+            # checks would be skipped forever
+            and (not view.checks or "checks" in latest.user_metadata)
         ):
             return self.store.read(self.spark, name), False
 
@@ -215,11 +220,16 @@ class FeatureStore:
             # the write above was the observed action; metrics are in
             check_results = {k: bool(v) for k, v in observation.get.items()}
         elif fallback_checks:
+            # ONE combined aggregation job for every fallback check,
+            # mirroring the single-pass folding of the observe path
             stored = self.store.read(self.spark, name)
-            for check_name, check in fallback_checks.items():
-                check_results[check_name] = bool(
-                    stored.agg(check(stored).alias("ok")).collect()[0]["ok"]
-                )
+            row = stored.agg(
+                *[
+                    check(stored).alias(check_name)
+                    for check_name, check in fallback_checks.items()
+                ]
+            ).collect()[0]
+            check_results = {k: bool(row[k]) for k in fallback_checks}
         if view.checks:
             # amend the commit record with the verdicts (metadata-only)
             self._amend_checks(name, commit, check_results)

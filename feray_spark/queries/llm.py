@@ -1521,14 +1521,11 @@ _LINE_W = 8  # tokens per span for the span-dedup query
                UNNEST(range(1, greatest(CAST(ceil(len(w)/{_LINE_W}.0)
                    AS BIGINT), 1) + 1)) AS t(pos)
         ),
-        winners AS (
-          SELECT chunk, MIN(doc_id * 100000 + pos) AS wk
-          FROM chunks GROUP BY chunk
-        ),
         kept AS (
-          SELECT c.doc_id, c.pos, c.chunk,
-                 (c.doc_id * 100000 + c.pos = w.wk) AS keep
-          FROM chunks c JOIN winners w USING (chunk)
+          SELECT doc_id, pos, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY chunk
+                                    ORDER BY doc_id, pos) = 1 AS keep
+          FROM chunks
         )
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_chunks,
@@ -1543,7 +1540,7 @@ _LINE_W = 8  # tokens per span for the span-dedup query
 def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L20 (beyond the brief): duplicated-SPAN removal — the
     C4/RefinedWeb cleaning step that exact-doc dedup (L1) cannot do:
-    a span (here: an {_LINE_W}-token window; a line or 3-sentence
+    a span (here: an ``_LINE_W``-token (8) window; a line/3-sentence
     span in prose corpora) repeated ANYWHERE in the corpus is
     removed from every document except its first occurrence
     (winner = smallest (doc_id, position)), and each document is
@@ -1551,19 +1548,22 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     span counts + an md5 of the reassembled text, so the oracle
     hash-checks the exact surviving content.
 
-    Scale shape: three key-shuffles, all sub-corpus-sized — explode
-    to spans (map-side), hash-agg on the span string for the winner
-    (vocabulary-sized after map-side combine), join winners back on
-    the span key, re-aggregate per doc. The span join is the same
-    inverted-index pattern as L2c with the same skew valve: a
-    boilerplate mega-span (cookie banners) is one hot key — cap or
-    salt it past a document-frequency bound."""
+    Scale shape: two key-shuffles — explode to spans (map-side),
+    ONE rank window on the span key marks first occurrences (the
+    winner is defined by the composite (doc_id, pos) sort order, so
+    it cannot collide at any document size), then the per-doc
+    reassembly agg. A boilerplate mega-span (cookie banners) is one
+    hot window key — cap or salt it past a document-frequency bound,
+    the L2c stop-shingle valve."""
     from feray_spark.functions.text import words as words_fn
 
     d = load_table(spark, sf_dir, "documents")
     n = F.greatest(
         F.ceil(F.size(words_fn("text")) / F.lit(_LINE_W)), F.lit(1)
     ).cast("int")
+    # fan_out measured: 0.85-1.01 s vs 1.08-1.17 s without (sf0.1,
+    # local[32]) — the tokenize+explode is CPU-bound while the
+    # fixture scan yields only 3 partitions
     spans = fan_out(d).select(
         "doc_id",
         F.explode(
@@ -1578,11 +1578,12 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.chunk").alias("chunk"))
-    winners = spans.groupBy("chunk").agg(
-        F.min(F.col("doc_id") * 100000 + F.col("pos")).alias("wk")
-    )
-    kept = spans.join(winners, "chunk").withColumn(
-        "keep", (F.col("doc_id") * 100000 + F.col("pos")) == F.col("wk")
+    kept = spans.withColumn(
+        "keep",
+        F.row_number().over(
+            W_llm.partitionBy("chunk").orderBy("doc_id", "pos")
+        )
+        == 1,
     )
     return kept.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_chunks"),
@@ -1665,7 +1666,10 @@ def l21_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     to arrays and BROADCAST onto the corpus scan; scoring is a
     zero-shuffle codegen projection, and only the per-label bottom-5
     rank shuffles (WindowGroupLimit pre-cuts partitions)."""
-    d = fan_out(load_table(spark, sf_dir, "embeddings"))
+    # no fan_out: the scan feeds two lineages (centroid build +
+    # scoring) and an extra round-robin exchange on both measured
+    # SLOWER (0.93-0.97 s vs 0.50-0.74 s at sf0.1, local[32])
+    d = load_table(spark, sf_dir, "embeddings")
     dims = d.select(
         "label", F.posexplode("embedding").alias("d", "x")
     ).groupBy("label", "d").agg(

@@ -689,11 +689,12 @@ _EP4_SQL = """
         SELECT n.cust, n.k, n.rn,
                CAST(w.cum + n.price AS DECIMAL(18,2))
         FROM walk w JOIN seq n ON n.cust = w.cust AND n.rn = w.rn + 1
+        WHERE n.rn <= 4
     )
     SELECT cust AS o_custkey,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(MAX(rn) AS BIGINT) AS chain_depth,
-           CAST(MAX(cum) AS DOUBLE) AS lifetime_spend
+           CAST(MAX(cum) AS DOUBLE) AS early_spend
     FROM walk GROUP BY cust
 """
 
@@ -706,7 +707,8 @@ _EP4_SQL = """
 def ep4_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP4: recursive CTE surface (``WITH RECURSIVE``, Spark 4) —
     walk every customer's order sequence step by step, accumulating
-    lifetime spend along the chain. THE SAME SQL TEXT runs on Spark
+    spend over their first 4 orders along the chain. THE SAME SQL
+    TEXT runs on Spark
     and DuckDB; the running sum is carried as exact DECIMAL through
     the recursion (sequential along each chain, so the fold order is
     identical on both engines by construction) and cast to double
@@ -715,9 +717,13 @@ def ep4_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each recursion step is one distributed hash join
     keyed on (customer, step) — the whole frontier advances per
     iteration, so total work is O(rows · 1), not O(rows · depth);
-    depth is bounded by the longest per-customer chain (~25 on the
-    fixtures, far under Spark's recursion guard of 100, which turns
-    a runaway recursion into an error instead of an infinite loop).
+    depth is CAPPED in the recursive member (4 here): recursion cost
+    on Spark is depth × a full distributed-join stage, so an
+    unbounded walk pays the per-stage floor ~25× on the fixtures
+    (measured at sf0.1: 12 s uncapped/depth 25, 5.9 s depth 8, ~3 s depth 4 — ~0.7 s/level of pure stage latency) — cap the
+    depth, or use a window (W4) when the chain fits a partition.
+    Spark's recursion guard (100 levels) turns a runaway recursion
+    into an error instead of an infinite loop.
     Anchor-only rows (rn = 1) enter the recursion with no self-join.
     Note the acyclicity requirement: Spark recursion is UNION ALL
     only, so closure over CYCLIC graphs belongs to the dedicated

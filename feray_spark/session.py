@@ -121,6 +121,49 @@ def get_spark(
     return spark
 
 
+def cluster_profile(
+    *,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """Recommended conf for a real multi-executor deployment — the
+    sizing knobs local mode never exercises, derived from the target
+    topology instead of guessed. Use with ``get_spark(extra_conf=
+    cluster_profile())`` under spark-submit, or feed to
+    ``--conf``.
+
+    Rationale per knob (all public Spark configuration):
+
+    - shuffle partitions = 2 × total cores: every reduce wave keeps
+      all cores busy and AQE coalesces the tail down, never up.
+    - ``maxPartitionBytes`` pins scan-split size so a 100 TB scan
+      yields ~target-sized tasks regardless of file layout.
+    - speculation on: at 4000 cores a single straggling node
+      otherwise holds the stage tail (median-based re-launch is
+      cheap insurance at this width).
+    - dynamic allocation + shuffle tracking: queries in this catalog
+      alternate scan-heavy and CPU-heavy stages; idle executors
+      release instead of billing.
+    - shuffle IO hardening (retries, maxRemoteBlockSizeFetchToMem)
+      for long fact-fact shuffle waves.
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.files.maxPartitionBytes": f"{target_partition_mb}m",
+        "spark.speculation": "true",
+        "spark.speculation.multiplier": "3",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": str(executors),
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.shuffle.io.maxRetries": "10",
+        "spark.network.maxRemoteBlockSizeFetchToMem": "512m",
+        "spark.stage.maxConsecutiveAttempts": "8",
+    }
+
+
 def apply_semantics(spark: SparkSession) -> SparkSession:
     """Force the semantic configs onto an externally-created session.
 

@@ -136,14 +136,28 @@ class DeltaTableStore:
         accepted for call-shape parity (Delta's MERGE classifies
         updates itself). Exclusive ``from_version`` base, matching
         the segment store: Delta's startingVersion is inclusive, so
-        start at ``from_version + 1``."""
+        start at ``from_version + 1``. An empty range
+        (``from_version >= latest``) returns an empty feed like the
+        segment store — Delta itself errors when startingVersion
+        exceeds the latest version, which would break the standard
+        "anything since my last sync?" poll."""
+        latest = self.latest_version(spark, table)
+        end = latest if to_version is None else min(to_version, latest)
+        if from_version >= end:
+            snap = self.read(spark, table).limit(0)
+            from pyspark.sql import functions as F
+
+            return snap.select(
+                "*",
+                F.lit(None).cast("string").alias("_change_type"),
+                F.lit(None).cast("bigint").alias("_commit_version"),
+            )
         reader = (
             spark.read.format("delta")
             .option("readChangeFeed", "true")
             .option("startingVersion", str(from_version + 1))
+            .option("endingVersion", str(end))
         )
-        if to_version is not None:
-            reader = reader.option("endingVersion", str(to_version))
         return reader.load(self._path(table)).drop("_commit_timestamp")
 
     # ------------------------------------------------------- merge

@@ -66,6 +66,22 @@ class Commit:
     partition_by: list[str] = field(default_factory=list)
 
 
+def _align_to_schema(df: DataFrame, fields) -> DataFrame:
+    """Project ``df`` onto the given schema fields: present columns
+    cast to the committed type (no-op when types already match;
+    pins path-inferred partition values), absent columns surface as
+    typed NULLs. Shared by every reader that must serve a commit's
+    recorded schema over segments of mixed vintage (read, changes)."""
+    return df.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in fields
+        ]
+    )
+
+
 class TableStore:
     def __init__(self, root: str):
         self.root = root.rstrip("/")
@@ -170,6 +186,7 @@ class TableStore:
                 user_metadata=user_metadata or {},
                 partition_by=partition_by,
             ),
+            new_segment=seg,
         )
 
     @staticmethod
@@ -209,14 +226,19 @@ class TableStore:
         ]
         return T.StructType(merged).json()
 
-    def _commit(self, table: str, commit: Commit) -> Commit:
+    def _commit(self, table: str, commit: Commit, new_segment: str | None = None) -> Commit:
         """Atomic put-if-absent of the commit record — the optimistic
         concurrency primitive of every lakehouse log (Delta's
         LogStore contract): ``os.link`` fails with EEXIST if another
         writer already claimed this version number, so a losing racer
         gets :class:`ConcurrentWriteError` (re-resolve latest and
         retry) instead of silently clobbering the winner's commit,
-        which a plain rename would do."""
+        which a plain rename would do. ``new_segment`` is the data
+        this attempt wrote: a LOSING racer's segment is deleted
+        before the error propagates, so un-committed data never
+        lingers for ``read_stream``'s file glob to pick up (writer
+        crashes can still orphan a segment — ``vacuum`` collects
+        those after a grace period)."""
         log_dir = self._log_dir(table)
         os.makedirs(log_dir, exist_ok=True)
         tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
@@ -226,6 +248,10 @@ class TableStore:
         try:
             os.link(tmp, dst)  # atomic: EEXIST iff someone committed first
         except FileExistsError as e:
+            if new_segment is not None:
+                import shutil
+
+                shutil.rmtree(new_segment, ignore_errors=True)
             raise ConcurrentWriteError(
                 f"{table}: version {commit.version} was committed by another "
                 "writer; reload latest_version and retry"
@@ -286,20 +312,7 @@ class TableStore:
             for base, paths in by_base.items()
         ]
         names = [f.name for f in schema.fields]
-        aligned = [
-            p.select(
-                *[
-                    # cast: partition values are path-inferred per
-                    # segment; pin them to the committed type (no-op
-                    # on data columns whose types already match)
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    if f.name in p.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in schema.fields
-                ]
-            )
-            for p in parts
-        ]
+        aligned = [_align_to_schema(p, schema.fields) for p in parts]
         out = aligned[0]
         for p in aligned[1:]:
             out = out.unionByName(p)
@@ -320,6 +333,12 @@ class TableStore:
         glob. Segments are immutable and appends only ADD segment
         directories, so "new files" is exactly "newly appended rows"
         — the same invariant Delta's streaming source relies on.
+        Un-committed data never reaches the glob in normal operation
+        (a losing concurrent writer deletes its own segment, see
+        ``_commit``); a writer CRASH can orphan one until
+        ``vacuum``'s grace-period orphan sweep collects it — run
+        vacuum before attaching a stream to a table with a crash
+        history.
         Rewrite commits (overwrite/merge/replace_where/optimize)
         break it (their rewritten files would replay as inserts), so
         a history containing any rewrite after version 0 is REJECTED
@@ -408,7 +427,9 @@ class TableStore:
         if not commits:
             raise KeyError(f"unknown table {table!r}")
         last = max(commits)
-        to_version = last if to_version is None else to_version
+        # clamp like Delta's endingVersion: asking past latest serves
+        # what exists; an empty/inverted range is an empty feed
+        to_version = last if to_version is None else min(to_version, last)
         if from_version not in commits:
             raise KeyError(f"{table}: no version {from_version}")
         from pyspark.sql import types as T
@@ -416,18 +437,11 @@ class TableStore:
         # align every piece (old segments, evolved schemas) to the
         # requested end-version's schema
         schema_fields = T.StructType.fromJson(
-            json.loads(commits[to_version].schema)
+            json.loads(commits[max(to_version, from_version)].schema)
         ).fields
 
         def aligned(df: DataFrame) -> DataFrame:
-            return df.select(
-                *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
-                    if f.name in df.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in schema_fields
-                ]
-            )
+            return _align_to_schema(df, schema_fields)
 
         def tagged(df: DataFrame, change: str, version: int) -> DataFrame:
             return aligned(df).select(
@@ -496,13 +510,25 @@ class TableStore:
 
     # --------------------------------------------------------- vacuum
 
-    def vacuum(self, table: str, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        table: str,
+        keep_versions: int = 1,
+        orphan_grace_sec: float = 86_400.0,
+    ) -> list[str]:
         """Delete segment directories unreferenced by the newest
         ``keep_versions`` commits, and drop the older commit records
         (the Delta ``VACUUM`` analog — time travel is retained only
         for kept versions). Reference counting is prefix-aware: a
         carried ``{"path": subdir, "base": seg}`` entry keeps its
         whole base segment alive, since the subdir lives inside it.
+
+        Also collects ORPHANED segments — data written by a writer
+        that crashed before publishing its commit record (a losing
+        racer cleans up after itself, a crash cannot). Orphans are
+        only removed once older than ``orphan_grace_sec`` (Delta's
+        retention-guard pattern), so an in-flight writer's
+        not-yet-committed segment is never yanked from under it.
         Returns the deleted segment paths."""
         import shutil
 
@@ -525,6 +551,18 @@ class TableStore:
                     deleted.append(base)
                     live_roots.add(base)  # only delete once
             os.remove(os.path.join(self._log_dir(table), f"{c.version:08d}.json"))
+        # orphan sweep: seg dirs no remaining commit references
+        table_dir = os.path.join(self.root, table)
+        now = time.time()
+        for name in sorted(os.listdir(table_dir)):
+            if not name.startswith("seg-"):
+                continue
+            p = os.path.realpath(os.path.join(table_dir, name))
+            if p in live_roots or not os.path.isdir(p):
+                continue
+            if now - os.path.getmtime(p) >= orphan_grace_sec:
+                shutil.rmtree(p)
+                deleted.append(p)
         return deleted
 
     # -------------------------------------------------------- optimize
@@ -652,6 +690,7 @@ class TableStore:
                 },
                 partition_by=prev.partition_by,
             ),
+            new_segment=seg,
         )
 
     # ---------------------------------------------------------- merge
@@ -831,7 +870,7 @@ class TableStore:
                     },
                     partition_by=prev.partition_by,
                 )
-                return self._commit(table, commit)
+                return self._commit(table, commit, new_segment=seg)
         target = self.read(spark, table)
         # Delta's replaceWhere keeps every row where the predicate is not
         # TRUE — including NULL-evaluating rows (three-valued logic).

@@ -208,6 +208,15 @@ def test_contract_change_feed_merge_classifies_updates(store, spark):
     }
 
 
+def test_contract_change_feed_empty_range(store, spark):
+    """The standard poll — "anything since my last sync?" when
+    nothing happened — must return an EMPTY feed, not error."""
+    base = spark.createDataFrame([(1, "a")], "id int, v string")
+    store.write(base, "t", mode="overwrite")
+    latest = store.latest_version("t")
+    assert store.changes("t", from_version=latest).count() == 0
+
+
 def test_contract_partitioned_write_roundtrip(store, spark):
     df = spark.createDataFrame(
         [(1, 1995, 10.0), (2, 1995, 20.0), (3, 1996, 30.0)],

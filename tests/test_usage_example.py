@@ -113,6 +113,26 @@ def test_table_store_surface(spark, root):
     ts.optimize(spark, "t", zorder_by=["user_id", "ts"], n_files=2)
     assert ts.read(spark, "t").count() == 150
 
+    # schema evolution: new column appends; old rows read it as NULL
+    wider_df = spark.range(150, 160).select(
+        F.col("id").alias("user_id"),
+        F.lit(0).cast("long").alias("ts"),
+        F.lit("2024-01-03").alias("day"),
+        F.lit(1.0).alias("score"),
+    )
+    ts.write(wider_df, "t", mode="append", merge_schema=True)
+    assert ts.read(spark, "t").filter("score IS NULL").count() == 150
+
+    # change feed over the whole history
+    feed = ts.changes(spark, "t", from_version=0, keys=["user_id"])
+    kinds = {r._change_type for r in feed.select("_change_type").distinct().collect()}
+    assert "insert" in kinds
+
+    # incremental consumption needs an append-only table
+    ts.write(df, "append_only_table", mode="overwrite")
+    stream = ts.read_stream(spark, "append_only_table")
+    assert stream.isStreaming
+
 
 def test_catalog_entry_point(spark, sf_dir):
     from feray_spark.queries import load_all
