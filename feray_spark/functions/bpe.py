@@ -1,0 +1,147 @@
+"""Byte-pair-encoding tokenizer — learn + apply, Spark-shaped.
+
+The L4 token counters approximate "LLM tokens" with whitespace and a
+regex; this module is the real thing: a BPE vocabulary LEARNED from
+the corpus and applied per document, the way every production
+tokenizer (GPT-2 BPE, SentencePiece-BPE) works.
+
+The 100 TB shape follows how BPE training actually decomposes:
+
+1. ``word_counts`` — the ONLY corpus-sized job: one explode +
+   hash-agg to the word-TYPE table (map-side combine collapses each
+   partition to its vocabulary before the shuffle — the l16/L5
+   pattern). Zipf bounds the result: ~10M types for web-scale text.
+2. ``learn_bpe`` — merge learning operates on the weighted type
+   table, NEVER the corpus (this is the standard trainer layout, not
+   a shortcut): driver-side, deterministic (max count, ties broken
+   lexicographically), cost O(types × merges). For unbounded vocab
+   cut to the top-K types first — the standard trainer move, and the
+   frequency cut changes low-rank merges only.
+3. ``bpe_token_count`` — apply is embarrassingly parallel: the merge
+   ranks broadcast (a dict of ~n_merges entries), each Arrow batch
+   encodes with a per-batch word cache (Zipf again: a batch re-sees
+   the same types constantly), no shuffle at all.
+
+Determinism: merge selection is (count desc, pair asc); encoding
+applies merges by learned rank (lowest rank first), the exact GPT-2
+``get_pairs``/min-rank loop. Same corpus → same vocab → same token
+counts, on any cluster topology.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from feray_spark.functions.text import words
+
+#: marks end-of-word so merges can't cross word boundaries
+EOW = "▁"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word-type table: (word, n). The one corpus-sized pass."""
+    return (
+        df.select(F.explode(words(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _symbols(word: str) -> tuple[str, ...]:
+    return (*word, EOW)
+
+
+def learn_bpe(
+    types: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merge rules from a weighted word-type list.
+
+    Classic Sennrich trainer over the type table: count adjacent
+    symbol pairs weighted by word frequency, merge the most frequent
+    pair (ties → lexicographically smallest, so the vocabulary is a
+    pure function of the corpus), repeat. Cost O(types × merges) —
+    vocab-sized, independent of corpus size."""
+    seqs: dict[tuple[str, ...], int] = {}
+    for w, n in types:
+        if w:
+            s = _symbols(w)
+            seqs[s] = seqs.get(s, 0) + int(n)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for s, n in seqs.items():
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        top_n = max(pairs.values())
+        # ties → lexicographically smallest pair: deterministic vocab
+        best_pair = min(p for p, n in pairs.items() if n == top_n)
+        merges.append(best_pair)
+        merged = "".join(best_pair)
+        nxt: dict[tuple[str, ...], int] = {}
+        for s, n in seqs.items():
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best_pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            t = tuple(out)
+            nxt[t] = nxt.get(t, 0) + n
+        seqs = nxt
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with learned merge ranks — the GPT-2 min-rank
+    loop: repeatedly merge the present pair with the LOWEST learned
+    rank until none apply."""
+    s = list(_symbols(word))
+    while len(s) > 1:
+        ranked = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(s, s[1:]))
+            if (a, b) in ranks
+        ]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        s[i : i + 2] = ["".join(s[i : i + 2])]
+    return s
+
+
+def bpe_token_count(
+    text: str | Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Per-row BPE token count under the learned merges — an Arrow-
+    batched pandas UDF with a per-batch word cache (Zipf: batches
+    re-see the same types), merge ranks shipped in the closure."""
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @F.pandas_udf("bigint")
+    def _count(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def count_one(t) -> int:
+            if t is None:
+                return 0
+            total = 0
+            for w in str(t).lower().split():
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = len(encode_word(w, ranks))
+                total += hit
+            return total
+
+        return texts.map(count_one).astype("int64")
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _count(c)

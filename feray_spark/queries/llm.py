@@ -1696,3 +1696,47 @@ def l21_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@register(
+    "l22_bpe_tokens",
+    oracle=None,  # BPE merge learning is not SQL-expressible; the
+    # trainer/encoder invariants are unit-tested instead
+    # (tests/test_llm.py: classic-corpus merges, reconstruction,
+    # count bounds, determinism)
+    tags=("llm", "L22", "tokenizer"),
+)
+def l22_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L22 (beyond the brief): REAL subword token accounting — learn
+    a BPE vocabulary from the corpus (40 merges) and report per
+    source: documents, whitespace tokens, BPE tokens, and the
+    compression ratio. This is the number every token-budget decision
+    (L13 packing, L17 mixture, pretraining cost) actually needs;
+    whitespace counts (L4) are a proxy.
+
+    Scale shape (functions/bpe.py): ONE corpus-sized pass builds the
+    word-type table (map-side combine → Zipf-bounded); merge learning
+    runs on the weighted TYPE table (driver, O(types × merges) — the
+    standard trainer layout, never corpus-sized); application
+    broadcasts the merge ranks and encodes per Arrow batch with a
+    word cache, zero shuffle beyond the final per-source rollup."""
+    from feray_spark.functions.bpe import bpe_token_count, learn_bpe, word_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    types = [
+        (r["word"], r["n"]) for r in word_counts(d, "text").collect()
+    ]
+    merges = learn_bpe(types, n_merges=40)
+    scored = d.select(
+        "source",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text", merges).alias("bpe_tokens"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        F.round(
+            F.sum("bpe_tokens") / F.sum("ws_tokens"), 6
+        ).alias("tokens_per_word"),
+    )

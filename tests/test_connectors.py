@@ -142,3 +142,42 @@ def test_jdbc_partitioned_round_trip_live(spark):
     assert got.count() == 1000
     spark_sum = got.agg({"amount": "sum"}).collect()[0][0]
     assert spark_sum == sum(i * 7.0 for i in range(1000))
+
+
+def test_python_datasource_history(spark, tmp_path):
+    """Spark 4 Python DataSource API: the commit log reads as a
+    format — lazily (new commits visible at next query), one
+    partition per commit, metadata JSON intact."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from feray_spark.sources import pydatasource
+    from feray_spark.sources.table_store import TableStore
+
+    root = str(tmp_path / "store")
+    ts = TableStore(root)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    ts.write(df, "t", mode="overwrite", user_metadata={"run": "r1"})
+
+    pydatasource.register(spark)
+    hist = (
+        spark.read.format("feray_history")
+        .option("root", root)
+        .option("table", "t")
+        .load()
+    )
+    rows = hist.orderBy("version").collect()
+    assert [(r.version, r.mode) for r in rows] == [(0, "overwrite")]
+    assert json.loads(rows[0].user_metadata) == {"run": "r1"}
+
+    # lazy: a commit made AFTER the plan was built shows on re-read
+    ts.write(df, "t", mode="append", user_metadata={"run": "r2"})
+    again = (
+        spark.read.format("feray_history")
+        .option("root", root)
+        .option("table", "t")
+        .load()
+    )
+    assert again.count() == 2
+    assert again.filter(F.col("mode") == "append").count() == 1

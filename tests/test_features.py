@@ -440,6 +440,21 @@ def test_store_model_based_random_ops(spark, tmp_root):
         want = {(i, p, v) for i, (p, v) in snap.items()}
         assert got == want, f"time travel divergence at v{ver}"
 
+    # change-feed reconciliation: for EVERY consecutive version pair,
+    # applying the keyed feed to the older snapshot must produce the
+    # newer one (inserts/postimages added, deletes/preimages removed)
+    for ver in range(1, len(history)):
+        feed = ts.changes(spark, "t", from_version=ver - 1, to_version=ver,
+                          keys=["id"]).collect()
+        prev = {(i, p, v) for i, (p, v) in history[ver - 1].items()}
+        nxt = {(i, p, v) for i, (p, v) in history[ver].items()}
+        added = {(r.id, r.part, r.v) for r in feed
+                 if r._change_type in ("insert", "update_postimage")}
+        removed = {(r.id, r.part, r.v) for r in feed
+                   if r._change_type in ("delete", "update_preimage")}
+        assert removed <= prev, f"v{ver}: feed removes rows not in v{ver-1}"
+        assert (prev - removed) | added == nxt, f"feed does not reconcile v{ver}"
+
 
 def test_sync_recomputes_exactly_stale_views(spark, tmp_root):
     """The automation-condition analog (eager | on_missing): first

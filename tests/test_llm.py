@@ -409,3 +409,63 @@ def test_embedding_neardup_guard_switches_to_bucketed(spark, sf_dir):
     assert len(bucketed) >= 0.5 * len(exact), (len(bucketed), len(exact))
     for pair, cos in bucketed.items():
         assert abs(cos - exact[pair]) < 1e-9
+
+
+class TestBPE:
+    def test_classic_corpus_merges(self):
+        """Sennrich's worked example shape: repeated subwords merge
+        first, deterministically."""
+        from feray_spark.functions.bpe import EOW, learn_bpe
+
+        types = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+        merges = learn_bpe(types, n_merges=4)
+        assert len(merges) == 4
+        # 'es' (9) then 'est' (9) then 'est</w>' dominate the classic corpus
+        assert merges[0] == ("e", "s")
+        assert merges[1] == ("es", "t")
+        assert merges[2] == ("est", EOW)
+
+    def test_encode_reconstructs_and_bounds(self):
+        from feray_spark.functions.bpe import EOW, encode_word, learn_bpe
+
+        types = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+        merges = learn_bpe(types, n_merges=10)
+        ranks = {p: i for i, p in enumerate(merges)}
+        for w, _ in types:
+            toks = encode_word(w, ranks)
+            assert "".join(toks) == w + EOW  # lossless
+            assert 1 <= len(toks) <= len(w) + 1  # never worse than chars
+
+    def test_learning_is_deterministic(self):
+        from feray_spark.functions.bpe import learn_bpe
+
+        types = [("abab", 3), ("baba", 3), ("aabb", 3)]
+        assert learn_bpe(types, 5) == learn_bpe(list(reversed(types)), 5)
+
+    def test_distributed_counts_match_local_encoding(self, spark, sf_dir):
+        """The Arrow-batched counter must agree with driver-side
+        encoding word-for-word on a sample."""
+        from feray_spark.catalog import load_table
+        from feray_spark.functions.bpe import (
+            bpe_token_count,
+            encode_word,
+            learn_bpe,
+            word_counts,
+        )
+
+        d = load_table(spark, sf_dir, "documents").limit(50)
+        types = [(r["word"], r["n"]) for r in word_counts(d, "text").collect()]
+        merges = learn_bpe(types, n_merges=20)
+        ranks = {p: i for i, p in enumerate(merges)}
+        got = d.select(
+            "doc_id", "text", bpe_token_count("text", merges).alias("n")
+        ).collect()
+        for r in got:
+            want = sum(
+                len(encode_word(w, ranks)) for w in r.text.lower().split()
+            )
+            assert r.n == want
+        # compression: merges can only shorten vs characters
+        chars = {r.doc_id: len(r.text.replace(" ", "")) for r in got}
+        for r in got:
+            assert r.n <= chars[r.doc_id] + len(r.text.split())
