@@ -504,3 +504,54 @@ def f_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values(m), F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("map_val_sum"),
     )
+
+
+@register(
+    "f_variant_family",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS k_sum,
+               CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS k_min,
+               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT))
+                   AS BIGINT) AS k_max,
+               CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        FROM events GROUP BY event_type
+    """,
+    tags=("function", "variant", "json"),
+)
+def f_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 VARIANT (Spark 4's semi-structured type, the engine-native
+    answer to polars' untyped JSON columns): ``parse_json`` the event
+    props ONCE into a variant, then typed path access
+    (``try_variant_get``) feeds plain integer aggregation; a missing
+    path yields NULL (counted, never an error). The DuckDB oracle
+    does the same arithmetic over ``json_extract`` — a hash match
+    proves the typed variant access agrees with classic JSON
+    extraction end to end.
+
+    Why variant at 100 TB: parse ONCE per row into a binary-encoded
+    value, access MANY paths without re-parsing — the string
+    re-parse per ``get_json_object`` call is the classic hidden
+    quadratic in wide JSON event pipelines. Zero shuffles beyond the
+    final rollup; the parse+access is a codegen projection."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("miss"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.min("k").cast("bigint").alias("k_min"),
+        F.max("k").cast("bigint").alias("k_max"),
+        F.sum(F.when(F.col("miss").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing"),
+    )

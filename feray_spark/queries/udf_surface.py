@@ -210,6 +210,76 @@ def f5_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f5b_polymorphic_udtf",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text),
+                       '\\s+'), x -> x != '')) AS tok
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM toks GROUP BY doc_id, tok
+        ),
+        ranked AS (
+            SELECT doc_id, tok,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, tok) AS rn
+            FROM counts
+        )
+        SELECT doc_id,
+               MAX(CASE WHEN rn = 1 THEN tok END) AS tok_1,
+               MAX(CASE WHEN rn = 2 THEN tok END) AS tok_2
+        FROM ranked GROUP BY doc_id
+    """,
+    tags=("udf", "F5", "polymorphic"),
+)
+def f5b_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 polymorphic variant (Spark 4 UDTF ``analyze``): the OUTPUT
+    SCHEMA is computed from a constant argument at plan time —
+    ``top_tokens(text, 2)`` emits columns tok_1..tok_k for the k the
+    caller asked for, the way built-in generators adapt arity. The
+    oracle recomputes the same top-2 most-frequent-token pick
+    (count desc, token asc) in SQL, so the hash gate also pins the
+    UDTF's tie-breaking.
+
+    The analyze() phase runs ONCE on the driver at planning; eval
+    stays the per-row path — fine for genuinely imperative
+    row-expanding logic, while anything expressible as
+    explode/aggregate belongs on the built-in fast path (F5's own
+    caveat)."""
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class TopTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(int(k.value)):
+                schema = schema.add(f"tok_{i + 1}", StringType())
+            return AnalyzeResult(schema)
+
+        def eval(self, text: str, k: int):
+            toks = [w for w in (text or "").lower().split() if w]
+            best = sorted(
+                Counter(toks).items(), key=lambda kv: (-kv[1], kv[0])
+            )[: int(k)]
+            row = [t for t, _ in best] + [None] * (int(k) - len(best))
+            yield tuple(row)
+
+    spark.udtf.register("top_tokens", TopTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
+    return spark.sql(
+        "SELECT doc_id, t.* FROM docs_v, LATERAL top_tokens(text, 2) t"
+    )
+
+
+@register(
     "f7_isolated_fanout",
     oracle="""
         SELECT event_id,
