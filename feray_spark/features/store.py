@@ -255,6 +255,93 @@ class FeatureStore:
             json.dump(rec, f)
         os.replace(tmp, log)
 
+    def _stream_input(self, name: str) -> DataFrame:
+        """Unbounded form of one input: an append-only store table
+        streams via ``TableStore.read_stream``; a parquet source
+        path streams via a staged file-source directory (single-file
+        fixtures get a symlink dir, real directory sources stream
+        directly) with the footer schema."""
+        import hashlib
+        import os
+        import tempfile
+
+        # store tables (materialized upstream views) take precedence,
+        # mirroring _load_input's resolution order
+        try:
+            return self.store.read_stream(self.spark, name)
+        except KeyError:
+            pass
+        if name not in self.sources:
+            raise KeyError(f"unknown streamable input {name!r}")
+        src = self.sources[name]
+        schema = self.spark.read.parquet(src).schema
+        if os.path.isdir(src):
+            stage = src
+        else:
+            tag = hashlib.sha256(src.encode()).hexdigest()[:12]
+            stage = os.path.join(tempfile.gettempdir(), f"feray_fs_stream_{tag}")
+            os.makedirs(stage, exist_ok=True)
+            link = os.path.join(stage, os.path.basename(src))
+            if not os.path.exists(link):
+                os.symlink(src, link)
+        return self.spark.readStream.schema(schema).parquet(stage)
+
+    def materialize_stream(self, name: str, checkpoint: str):
+        """Fastlane materialization — the reference's serving mode
+        (``README.md:47-55``) joined to the feature registry: the
+        SAME view function runs over its input as an unbounded
+        stream, version columns (FS1/FS2) attach per micro-batch,
+        and every batch MERGEs into the SAME versioned table batch
+        ``materialize()`` writes, keyed on the view's entities.
+        Checkpointed ``availableNow``: each call drains exactly the
+        input appended since the last call (T10 exactly-once on top
+        of the idempotent MERGE). Returns the StreamingQuery.
+
+        Semantics contract (the T9 trade, enforced where cheap): the
+        view must declare ``entities``; a PER-ROW view fn
+        (projection / filter / enrichment) gets exact batch parity —
+        the streamed table equals what batch materialize would
+        produce. Aggregating fns come out with per-batch upsert
+        (serving) semantics. Exactly one input, and it must be
+        append-only (rewrites are rejected by the store's streaming
+        source)."""
+        view = self.views[name]
+        if not view.entities:
+            raise ValueError(f"{name}: streaming MERGE needs entities")
+        if len(view.inputs) != 1:
+            raise ValueError(
+                f"{name}: streaming materialization takes exactly one "
+                f"input, got {list(view.inputs)}"
+            )
+        stream = self._stream_input(view.inputs[0])
+        result = view.fn(self.spark, {view.inputs[0]: stream})
+        result = with_data_version(result, view.version_cols)
+        result = result.withColumn(
+            CODE_VERSION_COL, F.lit(code_version(view.fn))
+        )
+        keys = list(view.entities)
+        cv = code_version(view.fn)
+
+        def upsert(batch: DataFrame, epoch_id: int) -> None:
+            if not batch.take(1):
+                return
+            meta = {"code_version": cv, "epoch": epoch_id, "mode": "fastlane"}
+            if self.store.latest_version(name) is None:
+                self.store.write(
+                    batch, name, mode="overwrite", user_metadata=meta
+                )
+            else:
+                self.store.merge(
+                    self.spark, name, batch, keys=keys, user_metadata=meta
+                )
+
+        return (
+            result.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     # ----------------------------------------------------------- sync
 
     def _topo_order(self) -> list[str]:

@@ -527,3 +527,50 @@ def test_asset_check_distinct_falls_back(spark, tmp_root):
     assert recomputed
     meta = fs.store.commit_info("distinct_checked").user_metadata
     assert meta["checks"] == {"unique_keys": True, "nonempty": True}
+
+
+def test_materialize_stream_matches_batch_and_is_incremental(spark, tmp_root):
+    """Fastlane materialization: a per-row view streamed over an
+    append-only store table equals its batch materialization, and a
+    second drain after an append processes ONLY the new rows."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    ingest = fs.store
+    e0 = spark.createDataFrame(
+        [(1, 10.0, "view"), (2, 80.0, "purchase")],
+        "user_id int, value double, event_type string",
+    )
+    ingest.write(e0, "raw_events", mode="overwrite")
+
+    @fs.feature_view(name="hot_users", inputs=["raw_events"],
+                     entities=["user_id"])
+    def hot_users(spark, inputs):
+        return (
+            inputs["raw_events"]
+            .filter(F.col("value") > 50)
+            .select("user_id", "value", F.upper("event_type").alias("kind"))
+        )
+
+    ckpt = os.path.join(tmp_root, "ckpt")
+    q = fs.materialize_stream("hot_users", checkpoint=ckpt)
+    q.awaitTermination(120)
+    got = {(r.user_id, r.value, r.kind)
+           for r in fs.store.read(spark, "hot_users").collect()}
+    assert got == {(2, 80.0, "PURCHASE")}
+    # version columns attach on the streamed rows too (FS1/FS2)
+    cols = set(fs.store.read(spark, "hot_users").columns)
+    assert {"_data_version", "_code_version"} <= cols
+
+    # append; only the new rows flow through on the same checkpoint
+    e1 = spark.createDataFrame(
+        [(3, 99.0, "view"), (4, 5.0, "view")],
+        "user_id int, value double, event_type string",
+    )
+    ingest.write(e1, "raw_events", mode="append")
+    q2 = fs.materialize_stream("hot_users", checkpoint=ckpt)
+    q2.awaitTermination(120)
+    got = {(r.user_id, r.value) for r in fs.store.read(spark, "hot_users").collect()}
+    assert got == {(2, 80.0), (3, 99.0)}
+    # serving history: first epoch overwrote, second merged
+    assert fs.store.commit_info("hot_users").user_metadata["mode"] == "fastlane"
