@@ -64,6 +64,51 @@ class Commit:
     timestamp: float
     user_metadata: dict[str, Any]
     partition_by: list[str] = field(default_factory=list)
+    #: per-segment column stats for log-level data skipping:
+    #: {segment_path: {col: [min, max]}} (numeric/string only,
+    #: footer-derived — absent for pre-stats commits)
+    stats: dict[str, Any] = field(default_factory=dict)
+
+
+def _segment_stats(seg: str) -> dict[str, list]:
+    """Column (min, max) for one segment, from the parquet FOOTERS
+    only — a driver-side metadata read, no data IO (the same numbers
+    the scan's row-group pruning uses, hoisted into the commit log
+    so whole segments prune before any file listing). Only
+    JSON-safe primitive types (int/float/str/bool) participate;
+    a column with a missing stat in any row group drops out."""
+    import pyarrow.parquet as pq
+
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    dead: set[str] = set()
+    for root, _dirs, files in os.walk(seg):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, name)).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    cname = col.path_in_schema
+                    if "." in cname or cname in dead:
+                        continue  # nested leaves don't prune
+                    st = col.statistics
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(st.min, (int, float, str, bool))
+                    ):
+                        dead.add(cname)
+                        continue
+                    if cname not in mins or st.min < mins[cname]:
+                        mins[cname] = st.min
+                    if cname not in maxs or st.max > maxs[cname]:
+                        maxs[cname] = st.max
+    return {
+        c: [mins[c], maxs[c]] for c in mins if c not in dead and c in maxs
+    }
 
 
 def _align_to_schema(df: DataFrame, fields) -> DataFrame:
@@ -174,6 +219,8 @@ class TableStore:
         n_new = spark.read.parquet(seg).count()
         segments = [seg] if mode == "overwrite" or prev is None else [*prev.segments, seg]
         row_count = n_new if mode == "overwrite" or prev is None else prev.row_count + n_new
+        stats = {} if mode == "overwrite" or prev is None else dict(prev.stats)
+        stats[seg] = _segment_stats(seg)
         return self._commit(
             table,
             Commit(
@@ -185,6 +232,7 @@ class TableStore:
                 timestamp=time.time(),
                 user_metadata=user_metadata or {},
                 partition_by=partition_by,
+                stats=stats,
             ),
             new_segment=seg,
         )
@@ -295,13 +343,20 @@ class TableStore:
         materialize) and union by name — pushdown, column pruning
         and partition pruning all intact (a filter on a partition
         column prunes directories before any file IO)."""
-        from pyspark.sql import types as T
-
         commit = self.commit_info(table, version)
         if commit is None:
             raise KeyError(f"unknown table {table!r}")
+        return self._assemble(spark, commit, commit.segments)
+
+    def _assemble(self, spark: SparkSession, commit: Commit, segments) -> DataFrame:
+        """One DataFrame over a subset of a commit's segments, under
+        the commit's recorded schema (shared by read / read_range)."""
+        from pyspark.sql import types as T
+
         schema = T.StructType.fromJson(json.loads(commit.schema))
-        pairs = [self._seg_base(s) for s in commit.segments]
+        if not segments:
+            return spark.createDataFrame([], schema)
+        pairs = [self._seg_base(s) for s in segments]
         if not commit.partition_by:
             return spark.read.schema(schema).parquet(*[p for p, _ in pairs])
         by_base: dict[str, list[str]] = {}
@@ -317,6 +372,64 @@ class TableStore:
         for p in aligned[1:]:
             out = out.unionByName(p)
         return out.select(*names)
+
+    def segments_in_range(
+        self,
+        table: str,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple[list, list]:
+        """Log-level data skipping: split a version's segments into
+        (kept, pruned) under a ``[lo, hi]`` range on ``col``, using
+        the per-segment footer stats recorded at write time. A
+        segment with no stats for the column is conservatively KEPT.
+        This is Delta's add-file-stats skipping at segment grain:
+        for append-only ingest (segments arrive in time order) a
+        recent-window query prunes the entire history WITHOUT
+        listing a single data file."""
+        commit = self.commit_info(table, version)
+        if commit is None:
+            raise KeyError(f"unknown table {table!r}")
+        kept, pruned = [], []
+        for entry in commit.segments:
+            key = entry if isinstance(entry, str) else entry.get("path")
+            rng = (commit.stats or {}).get(key, {}).get(col)
+            if rng is None:
+                kept.append(entry)
+                continue
+            smin, smax = rng
+            if (hi is not None and smin > hi) or (lo is not None and smax < lo):
+                pruned.append(entry)
+            else:
+                kept.append(entry)
+        return kept, pruned
+
+    def read_range(
+        self,
+        spark: SparkSession,
+        table: str,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range read with log-level segment pruning: only segments
+        whose footer stats intersect ``[lo, hi]`` are scanned (see
+        :meth:`segments_in_range`), and the exact bound filter is
+        still applied on top — pruning is a pure optimization, never
+        a semantics change."""
+        commit = self.commit_info(table, version)
+        if commit is None:
+            raise KeyError(f"unknown table {table!r}")
+        kept, _ = self.segments_in_range(table, col, lo, hi, version=version)
+        df = self._assemble(spark, commit, kept)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     # ------------------------------------------------------ streaming
 

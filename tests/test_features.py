@@ -574,3 +574,28 @@ def test_materialize_stream_matches_batch_and_is_incremental(spark, tmp_root):
     assert got == {(2, 80.0), (3, 99.0)}
     # serving history: first epoch overwrote, second merged
     assert fs.store.commit_info("hot_users").user_metadata["mode"] == "fastlane"
+
+
+def test_log_level_data_skipping(spark, tmp_root):
+    """Per-segment footer stats in the commit log prune whole
+    segments for range reads — and pruning never changes results."""
+    ts = TableStore(tmp_root)
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("event_id"), (F.col("id") * 2.0).alias("v")
+        )
+        ts.write(df, "t", mode="overwrite" if lo == 0 else "append")
+
+    kept, pruned = ts.segments_in_range("t", "event_id", lo=210, hi=250)
+    assert len(kept) == 1 and len(pruned) == 2
+
+    got = ts.read_range(spark, "t", "event_id", lo=210, hi=250)
+    want = ts.read(spark, "t").filter("event_id BETWEEN 210 AND 250")
+    assert sorted(r.event_id for r in got.collect()) == sorted(
+        r.event_id for r in want.collect()
+    )
+    # open-ended range; and a column with no stats keeps everything
+    kept, pruned = ts.segments_in_range("t", "event_id", lo=200)
+    assert len(pruned) == 2
+    kept, pruned = ts.segments_in_range("t", "no_such_col", lo=0, hi=1)
+    assert pruned == []

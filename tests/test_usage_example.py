@@ -133,6 +133,9 @@ def test_table_store_surface(spark, root):
     stream = ts.read_stream(spark, "append_only_table")
     assert stream.isStreaming
 
+    recent = ts.read_range(spark, "t", "ts", lo=0)
+    assert recent.count() == ts.read(spark, "t").filter("ts >= 0").count()
+
 
 def test_catalog_entry_point(spark, sf_dir):
     from feray_spark.queries import load_all
