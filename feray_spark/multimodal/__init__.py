@@ -307,6 +307,33 @@ def resize_netpbm(data: bytes, width: int, height: int) -> bytes:
     return header + out.tobytes()
 
 
+def dhash_image(data: bytes, hash_size: int = 8) -> int:
+    """REAL perceptual hash (difference hash) for netpbm payloads —
+    the image analog of the text near-dup fingerprints (L2): decode,
+    grayscale, nearest-neighbor resize to (hash_size+1, hash_size),
+    then one bit per horizontal gradient sign. Robust to brightness
+    shifts and re-encodes (gradients survive both), which byte
+    hashes (sha256) are not. 64 bits at the default size — a plain
+    long, so dedup is an ordinary groupBy on the hash column.
+    Compressed formats: decode with a codec (PIL) into the same
+    grid and the rest is unchanged."""
+    small = resize_netpbm(data, hash_size + 1, hash_size)
+    magic, w, h, maxval, off = _netpbm_header(small)
+    ch = 3 if magic == "P6" else 1
+    dtype = ">u2" if maxval > 255 else np.uint8
+    px = np.frombuffer(small, dtype=dtype, count=w * h * ch, offset=off)
+    px = px.reshape(h, w, ch).astype(np.int64).sum(axis=2)  # grayscale-ish
+    bits = (px[:, 1:] > px[:, :-1]).flatten()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # two's-complement into a SIGNED 64-bit value so the hash is a
+    # Spark LongType column (Arrow has no unsigned long)
+    if out >= 1 << 63:
+        out -= 1 << 64
+    return out
+
+
 def resize_image(data: bytes, width: int, height: int) -> bytes:
     """The L6 resizer slot: real for netpbm; compressed formats need
     a codec (PIL ``Image.open(...).resize(...)`` in production)."""

@@ -1740,3 +1740,76 @@ def l22_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bpe_tokens") / F.sum("ws_tokens"), 6
         ).alias("tokens_per_word"),
     )
+
+
+_IMG_PATTERNS = 7  # distinct base images in the synthetic gallery
+
+
+@register(
+    "l23_image_phash_dedup",
+    oracle=f"""
+        WITH reps AS (
+            SELECT doc_id % {_IMG_PATTERNS} AS g,
+                   CAST(MIN(doc_id) AS BIGINT) AS cluster_rep
+            FROM documents GROUP BY doc_id % {_IMG_PATTERNS}
+        )
+        SELECT d.doc_id, r.cluster_rep
+        FROM documents d JOIN reps r ON d.doc_id % {_IMG_PATTERNS} = r.g
+    """,
+    tags=("llm", "L23", "multimodal", "dedup"),
+)
+def l23_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23 (beyond the brief): IMAGE near-duplicate dedup through a
+    REAL decode→perceptual-hash→cluster pipeline — the multimodal
+    twin of L1/L2. Each doc carries a synthetic 16×16 netpbm image:
+    one of {_IMG_PATTERNS} base patterns (doc_id mod {_IMG_PATTERNS})
+    re-exposed with a per-doc brightness shift, so every payload's
+    BYTES differ (sha256 dedup finds nothing) while the picture is
+    the same. The pipeline dHashes every payload
+    (multimodal.dhash_image: decode → grayscale → 9×8 resize →
+    gradient bits) and groups by the hash; the oracle recomputes the
+    ground-truth clustering from the construction — a hash match
+    proves the perceptual hash recovered exactly the true clusters
+    THROUGH the brightness nuisance, no more, no fewer.
+
+    Scale shape: payload→hash is mapInPandas (Arrow batches, the L6
+    decode slot — a codec drops in for compressed formats); the
+    cluster representative is ONE hash-agg on the 64-bit dhash
+    (uniform key, the L1 shape); per-doc assignment is a broadcast
+    join of the cluster table."""
+    import numpy as np
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def hash_images(batches):
+        for chunk in batches:
+            if not len(chunk):
+                continue
+            from feray_spark.multimodal import dhash_image
+
+            ids, hashes = [], []
+            for doc_id in chunk["doc_id"]:
+                rng = np.random.default_rng(int(doc_id) % _IMG_PATTERNS)
+                base = rng.integers(0, 180, (16, 16))
+                bright = (int(doc_id) * 13) % 60  # never clips (max 239)
+                px = (base + bright).astype(np.uint8)
+                payload = b"P5\n16 16\n255\n" + px.tobytes()
+                ids.append(int(doc_id))
+                hashes.append(dhash_image(payload))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    hashed = fan_out(d.select("doc_id")).mapInPandas(
+        hash_images, "doc_id long, dhash long"
+    )
+    reps = hashed.groupBy("dhash").agg(
+        F.min("doc_id").cast("bigint").alias("cluster_rep")
+    )
+    return hashed.join(F.broadcast(reps), "dhash").select(
+        "doc_id", "cluster_rep"
+    )

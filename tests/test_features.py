@@ -599,3 +599,17 @@ def test_log_level_data_skipping(spark, tmp_root):
     assert len(pruned) == 2
     kept, pruned = ts.segments_in_range("t", "no_such_col", lo=0, hi=1)
     assert pruned == []
+
+
+def test_change_feed_append_fast_path_reads_only_new_segment(spark, tmp_root):
+    """The append commit's change set must resolve from the log to
+    JUST the appended segment — no scan of the rest of the table."""
+    ts = TableStore(tmp_root)
+    ts.write(spark.range(100).selectExpr("id", "id * 2 AS v"), "t",
+             mode="overwrite")
+    c1 = ts.write(spark.range(100, 110).selectExpr("id", "id * 2 AS v"), "t",
+                  mode="append")
+    feed = ts.changes(spark, "t", from_version=0)
+    files = feed.inputFiles()
+    new_seg = c1.segments[-1]
+    assert files and all(new_seg in f for f in files), files

@@ -164,3 +164,23 @@ def test_bmp_core_header_variant():
     assert image_dimensions(core) == (640, 480)
     with pytest.raises(NotImplementedError):
         image_dimensions(b"BM" + b"\x00" * 12 + struct.pack("<I", 7) + b"\x00" * 8)
+
+
+def test_dhash_brightness_invariant_and_discriminative():
+    """The perceptual hash must survive a brightness shift (bytes
+    differ, picture identical) and still separate distinct images."""
+    import numpy as np
+
+    from feray_spark.multimodal import dhash_image
+
+    def p5(seed, brightness):
+        rng = np.random.default_rng(seed)
+        px = (rng.integers(0, 180, (16, 16)) + brightness).astype(np.uint8)
+        return b"P5\n16 16\n255\n" + px.tobytes()
+
+    assert p5(1, 0) != p5(1, 40)  # raw bytes differ...
+    assert dhash_image(p5(1, 0)) == dhash_image(p5(1, 40))  # ...hash equal
+    assert dhash_image(p5(1, 0)) != dhash_image(p5(2, 0))
+    # signed-long contract for Spark columns
+    h = dhash_image(p5(3, 0))
+    assert -(1 << 63) <= h < (1 << 63)
