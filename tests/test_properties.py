@@ -288,3 +288,33 @@ def test_asof_multi_tie_resolution_matches_chained(spark):
             (r.lid, r.payload_all, r.payload_flagged) for r in df.collect()
         )
         assert canon(multi) == canon(chained), f"exact={exact}"
+
+
+# --------------------------------------------------------------- BPE
+
+_words_st = st.lists(
+    st.tuples(
+        st.text(alphabet="abcdef", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=50),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(types=_words_st, n_merges=st.integers(min_value=0, max_value=30))
+@settings(**SETTINGS)
+def test_bpe_encode_is_lossless_and_monotone(types, n_merges):
+    """For ANY corpus: encoding reconstructs every word exactly, more
+    merges never lengthen an encoding, and learning is insensitive
+    to input order (the determinism contract)."""
+    from feray_spark.functions.bpe import EOW, encode_word, learn_bpe
+
+    merges = learn_bpe(types, n_merges)
+    assert merges == learn_bpe(list(reversed(types)), n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    fewer = {p: i for i, p in enumerate(merges[: max(0, n_merges - 1)])}
+    for w, _ in types:
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + EOW
+        assert len(toks) <= len(encode_word(w, fewer))
