@@ -36,6 +36,7 @@ BENCH_SKIP = {
     "fs7_backfill",
     "l6c_audio_features",
     "l6d_video_frame_split",
+    "l23_image_phash_dedup",  # real decode+hash vs a closed-form oracle
     "l18_incremental_dedup",
 }
 
