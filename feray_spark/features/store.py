@@ -107,10 +107,17 @@ class FeatureStore:
     # ------------------------------------------------------ resolve
 
     def _load_input(self, name: str) -> DataFrame:
+        """Resolution order (identical in ``_stream_input``): views →
+        declared sources → raw store tables (ingestion tails written
+        directly into the same store). A declared source always wins
+        over a raw store table of the same name, so batch and
+        streaming can never silently read different inputs."""
         if name in self.views:
             return self.store.read(self.spark, name)
         if name in self.sources:
             return self.spark.read.parquet(self.sources[name])
+        if self.store.latest_version(name) is not None:
+            return self.store.read(self.spark, name)
         raise KeyError(f"unknown input {name!r}")
 
     def _input_version(self, name: str) -> str:
@@ -122,6 +129,11 @@ class FeatureStore:
             if commit is None:
                 raise RuntimeError(f"upstream view {name!r} not materialized")
             return f"view:{commit.user_metadata.get('fingerprint', commit.version)}"
+        if name not in self.sources:
+            commit = self.store.commit_info(name)
+            if commit is None:
+                raise KeyError(f"unknown input {name!r}")
+            return f"table:{commit.version}"
         path = self.sources[name]
         entries = []
         if os.path.isdir(path):
@@ -256,58 +268,81 @@ class FeatureStore:
         os.replace(tmp, log)
 
     def _stream_input(self, name: str) -> DataFrame:
-        """Unbounded form of one input: an append-only store table
-        streams via ``TableStore.read_stream``; a parquet source
-        path streams via a staged file-source directory (single-file
-        fixtures get a symlink dir, real directory sources stream
-        directly) with the footer schema."""
+        """Unbounded form of one input, resolved EXACTLY like
+        ``_load_input`` (views → sources, same shadowing): a view
+        streams from its materialized store table via
+        ``TableStore.read_stream``; a parquet source path streams via
+        a staged file-source directory (single-file fixtures get a
+        symlink dir under the STORE ROOT — never a predictable
+        world-shared /tmp path — and a stale/foreign symlink is
+        replaced, not trusted) with the footer schema."""
         import hashlib
         import os
-        import tempfile
 
-        # store tables (materialized upstream views) take precedence,
-        # mirroring _load_input's resolution order
-        try:
+        if name in self.views:
             return self.store.read_stream(self.spark, name)
-        except KeyError:
-            pass
-        if name not in self.sources:
-            raise KeyError(f"unknown streamable input {name!r}")
-        src = self.sources[name]
-        schema = self.spark.read.parquet(src).schema
-        if os.path.isdir(src):
-            stage = src
-        else:
-            tag = hashlib.sha256(src.encode()).hexdigest()[:12]
-            stage = os.path.join(tempfile.gettempdir(), f"feray_fs_stream_{tag}")
-            os.makedirs(stage, exist_ok=True)
-            link = os.path.join(stage, os.path.basename(src))
-            if not os.path.exists(link):
-                os.symlink(src, link)
-        return self.spark.readStream.schema(schema).parquet(stage)
+        if name in self.sources:
+            src = self.sources[name]
+            schema = self.spark.read.parquet(src).schema
+            if os.path.isdir(src):
+                stage = src
+            else:
+                tag = hashlib.sha256(src.encode()).hexdigest()[:12]
+                stage = os.path.join(
+                    self.store.root, "_stream_stage", tag
+                )
+                os.makedirs(stage, exist_ok=True)
+                link = os.path.join(stage, os.path.basename(src))
+                if os.path.islink(link) and os.readlink(link) == src:
+                    pass  # ours, still pointing at the right file
+                else:
+                    if os.path.lexists(link):
+                        os.unlink(link)
+                    os.symlink(src, link)
+            return self.spark.readStream.schema(schema).parquet(stage)
+        if self.store.latest_version(name) is not None:
+            # raw ingestion tail written straight into the store —
+            # resolved LAST, exactly like _load_input
+            return self.store.read_stream(self.spark, name)
+        raise KeyError(f"unknown streamable input {name!r}")
 
-    def materialize_stream(self, name: str, checkpoint: str):
+    def materialize_stream(
+        self, name: str, checkpoint: str, mode: str = "upsert"
+    ):
         """Fastlane materialization — the reference's serving mode
         (``README.md:47-55``) joined to the feature registry: the
         SAME view function runs over its input as an unbounded
         stream, version columns (FS1/FS2) attach per micro-batch,
-        and every batch MERGEs into the SAME versioned table batch
-        ``materialize()`` writes, keyed on the view's entities.
-        Checkpointed ``availableNow``: each call drains exactly the
-        input appended since the last call (T10 exactly-once on top
-        of the idempotent MERGE). Returns the StreamingQuery.
+        and every batch lands in the SAME versioned table batch
+        ``materialize()`` writes. Checkpointed ``availableNow``:
+        each call drains exactly the input appended since the last
+        call (T10 exactly-once). Returns the StreamingQuery.
 
-        Semantics contract (the T9 trade, enforced where cheap): the
-        view must declare ``entities``; a PER-ROW view fn
-        (projection / filter / enrichment) gets exact batch parity —
-        the streamed table equals what batch materialize would
-        produce. Aggregating fns come out with per-batch upsert
-        (serving) semantics. Exactly one input, and it must be
-        append-only (rewrites are rejected by the store's streaming
-        source)."""
+        Two sink modes, because streaming cannot give both histories
+        and latest-state from one shape:
+
+        - ``mode="append"``: every batch row appends. EXACT batch
+          parity for per-row view fns (projection / filter /
+          enrichment) — the streamed table is row-for-row what batch
+          materialize would produce, with NO uniqueness assumption
+          on entities.
+        - ``mode="upsert"`` (default): latest row per entity key
+          wins — serving semantics (T9). Requires ``entities``;
+          note a per-row view whose entities are NOT a unique row
+          key serves only the newest row per key, which is the
+          point of upsert, not batch parity.
+
+        Declared asset checks run per micro-batch ON THE BATCH (one
+        combined aggregation) and record in the commit metadata; a
+        failing check fails the epoch, and therefore the query.
+        ``partition_by`` declared on the view is honored on the
+        first write. Exactly one input; rewrite histories are
+        rejected by the store's streaming source."""
         view = self.views[name]
-        if not view.entities:
-            raise ValueError(f"{name}: streaming MERGE needs entities")
+        if mode not in ("append", "upsert"):
+            raise ValueError(f"mode must be append|upsert, got {mode!r}")
+        if mode == "upsert" and not view.entities:
+            raise ValueError(f"{name}: upsert streaming needs entities")
         if len(view.inputs) != 1:
             raise ValueError(
                 f"{name}: streaming materialization takes exactly one "
@@ -321,22 +356,47 @@ class FeatureStore:
         )
         keys = list(view.entities)
         cv = code_version(view.fn)
+        checks = dict(view.checks)
+        partition_by = list(view.partition_by)
 
-        def upsert(batch: DataFrame, epoch_id: int) -> None:
+        def sink(batch: DataFrame, epoch_id: int) -> None:
             if not batch.take(1):
                 return
-            meta = {"code_version": cv, "epoch": epoch_id, "mode": "fastlane"}
-            if self.store.latest_version(name) is None:
+            check_results: dict[str, bool] = {}
+            if checks:
+                row = batch.agg(
+                    *[c(batch).alias(n) for n, c in checks.items()]
+                ).collect()[0]
+                check_results = {n: bool(row[n]) for n in checks}
+            meta = {
+                "code_version": cv,
+                "epoch": epoch_id,
+                "mode": "fastlane",
+                **({"checks": check_results} if checks else {}),
+            }
+            first = self.store.latest_version(name) is None
+            if first:
                 self.store.write(
-                    batch, name, mode="overwrite", user_metadata=meta
+                    batch,
+                    name,
+                    mode="overwrite",
+                    user_metadata=meta,
+                    partition_by=partition_by,
+                )
+            elif mode == "append":
+                self.store.write(
+                    batch, name, mode="append", user_metadata=meta
                 )
             else:
                 self.store.merge(
                     self.spark, name, batch, keys=keys, user_metadata=meta
                 )
+            if check_results and not all(check_results.values()):
+                failed = [n for n, ok in check_results.items() if not ok]
+                raise CheckFailure(f"{name} epoch {epoch_id}: {failed}")
 
         return (
-            result.writeStream.foreachBatch(upsert)
+            result.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start()

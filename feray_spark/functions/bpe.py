@@ -126,6 +126,15 @@ def bpe_token_count(
     re-see the same types), merge ranks shipped in the closure."""
     ranks = {p: i for i, p in enumerate(merges)}
 
+    import re
+
+    # Java \s is ASCII-only; python str.split() also breaks on Unicode
+    # whitespace, which would let the encoder see word boundaries the
+    # Spark-side trainer (functions.text.words, split on \s+) never
+    # learned — split with the Java-equivalent class so learn and
+    # apply agree on what a word is
+    _ws = re.compile("[ \t\n\x0b\f\r]+")
+
     @F.pandas_udf("bigint")
     def _count(texts: pd.Series) -> pd.Series:
         cache: dict[str, int] = {}
@@ -134,7 +143,9 @@ def bpe_token_count(
             if t is None:
                 return 0
             total = 0
-            for w in str(t).lower().split():
+            for w in _ws.split(str(t).lower()):
+                if not w:
+                    continue
                 hit = cache.get(w)
                 if hit is None:
                     hit = cache[w] = len(encode_word(w, ranks))

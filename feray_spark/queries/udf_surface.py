@@ -265,7 +265,15 @@ def f5b_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(schema)
 
         def eval(self, text: str, k: int):
-            toks = [w for w in (text or "").lower().split() if w]
+            import re
+
+            # Java \s (ASCII-only), matching the oracle's regex split —
+            # python str.split() would also break on Unicode whitespace
+            toks = [
+                w
+                for w in re.split("[ \t\n\x0b\f\r]+", (text or "").lower())
+                if w
+            ]
             best = sorted(
                 Counter(toks).items(), key=lambda kv: (-kv[1], kv[0])
             )[: int(k)]
@@ -273,7 +281,13 @@ def f5b_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield tuple(row)
 
     spark.udtf.register("top_tokens", TopTokens)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
+    from feray_spark.functions.text import words as words_fn
+
+    # docs with zero tokens are OMITTED, matching the oracle's unnest
+    # (which emits no row for an empty token list)
+    load_table(spark, sf_dir, "documents").filter(
+        F.size(words_fn("text")) > 0
+    ).createOrReplaceTempView("docs_v")
     return spark.sql(
         "SELECT doc_id, t.* FROM docs_v, LATERAL top_tokens(text, 2) t"
     )

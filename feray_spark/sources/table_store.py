@@ -400,10 +400,16 @@ class TableStore:
                 kept.append(entry)
                 continue
             smin, smax = rng
-            if (hi is not None and smin > hi) or (lo is not None and smax < lo):
-                pruned.append(entry)
-            else:
-                kept.append(entry)
+            try:
+                out = (hi is not None and smin > hi) or (
+                    lo is not None and smax < lo
+                )
+            except TypeError:
+                # stats/bound types incomparable (e.g. string stats vs
+                # numeric bound): pruning must never crash a read that
+                # plain read()+filter would serve — keep conservatively
+                out = False
+            (pruned if out else kept).append(entry)
         return kept, pruned
 
     def read_range(
@@ -802,6 +808,7 @@ class TableStore:
                     "optimize": {"zorder_by": zorder_by, "n_files": files},
                 },
                 partition_by=prev.partition_by,
+                stats={seg: _segment_stats(seg)},
             ),
             new_segment=seg,
         )
@@ -982,6 +989,9 @@ class TableStore:
                         "replace_where": predicate,
                     },
                     partition_by=prev.partition_by,
+                    # carried partition dirs have no stats entry and are
+                    # conservatively kept by segments_in_range
+                    stats={seg: _segment_stats(seg)},
                 )
                 return self._commit(table, commit, new_segment=seg)
         target = self.read(spark, table)

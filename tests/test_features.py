@@ -613,3 +613,57 @@ def test_change_feed_append_fast_path_reads_only_new_segment(spark, tmp_root):
     files = feed.inputFiles()
     new_seg = c1.segments[-1]
     assert files and all(new_seg in f for f in files), files
+
+
+def test_materialize_stream_append_mode_exact_parity(spark, tmp_root):
+    """With non-unique entity keys, append mode must keep EVERY
+    qualifying row across drains (exact batch parity) where upsert
+    mode would keep only the newest per key."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    e0 = spark.createDataFrame(
+        [(1, 60.0, "a")], "user_id int, value double, tag string"
+    )
+    fs.store.write(e0, "raw", mode="overwrite")
+
+    @fs.feature_view(name="hist", inputs=["raw"], entities=["user_id"])
+    def hist(spark, inputs):
+        return inputs["raw"].filter(F.col("value") > 50)
+
+    ckpt = os.path.join(tmp_root, "ckpt")
+    q = fs.materialize_stream("hist", checkpoint=ckpt, mode="append")
+    q.awaitTermination(120)
+    # SAME user appears again in a later commit
+    fs.store.write(
+        spark.createDataFrame([(1, 70.0, "b")],
+                              "user_id int, value double, tag string"),
+        "raw", mode="append",
+    )
+    q = fs.materialize_stream("hist", checkpoint=ckpt, mode="append")
+    q.awaitTermination(120)
+    got = sorted((r.user_id, r.value, r.tag)
+                 for r in fs.store.read(spark, "hist").collect())
+    assert got == [(1, 60.0, "a"), (1, 70.0, "b")]  # both rows kept
+
+
+def test_materialize_stream_checks_fail_the_epoch(spark, tmp_root):
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    fs.store.write(
+        spark.createDataFrame([(1, -5.0)], "user_id int, value double"),
+        "raw", mode="overwrite",
+    )
+
+    @fs.feature_view(
+        name="guarded", inputs=["raw"], entities=["user_id"],
+        checks={"positive": lambda df: F.min("value") > 0},
+    )
+    def guarded(spark, inputs):
+        return inputs["raw"]
+
+    q = fs.materialize_stream("guarded", checkpoint=os.path.join(tmp_root, "c"))
+    with pytest.raises(Exception, match="positive|StreamingQuery"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
