@@ -160,3 +160,50 @@ def test_commit_put_if_absent_rejects_racing_writer(spark, root):
     assert store.commit_info("t", 1).user_metadata == {}
     store._commit("t", commit_v(2))
     assert store.latest_version("t") == 2
+
+
+def test_losing_racer_segment_is_cleaned_up(spark, root):
+    """A losing writer must delete its un-committed segment so the
+    streaming source's file glob never serves rows no commit
+    references."""
+    import os
+    import time as _time
+
+    from feray_spark.sources.table_store import Commit, ConcurrentWriteError
+
+    store = TableStore(root)
+    store.write(spark.range(5).toDF("id"), "t", mode="overwrite")
+    base = store.commit_info("t")
+    # loser's orphan-to-be: a real directory on disk
+    loser_seg = os.path.join(root, "t", "seg-00000001-loser")
+    os.makedirs(loser_seg)
+    winner = Commit(
+        version=1, mode="append", segments=base.segments,
+        schema=base.schema, row_count=base.row_count,
+        timestamp=_time.time(), user_metadata={}, partition_by=[],
+    )
+    store._commit("t", winner)
+    loser = Commit(
+        version=1, mode="append", segments=[*base.segments, loser_seg],
+        schema=base.schema, row_count=base.row_count,
+        timestamp=_time.time(), user_metadata={}, partition_by=[],
+    )
+    with pytest.raises(ConcurrentWriteError):
+        store._commit("t", loser, new_segment=loser_seg)
+    assert not os.path.exists(loser_seg)  # cleaned up on loss
+
+
+def test_vacuum_collects_crash_orphans_after_grace(spark, root):
+    import os
+
+    store = TableStore(root)
+    store.write(spark.range(5).toDF("id"), "t", mode="overwrite")
+    orphan = os.path.join(root, "t", "seg-00000009-crashed")
+    os.makedirs(orphan)
+    # inside the grace window: protected (could be an in-flight writer)
+    assert store.vacuum("t", keep_versions=1) == []
+    assert os.path.isdir(orphan)
+    # past the grace window: collected
+    deleted = store.vacuum("t", keep_versions=1, orphan_grace_sec=0.0)
+    assert any("seg-00000009-crashed" in d for d in deleted)
+    assert not os.path.exists(orphan)
