@@ -86,9 +86,13 @@ class FeatureStore:
         entities: Sequence[str] = (),
         version_cols: Sequence[str] | None = None,
         checks: dict[str, Callable[[DataFrame], Column]] | None = None,
+        partition_by: Sequence[str] = (),
     ):
         """Decorator form: the engine's analog of ``@dg.asset``
-        (reference ``ray_integration.py:5-9``)."""
+        (reference ``ray_integration.py:5-9``). ``partition_by``
+        declares the stored table's hive partitioning AND enables
+        per-partition materialization (``materialize_partition``) —
+        the Dagster partitioned-asset surface."""
 
         def deco(fn):
             view = FeatureView(
@@ -98,6 +102,7 @@ class FeatureStore:
                 entities=entities,
                 version_cols=version_cols,
                 checks=checks or {},
+                partition_by=tuple(partition_by),
             )
             self.register(view)
             return view
@@ -266,6 +271,96 @@ class FeatureStore:
         with open(tmp, "w") as f:
             json.dump(rec, f)
         os.replace(tmp, log)
+
+    def materialize_partition(
+        self,
+        name: str,
+        partition: str | int,
+        force: bool = False,
+    ) -> bool:
+        """Dagster-partitioned-asset analog: materialize ONE partition
+        of a partitioned view, memoized PER PARTITION. Returns True
+        when the partition recomputed, False on a memo hit.
+
+        Mechanics: the view must declare ``partition_by`` (single
+        column); every input that carries that column is pre-filtered
+        to the partition BEFORE the view fn runs, so partition
+        pruning reaches the input scans (the fn never sees other
+        partitions' data); the result lands via
+        ``TableStore.replace_where`` on the partition predicate —
+        metadata-only carry for every untouched partition (the FS7
+        backfill shape). The per-partition fingerprint (code ‖ input
+        versions ‖ partition value) is stored in the commit metadata
+        and CARRIED FORWARD across commits, so a daily pipeline
+        re-run recomputes exactly the days whose inputs changed —
+        ``AutomationCondition.eager()`` at partition grain.
+
+        The full-table ``materialize()`` and this path are exclusive
+        per table: a full materialization resets partition
+        fingerprints (its commit metadata replaces them)."""
+        view = self.views[name]
+        if len(view.partition_by) != 1:
+            raise ValueError(
+                f"{name}: materialize_partition needs exactly one "
+                f"partition_by column, got {list(view.partition_by)}"
+            )
+        col = view.partition_by[0]
+        part_fp = hashlib.sha256(
+            json.dumps(
+                {
+                    "code": code_version(view.fn),
+                    "inputs": {i: self._input_version(i) for i in view.inputs},
+                    "partition": str(partition),
+                    "conf": SEMANTIC_CONF,
+                },
+                sort_keys=True,
+            ).encode()
+        ).hexdigest()
+        latest = self.store.commit_info(name)
+        fps: dict[str, str] = {}
+        if latest is not None:
+            fps = dict(latest.user_metadata.get("partition_fingerprints", {}))
+            if not force and fps.get(str(partition)) == part_fp:
+                return False
+
+        lit = (
+            f"'{partition}'" if isinstance(partition, str) else str(partition)
+        )
+        predicate = f"{col} = {lit}"
+        inputs = {}
+        for i in view.inputs:
+            df = self._load_input(i)
+            # pre-filter inputs that carry the partition column: the
+            # filter pushes into their scans (partition pruning)
+            inputs[i] = df.filter(predicate) if col in df.columns else df
+        # restrict the OUTPUT to the partition regardless: when the fn
+        # derives the partition column (rename/expression), Catalyst
+        # pushes this filter through the plan to the input scans — the
+        # compute still costs one partition, and replace_where's
+        # replacement contract holds by construction
+        result = view.fn(self.spark, inputs).filter(predicate)
+        result = with_data_version(result, view.version_cols)
+        result = result.withColumn(
+            CODE_VERSION_COL, F.lit(code_version(view.fn))
+        )
+        fps[str(partition)] = part_fp
+        meta = {
+            "code_version": code_version(view.fn),
+            "partition_fingerprints": fps,
+        }
+        if latest is None:
+            self.store.write(
+                result,
+                name,
+                mode="overwrite",
+                user_metadata=meta,
+                partition_by=[col],
+            )
+        else:
+            self.store.replace_where(
+                self.spark, name, result, predicate, user_metadata=meta
+            )
+        return True
 
     def _stream_input(self, name: str) -> DataFrame:
         """Unbounded form of one input, resolved EXACTLY like

@@ -390,3 +390,87 @@ def fs7_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("priority")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "fs9_partitioned_assets",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 2 ELSE 1 END AS n_computes
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_orderpriority
+    """,
+    tags=("feature", "FS3", "FS7", "partitioned"),
+)
+def fs9_partitioned_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS3+FS7 joined up: PARTITIONED asset materialization — the
+    Dagster partitioned-asset surface. A priority-partitioned view
+    materializes two partitions independently; re-running one is a
+    per-partition memo HIT (no job), an upstream change busts exactly
+    the partition fingerprints and the re-materialization of one
+    partition lands via metadata-only replace_where (the other
+    partition's files are carried by reference, never rewritten).
+    The query output folds the COMPUTE COUNTS into the result
+    (urgent recomputed twice, high once), so the oracle hash also
+    gates the memoization behavior, not just the data.
+
+    Scale shape: each partition's materialization scans ONLY its
+    partition (the input pre-filter pushes to the scan) and writes
+    ONLY its partition directory — the daily-pipeline pattern where
+    day N's run costs day N, not the table's history."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from feray_spark.features.store import FeatureStore
+
+    root = _os.path.join(
+        _tempfile.gettempdir(),
+        f"feray_spark_fs9_{sf_dir.strip('/').replace('/', '_')}",
+    )
+    _shutil.rmtree(root, ignore_errors=True)  # idempotent re-runs
+    fs = FeatureStore(
+        spark, root, sources={"orders": f"{sf_dir}/orders.parquet"}
+    )
+
+    computes = {"1-URGENT": 0, "2-HIGH": 0}
+
+    @fs.feature_view(
+        name="prio_totals",
+        inputs=["orders"],
+        entities=["priority"],
+        partition_by=("priority",),
+    )
+    def prio_totals(spark, inputs):
+        return (
+            inputs["orders"]
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total"),
+            )
+        )
+
+    for p in ("1-URGENT", "2-HIGH"):
+        computes[p] += int(fs.materialize_partition("prio_totals", p))
+        # immediate re-run: must be a memo hit (adds 0)
+        computes[p] += int(fs.materialize_partition("prio_totals", p))
+    # bust the cache and recompute ONLY the urgent partition
+    computes["1-URGENT"] += int(
+        fs.materialize_partition("prio_totals", "1-URGENT", force=True)
+    )
+
+    table = fs.store.read(spark, "prio_totals").select(
+        "priority", "n", "total"
+    )
+    counts = spark.createDataFrame(
+        [(p, c) for p, c in computes.items()], "priority string, n_computes int"
+    )
+    return table.join(counts, "priority")

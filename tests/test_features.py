@@ -667,3 +667,51 @@ def test_materialize_stream_checks_fail_the_epoch(spark, tmp_root):
     with pytest.raises(Exception, match="positive|StreamingQuery"):
         q.awaitTermination(120)
         q.processAllAvailable()
+
+
+def test_materialize_partition_memoized_per_partition(spark, tmp_root):
+    """Dagster-partitioned-asset analog: each partition memoizes
+    independently, recomputes land via partition-scoped
+    replace_where (other partitions carried by reference), and an
+    upstream change busts exactly the partition fingerprints."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    raw = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0)],
+        "id int, day string, v double",
+    )
+    fs.store.write(raw, "raw_days", mode="overwrite")
+
+    @fs.feature_view(name="daily", inputs=["raw_days"], entities=["day"],
+                     partition_by=("day",))
+    def daily(spark, inputs):
+        return (
+            inputs["raw_days"]
+            .groupBy("day")
+            .agg(F.sum("v").alias("total"), F.count("*").alias("n"))
+        )
+
+    assert fs.materialize_partition("daily", "d1") is True
+    assert fs.materialize_partition("daily", "d1") is False  # memo hit
+    assert fs.materialize_partition("daily", "d2") is True
+    got = {(r.day, r.total, r.n)
+           for r in fs.store.read(spark, "daily")
+           .select("day", "total", "n").collect()}
+    assert got == {("d1", 30.0, 2), ("d2", 30.0, 1)}
+    # d2's recompute must NOT have clobbered d1 (replace_where carry)
+    assert fs.materialize_partition("daily", "d1") is False
+
+    # upstream append busts BOTH partitions' fingerprints...
+    fs.store.write(
+        spark.createDataFrame([(4, "d1", 5.0)], "id int, day string, v double"),
+        "raw_days", mode="append",
+    )
+    assert fs.materialize_partition("daily", "d1") is True
+    got = {(r.day, r.total, r.n)
+           for r in fs.store.read(spark, "daily")
+           .select("day", "total", "n").collect()}
+    assert got == {("d1", 35.0, 3), ("d2", 30.0, 1)}  # d2 stale but intact
+    # ...and d2 recomputes only when asked
+    assert fs.materialize_partition("daily", "d2") is True
+    assert fs.materialize_partition("daily", "d2") is False
