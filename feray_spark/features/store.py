@@ -362,6 +362,31 @@ class FeatureStore:
             )
         return True
 
+    def lookup(self, name: str, entities) -> DataFrame:
+        """Serving-side feature lookup — the read the reference's Ray
+        serving layer performs against published feature tables
+        (SURVEY §1.1: "Spark publishes feature tables, the serving
+        side reads them"): latest feature rows for a set of entity
+        keys. ``entities`` is a DataFrame with the view's entity
+        columns, or a list of dicts/tuples. The probe set broadcasts
+        (serving requests are small by nature); the feature table
+        never shuffles. Version columns ride along, so the caller
+        can assert WHICH data/code version served each row."""
+        view = self.views[name]
+        if not view.entities:
+            raise ValueError(f"{name}: lookup needs declared entities")
+        keys = list(view.entities)
+        table = self.store.read(self.spark, name)
+        if not isinstance(entities, DataFrame):
+            rows = [
+                tuple(e[k] for k in keys) if isinstance(e, dict) else tuple(e)
+                for e in entities
+            ]
+            schema = table.select(*keys).schema
+            entities = self.spark.createDataFrame(rows, schema)
+        probe = F.broadcast(entities.select(*keys).distinct())
+        return table.join(probe, keys, "left_semi")
+
     def _stream_input(self, name: str) -> DataFrame:
         """Unbounded form of one input, resolved EXACTLY like
         ``_load_input`` (views → sources, same shadowing): a view

@@ -715,3 +715,25 @@ def test_materialize_partition_memoized_per_partition(spark, tmp_root):
     # ...and d2 recomputes only when asked
     assert fs.materialize_partition("daily", "d2") is True
     assert fs.materialize_partition("daily", "d2") is False
+
+
+def test_lookup_serves_latest_rows_for_entities(spark, tmp_root):
+    fs = _make_store(spark, tmp_root)
+
+    @fs.feature_view(name="cust_spend", inputs=["orders"],
+                     entities=["o_custkey"])
+    def cust_spend(spark, inputs):
+        return (
+            inputs["orders"].groupBy("o_custkey")
+            .agg(F.count("*").alias("n_orders"))
+        )
+
+    fs.materialize("cust_spend")
+    two = [r.o_custkey for r in
+           fs.store.read(spark, "cust_spend").select("o_custkey")
+           .orderBy("o_custkey").limit(2).collect()]
+    got = fs.lookup("cust_spend", [{"o_custkey": k} for k in two])
+    rows = got.orderBy("o_custkey").collect()
+    assert [r.o_custkey for r in rows] == two
+    assert all(r.n_orders >= 1 for r in rows)
+    assert "_code_version" in got.columns  # caller sees serving version
