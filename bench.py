@@ -34,6 +34,7 @@ BENCH_SKIP = {
     "fs3_memoization",
     "fs6_feature_flags",
     "fs7_backfill",
+    "fs9_partitioned_assets",
     "l6c_audio_features",
     "l6d_video_frame_split",
     "l23_image_phash_dedup",  # real decode+hash vs a closed-form oracle
