@@ -43,8 +43,8 @@ FLAGSHIP = "a1_groupby_q1"
 #: and the round-3 additions s11_change_feed, a14_exact_quantiles,
 #: l19_fuzzy_blocked_pairs, l20_span_dedup, l21_embedding_outliers,
 #: w9_resample_gap_fill, ep4_recursive_cte, f_variant_family,
-#: f5b_polymorphic_udtf, l23_image_phash_dedup, fs9_partitioned_assets
-#: (+ rows-only l22_bpe_tokens).
+#: f5b_polymorphic_udtf, l23_image_phash_dedup, fs9_partitioned_assets,
+#: fs10_drift_report (+ rows-only l22_bpe_tokens).
 _DRIVER_PRIORITY = [
     # §2.9 streaming batch-parity contract (t1–t8)
     "t1_tumbling_window",

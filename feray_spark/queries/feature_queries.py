@@ -474,3 +474,75 @@ def fs9_partitioned_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p, c) for p, c in computes.items()], "priority string, n_computes int"
     )
     return table.join(counts, "priority")
+
+
+@register(
+    "fs10_drift_report",
+    oracle="""
+        WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 != 0),
+        bs AS (
+            SELECT count(*) AS n,
+                   SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_nulls,
+                   CAST(MIN(o_totalprice) AS DOUBLE) AS tp_min,
+                   CAST(MAX(o_totalprice) AS DOUBLE) AS tp_max,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(o_totalprice) AS tp_mean,
+                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
+                   CAST(MIN(o_custkey) AS DOUBLE) AS ck_min,
+                   CAST(MAX(o_custkey) AS DOUBLE) AS ck_max,
+                   CAST(SUM(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(o_custkey) AS ck_mean
+            FROM base
+        ),
+        cs AS (
+            SELECT count(*) AS n,
+                   SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_nulls,
+                   CAST(MIN(o_totalprice) AS DOUBLE) AS tp_min,
+                   CAST(MAX(o_totalprice) AS DOUBLE) AS tp_max,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(o_totalprice) AS tp_mean,
+                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
+                   CAST(MIN(o_custkey) AS DOUBLE) AS ck_min,
+                   CAST(MAX(o_custkey) AS DOUBLE) AS ck_max,
+                   CAST(SUM(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(o_custkey) AS ck_mean
+            FROM orders
+        )
+        SELECT 'o_totalprice' AS col_name,
+               CAST(bs.n AS BIGINT) AS n_baseline,
+               CAST(cs.n AS BIGINT) AS n_current,
+               CAST(bs.tp_nulls AS DOUBLE) / bs.n AS null_rate_baseline,
+               CAST(cs.tp_nulls AS DOUBLE) / cs.n AS null_rate_current,
+               bs.tp_mean AS mean_baseline, cs.tp_mean AS mean_current,
+               cs.tp_mean - bs.tp_mean AS mean_shift,
+               bs.tp_min AS min_baseline, cs.tp_min AS min_current,
+               bs.tp_max AS max_baseline, cs.tp_max AS max_current,
+               (cs.tp_min < bs.tp_min OR cs.tp_max > bs.tp_max)
+                   AS range_expanded
+        FROM bs, cs
+        UNION ALL
+        SELECT 'o_custkey',
+               CAST(bs.n AS BIGINT), CAST(cs.n AS BIGINT),
+               CAST(bs.ck_nulls AS DOUBLE) / bs.n,
+               CAST(cs.ck_nulls AS DOUBLE) / cs.n,
+               bs.ck_mean, cs.ck_mean, cs.ck_mean - bs.ck_mean,
+               bs.ck_min, cs.ck_min, bs.ck_max, cs.ck_max,
+               (cs.ck_min < bs.ck_min OR cs.ck_max > bs.ck_max)
+        FROM bs, cs
+    """,
+    tags=("feature", "FS5", "drift"),
+)
+def fs10_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS5 monitoring: distribution drift between a baseline snapshot
+    (two-thirds of orders by key) and the current table — per column:
+    counts, null rates, exact-decimal means + the shift, min/max
+    ranges + an expansion flag. The alerting companion to asset
+    checks: checks gate ONE materialization, drift compares it to
+    yesterday's. Exact arithmetic end to end, so identical snapshots
+    report exactly zero drift and thresholds never fight float noise
+    (features/drift.py: one single-job summary aggregate per side)."""
+    from feray_spark.features.drift import drift_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    baseline = orders.filter(F.col("o_orderkey") % 3 != 0)
+    return drift_report(baseline, orders, ["o_totalprice", "o_custkey"])

@@ -737,3 +737,17 @@ def test_lookup_serves_latest_rows_for_entities(spark, tmp_root):
     assert [r.o_custkey for r in rows] == two
     assert all(r.n_orders >= 1 for r in rows)
     assert "_code_version" in got.columns  # caller sees serving version
+
+
+def test_drift_report_identical_snapshots_report_zero(spark):
+    """Exact arithmetic contract: the same snapshot on both sides
+    reports EXACTLY zero drift — no float-noise epsilons needed."""
+    from feray_spark.features.drift import drift_report
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.5)], "k int, v double"
+    )
+    rep = drift_report(df, df, ["v"]).collect()[0]
+    assert rep.mean_shift == 0.0
+    assert rep.null_rate_baseline == rep.null_rate_current
+    assert rep.range_expanded is False
