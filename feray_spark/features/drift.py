@@ -22,33 +22,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _summary(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def _summary(df: DataFrame, cols: Sequence[str], decimal: str) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
             F.min(c).cast("double").alias(f"{c}__min"),
             F.max(c).cast("double").alias(f"{c}__max"),
-            (
-                F.sum(F.col(c).cast("decimal(18,2)")).cast("double")
-                / F.count(c)
-            ).alias(f"{c}__mean"),
+            # order-independent exact mean (the queries/util.py dsum
+            # discipline, but with a caller-chosen scale: money wants
+            # (18,2); normalized features need fractional digits or
+            # small shifts quantize to zero)
+            (F.sum(F.col(c).cast(decimal)).cast("double") / F.count(c)).alias(
+                f"{c}__mean"
+            ),
         ]
     return df.agg(*aggs)
 
 
 def drift_report(
-    baseline: DataFrame, current: DataFrame, cols: Sequence[str]
+    baseline: DataFrame,
+    current: DataFrame,
+    cols: Sequence[str],
+    decimal: str = "decimal(28,9)",
 ) -> DataFrame:
     """Per-column drift between two snapshots: row counts, null
     rates, min/max ranges and exact-decimal means on both sides,
     plus the deltas monitoring rules alert on (mean shift, null-rate
     shift, range expansion). Exact decimal arithmetic end to end —
     two runs over identical data report EXACTLY zero drift, so
-    alert thresholds never fight float noise."""
+    alert thresholds never fight float noise.
+
+    ``decimal`` sets the mean accumulator's type: the (28,9) default
+    keeps 9 fractional digits (normalized features don't quantize to
+    zero) with integer headroom to ~1e19; values beyond the chosen
+    precision cast to NULL under non-ANSI semantics and silently
+    leave the mean — widen the type for such columns."""
     spark = baseline.sparkSession
-    b = _summary(baseline, cols).collect()[0]
-    c = _summary(current, cols).collect()[0]
+    b = _summary(baseline, cols, decimal).collect()[0]
+    c = _summary(current, cols, decimal).collect()[0]
     rows = []
     for col in cols:
         b_n, c_n = b["__n"], c["__n"]
@@ -67,11 +79,14 @@ def drift_report(
                 c[f"{col}__min"],
                 b[f"{col}__max"],
                 c[f"{col}__max"],
+                # expanded: current has values outside the baseline's
+                # range — including the case where the baseline had NO
+                # values at all (a range appearing IS an expansion)
                 bool(
                     c[f"{col}__min"] is not None
-                    and b[f"{col}__min"] is not None
                     and (
-                        c[f"{col}__min"] < b[f"{col}__min"]
+                        b[f"{col}__min"] is None
+                        or c[f"{col}__min"] < b[f"{col}__min"]
                         or c[f"{col}__max"] > b[f"{col}__max"]
                     )
                 ),

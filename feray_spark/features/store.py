@@ -305,6 +305,12 @@ class FeatureStore:
                 f"partition_by column, got {list(view.partition_by)}"
             )
         col = view.partition_by[0]
+        # upstream VIEWS refresh first, exactly like materialize():
+        # their new fingerprints flow into this partition's memo key,
+        # so a changed source can never serve a stale memo hit here
+        for upstream in view.inputs:
+            if upstream in self.views:
+                self.materialize(upstream, force=force)
         part_fp = hashlib.sha256(
             json.dumps(
                 {
@@ -323,9 +329,13 @@ class FeatureStore:
             if not force and fps.get(str(partition)) == part_fp:
                 return False
 
-        lit = (
-            f"'{partition}'" if isinstance(partition, str) else str(partition)
-        )
+        if isinstance(partition, str):
+            # SQL-standard quote doubling: a quote in the value can
+            # neither crash the parse nor widen the predicate beyond
+            # this one partition
+            lit = "'" + str(partition).replace("'", "''") + "'"
+        else:
+            lit = str(partition)
         predicate = f"{col} = {lit}"
         inputs = {}
         for i in view.inputs:
@@ -343,23 +353,55 @@ class FeatureStore:
         result = result.withColumn(
             CODE_VERSION_COL, F.lit(code_version(view.fn))
         )
-        fps[str(partition)] = part_fp
-        meta = {
-            "code_version": code_version(view.fn),
-            "partition_fingerprints": fps,
-        }
-        if latest is None:
-            self.store.write(
-                result,
-                name,
-                mode="overwrite",
-                user_metadata=meta,
-                partition_by=[col],
+        # declared asset checks (FS5) gate the partition exactly as
+        # materialize() gates the table: one combined aggregation over
+        # the partition result, verdicts recorded, failure raises
+        check_results: dict[str, bool] = {}
+        if view.checks:
+            row = result.agg(
+                *[c(result).alias(n) for n, c in view.checks.items()]
+            ).collect()[0]
+            check_results = {n: bool(row[n]) for n in view.checks}
+
+        from feray_spark.sources.table_store import ConcurrentWriteError
+
+        for attempt in range(3):
+            # re-resolve the fingerprint map EACH attempt so a commit
+            # interleaved by another partition's writer keeps its
+            # fingerprint (losing one only costs a needless recompute,
+            # never wrong data — but don't lose it gratuitously)
+            latest = self.store.commit_info(name)
+            fps = (
+                dict(latest.user_metadata.get("partition_fingerprints", {}))
+                if latest is not None
+                else {}
             )
-        else:
-            self.store.replace_where(
-                self.spark, name, result, predicate, user_metadata=meta
-            )
+            fps[str(partition)] = part_fp
+            meta = {
+                "code_version": code_version(view.fn),
+                "partition_fingerprints": fps,
+                **({"checks": check_results} if view.checks else {}),
+            }
+            try:
+                if latest is None:
+                    self.store.write(
+                        result,
+                        name,
+                        mode="overwrite",
+                        user_metadata=meta,
+                        partition_by=[col],
+                    )
+                else:
+                    self.store.replace_where(
+                        self.spark, name, result, predicate, user_metadata=meta
+                    )
+                break
+            except ConcurrentWriteError:
+                if attempt == 2:
+                    raise
+        if check_results and not all(check_results.values()):
+            failed = [n for n, ok in check_results.items() if not ok]
+            raise CheckFailure(f"{name} [{partition}]: checks failed: {failed}")
         return True
 
     def lookup(self, name: str, entities) -> DataFrame:

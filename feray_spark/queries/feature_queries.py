@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feray_spark.catalog import load_table
-from feray_spark.queries.util import fan_out
+from feray_spark.queries.util import dsum, fan_out
 from feray_spark.functions.hashing import row_version
 from feray_spark.operators.asof import point_in_time_join
 from feray_spark.queries import register
@@ -423,17 +423,9 @@ def fs9_partitioned_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition (the input pre-filter pushes to the scan) and writes
     ONLY its partition directory — the daily-pipeline pattern where
     day N's run costs day N, not the table's history."""
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from feray_spark.features.store import FeatureStore
 
-    root = _os.path.join(
-        _tempfile.gettempdir(),
-        f"feray_spark_fs9_{sf_dir.strip('/').replace('/', '_')}",
-    )
-    _shutil.rmtree(root, ignore_errors=True)  # idempotent re-runs
+    _, root = _scratch_store("fs9", sf_dir)
     fs = FeatureStore(
         spark, root, sources={"orders": f"{sf_dir}/orders.parquet"}
     )
@@ -452,9 +444,7 @@ def fs9_partitioned_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("o_orderpriority").alias("priority"))
             .agg(
                 F.count("*").cast("bigint").alias("n"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                .cast("double")
-                .alias("total"),
+                dsum("o_totalprice").alias("total"),
             )
         )
 
@@ -485,12 +475,12 @@ def fs9_partitioned_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_nulls,
                    CAST(MIN(o_totalprice) AS DOUBLE) AS tp_min,
                    CAST(MAX(o_totalprice) AS DOUBLE) AS tp_max,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS DOUBLE)
                        / COUNT(o_totalprice) AS tp_mean,
                    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
                    CAST(MIN(o_custkey) AS DOUBLE) AS ck_min,
                    CAST(MAX(o_custkey) AS DOUBLE) AS ck_max,
-                   CAST(SUM(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)
+                   CAST(SUM(CAST(o_custkey AS DECIMAL(28,9))) AS DOUBLE)
                        / COUNT(o_custkey) AS ck_mean
             FROM base
         ),
@@ -499,12 +489,12 @@ def fs9_partitioned_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_nulls,
                    CAST(MIN(o_totalprice) AS DOUBLE) AS tp_min,
                    CAST(MAX(o_totalprice) AS DOUBLE) AS tp_max,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS DOUBLE)
                        / COUNT(o_totalprice) AS tp_mean,
                    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
                    CAST(MIN(o_custkey) AS DOUBLE) AS ck_min,
                    CAST(MAX(o_custkey) AS DOUBLE) AS ck_max,
-                   CAST(SUM(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)
+                   CAST(SUM(CAST(o_custkey AS DECIMAL(28,9))) AS DOUBLE)
                        / COUNT(o_custkey) AS ck_mean
             FROM orders
         )
@@ -517,8 +507,10 @@ def fs9_partitioned_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                cs.tp_mean - bs.tp_mean AS mean_shift,
                bs.tp_min AS min_baseline, cs.tp_min AS min_current,
                bs.tp_max AS max_baseline, cs.tp_max AS max_current,
-               (cs.tp_min < bs.tp_min OR cs.tp_max > bs.tp_max)
-                   AS range_expanded
+               CASE WHEN cs.tp_min IS NULL THEN FALSE
+                    WHEN bs.tp_min IS NULL THEN TRUE
+                    ELSE (cs.tp_min < bs.tp_min OR cs.tp_max > bs.tp_max)
+               END AS range_expanded
         FROM bs, cs
         UNION ALL
         SELECT 'o_custkey',
@@ -527,7 +519,10 @@ def fs9_partitioned_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(cs.ck_nulls AS DOUBLE) / cs.n,
                bs.ck_mean, cs.ck_mean, cs.ck_mean - bs.ck_mean,
                bs.ck_min, cs.ck_min, bs.ck_max, cs.ck_max,
-               (cs.ck_min < bs.ck_min OR cs.ck_max > bs.ck_max)
+               CASE WHEN cs.ck_min IS NULL THEN FALSE
+                    WHEN bs.ck_min IS NULL THEN TRUE
+                    ELSE (cs.ck_min < bs.ck_min OR cs.ck_max > bs.ck_max)
+               END
         FROM bs, cs
     """,
     tags=("feature", "FS5", "drift"),

@@ -751,3 +751,31 @@ def test_drift_report_identical_snapshots_report_zero(spark):
     assert rep.mean_shift == 0.0
     assert rep.null_rate_baseline == rep.null_rate_current
     assert rep.range_expanded is False
+
+
+def test_materialize_partition_quoted_value_and_checks(spark, tmp_root):
+    """A quote in the partition value must neither crash nor widen
+    the predicate; declared checks gate each partition."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    raw = spark.createDataFrame(
+        [(1, "o'hare", 10.0), (2, "plain", -20.0)],
+        "id int, day string, v double",
+    )
+    fs.store.write(raw, "raw_q", mode="overwrite")
+
+    @fs.feature_view(name="by_day", inputs=["raw_q"], entities=["day"],
+                     partition_by=("day",),
+                     checks={"positive": lambda df: F.min("v") > 0})
+    def by_day(spark, inputs):
+        return inputs["raw_q"].select("day", "v")
+
+    assert fs.materialize_partition("by_day", "o'hare") is True
+    got = {(r.day, r.v) for r in fs.store.read(spark, "by_day")
+           .select("day", "v").collect()}
+    assert got == {("o'hare", 10.0)}  # only that partition landed
+    meta = fs.store.commit_info("by_day").user_metadata
+    assert meta["checks"] == {"positive": True}
+    with pytest.raises(CheckFailure, match="positive"):
+        fs.materialize_partition("by_day", "plain")
