@@ -31,20 +31,25 @@ FLAGSHIP = "a1_groupby_q1"
 #: catalog has hard driver-side evidence. Queries not listed here follow
 #: in registry order.
 #:
-#: ROUND-4 ROTATION (swap this list after CORRECTNESS_r03 lands): the
-#: remaining never-driver-checked oracled queries are a12_table_profile,
-#: u1b_union_diagonal, f_datetime_diff, fs3_memoization, l5b_ml_tfidf,
-#: l10_pii_redaction, l11_repetition_signals, l12_contamination_check,
-#: l13_sequence_packing, l14_quality_weighted_sample, l15_source_cap,
-#: l16_unigram_logprob, s10_optimize_layout, l6c_audio_features,
-#: l6d_video_frame_split, a13_heavy_hitters, l17_mixture_sampling,
-#: l18_incremental_dedup, ep3c_tpch_q3, ep3d_tpch_q5
-#: (+ rows-only: f_hash_native, l2b_simhash, l3b_lsh_topk, l3c_ivf_topk)
-#: and the round-3 additions s11_change_feed, a14_exact_quantiles,
-#: l19_fuzzy_blocked_pairs, l20_span_dedup, l21_embedding_outliers,
-#: w9_resample_gap_fill, ep4_recursive_cte, f_variant_family,
-#: f5b_polymorphic_udtf, l23_image_phash_dedup, fs9_partitioned_assets,
-#: fs10_drift_report (+ rows-only l22_bpe_tokens).
+#: ROUND-4 ROTATION (swap this list after CORRECTNESS_r03 lands — the
+#: exact set of queries that will then have never had a driver
+#: correctness row across r1+r2+r3, computed against both CORRECTNESS
+#: files; 37 entries, so the 50-slot window holds them all with room
+#: to re-verify 13 high-value earlier entries):
+#:   oracled (30): a12_table_profile, a13_heavy_hitters,
+#:     a14_exact_quantiles, ep3c_tpch_q3, ep3d_tpch_q5,
+#:     ep4_recursive_cte, f5b_polymorphic_udtf, f_datetime_diff,
+#:     f_variant_family, fs10_drift_report, fs9_partitioned_assets,
+#:     l10_pii_redaction, l11_repetition_signals,
+#:     l12_contamination_check, l13_sequence_packing,
+#:     l14_quality_weighted_sample, l15_source_cap,
+#:     l16_unigram_logprob, l17_mixture_sampling,
+#:     l18_incremental_dedup, l19_fuzzy_blocked_pairs, l20_span_dedup,
+#:     l21_embedding_outliers, l23_image_phash_dedup,
+#:     l6c_audio_features, l6d_video_frame_split, s10_optimize_layout,
+#:     s11_change_feed, u1b_union_diagonal, w9_resample_gap_fill
+#:   rows-only (7): f_hash_native, fs3_memoization, l22_bpe_tokens,
+#:     l2b_simhash, l3b_lsh_topk, l3c_ivf_topk, l5b_ml_tfidf
 _DRIVER_PRIORITY = [
     # §2.9 streaming batch-parity contract (t1–t8)
     "t1_tumbling_window",
