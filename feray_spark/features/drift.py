@@ -4,8 +4,8 @@ materialization, drift compares one against a baseline (yesterday's
 table, the training snapshot, another environment) and flags the
 columns whose distribution moved.
 
-Shape: ONE aggregation pass per side computing every column's
-summary in a single job (count/nulls/min/max/exact-decimal mean —
+Shape: BOTH sides' per-column summaries computed in one single
+grouped-aggregate job (snapshots union under a side tag) (count/nulls/min/max/exact-decimal mean —
 the A12 statistics, but all columns in one aggregate because drift
 reports want a fixed row per column, not per-value NDV), then a
 driver-side pivot of the two tiny summary rows into a per-column
@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _summary(df: DataFrame, cols: Sequence[str], decimal: str) -> DataFrame:
+def _summaries(
+    baseline: DataFrame, current: DataFrame, cols: Sequence[str], decimal: str
+):
+    """Both sides' per-column summaries in ONE job: the snapshots
+    union under a side tag and a single grouped aggregate computes
+    every statistic — identical arithmetic to two separate
+    aggregates (the tag partitions the rows), half the job count."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
@@ -37,7 +43,16 @@ def _summary(df: DataFrame, cols: Sequence[str], decimal: str) -> DataFrame:
                 f"{c}__mean"
             ),
         ]
-    return df.agg(*aggs)
+    tagged = baseline.select(F.lit("b").alias("__side"), *cols).unionByName(
+        current.select(F.lit("c").alias("__side"), *cols)
+    )
+    by_side = {
+        r["__side"]: r
+        for r in tagged.groupBy("__side").agg(*aggs).collect()
+    }
+    empty = {"__n": 0, **{k: None for c in cols for k in (
+        f"{c}__nulls", f"{c}__min", f"{c}__max", f"{c}__mean")}}
+    return by_side.get("b", empty), by_side.get("c", empty)
 
 
 def drift_report(
@@ -59,8 +74,7 @@ def drift_report(
     precision cast to NULL under non-ANSI semantics and silently
     leave the mean — widen the type for such columns."""
     spark = baseline.sparkSession
-    b = _summary(baseline, cols, decimal).collect()[0]
-    c = _summary(current, cols, decimal).collect()[0]
+    b, c = _summaries(baseline, current, cols, decimal)
     rows = []
     for col in cols:
         b_n, c_n = b["__n"], c["__n"]
