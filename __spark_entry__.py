@@ -50,6 +50,33 @@ FLAGSHIP = "a1_groupby_q1"
 #:     s11_change_feed, u1b_union_diagonal, w9_resample_gap_fill
 #:   rows-only (7): f_hash_native, fs3_memoization, l22_bpe_tokens,
 #:     l2b_simhash, l3b_lsh_topk, l3c_ivf_topk, l5b_ml_tfidf
+
+#: The ready-made round-4 window (swap in as _DRIVER_PRIORITY after
+#: CORRECTNESS_r03 lands): the 37 never-checked entries above plus 13
+#: high-value re-verifications filling the 50 slots.
+_ROUND4_PRIORITY = [
+    # never driver-checked, oracled (30)
+    "a12_table_profile", "a13_heavy_hitters", "a14_exact_quantiles",
+    "ep3c_tpch_q3", "ep3d_tpch_q5", "ep4_recursive_cte",
+    "f5b_polymorphic_udtf", "f_datetime_diff", "f_variant_family",
+    "fs10_drift_report", "fs9_partitioned_assets", "l10_pii_redaction",
+    "l11_repetition_signals", "l12_contamination_check",
+    "l13_sequence_packing", "l14_quality_weighted_sample",
+    "l15_source_cap", "l16_unigram_logprob", "l17_mixture_sampling",
+    "l18_incremental_dedup", "l19_fuzzy_blocked_pairs", "l20_span_dedup",
+    "l21_embedding_outliers", "l23_image_phash_dedup",
+    "l6c_audio_features", "l6d_video_frame_split", "s10_optimize_layout",
+    "s11_change_feed", "u1b_union_diagonal", "w9_resample_gap_fill",
+    # never driver-checked, rows-only (7)
+    "f_hash_native", "fs3_memoization", "l22_bpe_tokens", "l2b_simhash",
+    "l3b_lsh_topk", "l3c_ivf_topk", "l5b_ml_tfidf",
+    # re-verification of headline earlier entries (13)
+    "a1_groupby_q1", "s2_table_store_time_travel", "j5_broadcast_star",
+    "j8_asof_join", "l1_exact_dedup", "l2_minhash_lsh_neardups",
+    "l2e_neardup_clusters", "t1_tumbling_window", "fs1_record_versions",
+    "fs8_training_set", "w8_top_k_per_group", "ep3b_subquery_decorrelation",
+    "l9_deterministic_split",
+]
 _DRIVER_PRIORITY = [
     # §2.9 streaming batch-parity contract (t1–t8)
     "t1_tumbling_window",
