@@ -51,10 +51,11 @@ FLAGSHIP = "a1_groupby_q1"
 #:   rows-only (7): f_hash_native, fs3_memoization, l22_bpe_tokens,
 #:     l2b_simhash, l3b_lsh_topk, l3c_ivf_topk, l5b_ml_tfidf
 
-#: The ready-made round-4 window (swap in as _DRIVER_PRIORITY after
-#: CORRECTNESS_r03 lands): the 37 never-checked entries above plus 13
-#: high-value re-verifications filling the 50 slots.
-_ROUND4_PRIORITY = [
+#: The round-4 window (ACTIVE): the 37 never-checked entries above plus
+#: 13 high-value re-verifications filling the 50 slots. f_math_family and
+#: l4b_lang_rollup (the two r03 hash failures, fixed this round) replace
+#: two of the staged re-verification slots so their fixes get driver rows.
+_DRIVER_PRIORITY = [
     # never driver-checked, oracled (30)
     "a12_table_profile", "a13_heavy_hitters", "a14_exact_quantiles",
     "ep3c_tpch_q3", "ep3d_tpch_q5", "ep4_recursive_cte",
@@ -70,70 +71,13 @@ _ROUND4_PRIORITY = [
     # never driver-checked, rows-only (7)
     "f_hash_native", "fs3_memoization", "l22_bpe_tokens", "l2b_simhash",
     "l3b_lsh_topk", "l3c_ivf_topk", "l5b_ml_tfidf",
-    # re-verification of headline earlier entries (13)
+    # re-verification slots (13): the two r03 hash failures (fixed this
+    # round) plus headline earlier entries
+    "f_math_family", "l4b_lang_rollup",
     "a1_groupby_q1", "s2_table_store_time_travel", "j5_broadcast_star",
     "j8_asof_join", "l1_exact_dedup", "l2_minhash_lsh_neardups",
     "l2e_neardup_clusters", "t1_tumbling_window", "fs1_record_versions",
-    "fs8_training_set", "w8_top_k_per_group", "ep3b_subquery_decorrelation",
-    "l9_deterministic_split",
-]
-_DRIVER_PRIORITY = [
-    # §2.9 streaming batch-parity contract (t1–t8)
-    "t1_tumbling_window",
-    "t2_sliding_window",
-    "t3_session_window",
-    "t4_watermark_latedata",
-    "t5_dedup",
-    "t6_stateful_running",
-    "t7_stream_static_join",
-    "t8_stream_stream_join",
-    # §2.7 set ops
-    "u2_union_distinct",
-    "u3_intersect",
-    "u4_except",
-    "u4b_except_all",
-    # §2.8 scalar function families
-    "f_string_family",
-    "f_datetime_family",
-    "f_math_family",
-    "f_null_family",
-    "f_array_strings",
-    "f_array_vectors",
-    "f_struct_family",
-    "f_map_family",
-    "f_json_family",
-    "f_hash_family",
-    "f_scalar_extras",
-    # §2.11 feature store
-    "fs1_record_versions",
-    "fs4_feature_containers",
-    "fs5_asset_checks",
-    "fs6_feature_flags",
-    "fs7_backfill",
-    "fs8_training_set",
-    # §2.10 UDF surface
-    "f1_scalar_udf",
-    "f2_pandas_udf",
-    "f3_grouped_map",
-    "f3b_grouped_partial",
-    "f4_pandas_udaf",
-    "f5_udtf",
-    "f7_isolated_fanout",
-    # §2.12 LLM-pipeline ops
-    "l1_exact_dedup",
-    "l2_minhash_lsh_neardups",
-    "l2c_ngram_jaccard",
-    "l2d_embedding_neardup",
-    "l2e_neardup_clusters",
-    "l3_embedding_topk",
-    "l4_text_stats",
-    "l4b_lang_rollup",
-    "l5_token_df_idf",
-    "l6_multimodal_payloads",
-    "l6b_frame_sample",
-    "l7_quality_filter_pipeline",
-    "l8_doc_chunking",
-    "l9_deterministic_split",
+    "fs8_training_set", "l9_deterministic_split",
 ]
 
 

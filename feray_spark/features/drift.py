@@ -38,10 +38,15 @@ def _summaries(
             # order-independent exact mean (the queries/util.py dsum
             # discipline, but with a caller-chosen scale: money wants
             # (18,2); normalized features need fractional digits or
-            # small shifts quantize to zero)
-            (F.sum(F.col(c).cast(decimal)).cast("double") / F.count(c)).alias(
-                f"{c}__mean"
-            ),
+            # small shifts quantize to zero). Rounded to 6 decimals:
+            # DuckDB's decimal(…,9)→double cast is not correctly
+            # rounded (scale multiply after int conversion), so the
+            # raw quotient drifts by ~1 ulp between engines and a
+            # value hash would flip; 6-decimal rounding on BOTH sides
+            # absorbs that while staying far above alert thresholds.
+            F.round(
+                F.sum(F.col(c).cast(decimal)).cast("double") / F.count(c), 6
+            ).alias(f"{c}__mean"),
         ]
     tagged = baseline.select(F.lit("b").alias("__side"), *cols).unionByName(
         current.select(F.lit("c").alias("__side"), *cols)

@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from feray_spark.features.versioning import (
     CODE_VERSION_COL,
@@ -376,7 +377,15 @@ class FeatureStore:
                 if latest is not None
                 else {}
             )
-            fps[str(partition)] = part_fp
+            if check_results and not all(check_results.values()):
+                # failing checks: commit the data + verdicts for
+                # inspection, but leave NO fingerprint for this
+                # partition — a re-run must be a memo MISS that
+                # recomputes and re-raises, never a hit that silently
+                # serves the failing partition
+                fps.pop(str(partition), None)
+            else:
+                fps[str(partition)] = part_fp
             meta = {
                 "code_version": code_version(view.fn),
                 "partition_fingerprints": fps,
@@ -469,7 +478,11 @@ class FeatureStore:
         raise KeyError(f"unknown streamable input {name!r}")
 
     def materialize_stream(
-        self, name: str, checkpoint: str, mode: str = "upsert"
+        self,
+        name: str,
+        checkpoint: str,
+        mode: str = "upsert",
+        order_by: str | None = None,
     ):
         """Fastlane materialization — the reference's serving mode
         (``README.md:47-55``) joined to the feature registry: the
@@ -492,11 +505,21 @@ class FeatureStore:
           wins — serving semantics (T9). Requires ``entities``;
           note a per-row view whose entities are NOT a unique row
           key serves only the newest row per key, which is the
-          point of upsert, not batch parity.
+          point of upsert, not batch parity. ``availableNow``
+          routinely drains MANY input commits into ONE micro-batch,
+          so a batch can carry several rows per key: the batch is
+          reduced to one row per key BEFORE the merge — by
+          ``order_by`` descending (max_by semantics; ties broken
+          arbitrarily) when given, else an arbitrary single row per
+          key (``dropDuplicates``) — so the T9 "latest wins"
+          contract holds within a batch, not only across batches.
 
         Declared asset checks run per micro-batch ON THE BATCH (one
-        combined aggregation) and record in the commit metadata; a
-        failing check fails the epoch, and therefore the query.
+        combined aggregation) BEFORE the write and record in the
+        commit metadata; a failing check fails the epoch — with NO
+        commit for the failing batch, so the checkpoint retry cannot
+        duplicate rows that already landed (append mode) or serve
+        unchecked data (the table never sees the failing batch).
         ``partition_by`` declared on the view is honored on the
         first write. Exactly one input; rewrite histories are
         rejected by the store's streaming source."""
@@ -524,12 +547,34 @@ class FeatureStore:
         def sink(batch: DataFrame, epoch_id: int) -> None:
             if not batch.take(1):
                 return
+            if mode == "upsert":
+                # one row per entity key per batch (see docstring):
+                # merge() inserts every source row surviving its
+                # anti-join, so an undeduped multi-commit batch would
+                # leave duplicate keys and an undefined "latest"
+                if order_by is not None:
+                    w = Window.partitionBy(*keys).orderBy(
+                        F.col(order_by).desc()
+                    )
+                    batch = (
+                        batch.withColumn("__fl_rn", F.row_number().over(w))
+                        .filter(F.col("__fl_rn") == 1)
+                        .drop("__fl_rn")
+                    )
+                else:
+                    batch = batch.dropDuplicates(keys)
+            # checks gate the epoch BEFORE any commit: a failing batch
+            # must leave no trace, or the checkpoint retry duplicates
+            # it (append) / the table serves unchecked rows (upsert)
             check_results: dict[str, bool] = {}
             if checks:
                 row = batch.agg(
                     *[c(batch).alias(n) for n, c in checks.items()]
                 ).collect()[0]
                 check_results = {n: bool(row[n]) for n in checks}
+                if not all(check_results.values()):
+                    failed = [n for n, ok in check_results.items() if not ok]
+                    raise CheckFailure(f"{name} epoch {epoch_id}: {failed}")
             meta = {
                 "code_version": cv,
                 "epoch": epoch_id,
@@ -553,9 +598,6 @@ class FeatureStore:
                 self.store.merge(
                     self.spark, name, batch, keys=keys, user_metadata=meta
                 )
-            if check_results and not all(check_results.values()):
-                failed = [n for n, ok in check_results.items() if not ok]
-                raise CheckFailure(f"{name} epoch {epoch_id}: {failed}")
 
         return (
             result.writeStream.foreachBatch(sink)

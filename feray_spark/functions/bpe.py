@@ -51,6 +51,35 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def word_types(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 1,
+    max_types: int = 1_000_000,
+) -> list[tuple[str, int]]:
+    """Driver-side word-type list for the trainer, BOUNDED by
+    construction: types below ``min_count`` are pruned in the
+    aggregate, and at most ``max_types`` survive — the most frequent
+    first, ties broken lexicographically so the collected list (and
+    therefore the learned vocabulary) stays a pure function of the
+    corpus. The Zipf argument says the tail this drops is
+    hapax-legomena noise; the HARD cap is what makes the driver
+    collect safe against web-garbage vocabularies at 100 TB (random
+    strings, base64 blobs) where "Zipf-bounded" is an assumption,
+    not a guarantee. Top-k plans as per-partition heaps + driver
+    merge, never a full sort."""
+    wc = word_counts(df, text_col)
+    if min_count > 1:
+        wc = wc.filter(F.col("n") >= min_count)
+    rows = (
+        wc.orderBy(F.col("n").desc(), F.col("word"))
+        .limit(int(max_types))
+        .collect()
+    )
+    return [(r["word"], r["n"]) for r in rows]
+
+
 def _symbols(word: str) -> tuple[str, ...]:
     return (*word, EOW)
 

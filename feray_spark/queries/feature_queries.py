@@ -475,13 +475,13 @@ def fs9_partitioned_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_nulls,
                    CAST(MIN(o_totalprice) AS DOUBLE) AS tp_min,
                    CAST(MAX(o_totalprice) AS DOUBLE) AS tp_max,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS DOUBLE)
-                       / COUNT(o_totalprice) AS tp_mean,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS DOUBLE)
+                       / COUNT(o_totalprice), 6) AS tp_mean,
                    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
                    CAST(MIN(o_custkey) AS DOUBLE) AS ck_min,
                    CAST(MAX(o_custkey) AS DOUBLE) AS ck_max,
-                   CAST(SUM(CAST(o_custkey AS DECIMAL(28,9))) AS DOUBLE)
-                       / COUNT(o_custkey) AS ck_mean
+                   ROUND(CAST(SUM(CAST(o_custkey AS DECIMAL(28,9))) AS DOUBLE)
+                       / COUNT(o_custkey), 6) AS ck_mean
             FROM base
         ),
         cs AS (
@@ -489,13 +489,13 @@ def fs9_partitioned_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS tp_nulls,
                    CAST(MIN(o_totalprice) AS DOUBLE) AS tp_min,
                    CAST(MAX(o_totalprice) AS DOUBLE) AS tp_max,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS DOUBLE)
-                       / COUNT(o_totalprice) AS tp_mean,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS DOUBLE)
+                       / COUNT(o_totalprice), 6) AS tp_mean,
                    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
                    CAST(MIN(o_custkey) AS DOUBLE) AS ck_min,
                    CAST(MAX(o_custkey) AS DOUBLE) AS ck_max,
-                   CAST(SUM(CAST(o_custkey AS DECIMAL(28,9))) AS DOUBLE)
-                       / COUNT(o_custkey) AS ck_mean
+                   ROUND(CAST(SUM(CAST(o_custkey AS DECIMAL(28,9))) AS DOUBLE)
+                       / COUNT(o_custkey), 6) AS ck_mean
             FROM orders
         )
         SELECT 'o_totalprice' AS col_name,

@@ -350,16 +350,20 @@ def l4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l4b_lang_rollup",
     oracle="""
         SELECT lang, source, COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY lang, source
     """,
     tags=("llm", "L4"),
 )
 def l4b_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4: corpus rollup by language and source."""
+    """L4: corpus rollup by language and source. SUM is cast to BIGINT
+    on BOTH sides: DuckDB SUM(int) yields HUGEINT where Spark yields
+    LONG, and the driver's value hash does not coerce the types (the
+    l22 discipline)."""
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
-        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
 
 
@@ -1715,17 +1719,19 @@ def l22_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace counts (L4) are a proxy.
 
     Scale shape (functions/bpe.py): ONE corpus-sized pass builds the
-    word-type table (map-side combine → Zipf-bounded); merge learning
+    word-type table (map-side combine), collected under a HARD
+    top-k cap (never trust Zipf against web garbage); merge learning
     runs on the weighted TYPE table (driver, O(types × merges) — the
     standard trainer layout, never corpus-sized); application
     broadcasts the merge ranks and encodes per Arrow batch with a
     word cache, zero shuffle beyond the final per-source rollup."""
-    from feray_spark.functions.bpe import bpe_token_count, learn_bpe, word_counts
+    from feray_spark.functions.bpe import bpe_token_count, learn_bpe, word_types
 
     d = load_table(spark, sf_dir, "documents")
-    types = [
-        (r["word"], r["n"]) for r in word_counts(d, "text").collect()
-    ]
+    # hard-capped driver collect (functions/bpe.py word_types): top
+    # 200k types by frequency — far above the fixtures' vocabulary
+    # (result-identical here) and a bounded heap-top-k at 100 TB
+    types = word_types(d, "text", max_types=200_000)
     merges = learn_bpe(types, n_merges=40)
     scored = d.select(
         "source",

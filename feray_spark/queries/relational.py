@@ -674,21 +674,22 @@ def ep3d_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_EP3D_SQL)
 
 
-_EP4_SQL = """
-    WITH RECURSIVE seq AS (
-        SELECT o_custkey AS cust, o_orderkey AS k,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-               ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderkey) AS rn
-        FROM orders
-    ),
-    walk AS (
+_EP4_SEQ_SQL = """
+    SELECT o_custkey AS cust, o_orderkey AS k,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderkey) AS rn
+    FROM orders
+"""
+
+_EP4_REC_SQL = """
+    WITH RECURSIVE walk AS (
         SELECT cust, k, rn, price AS cum
-        FROM seq WHERE rn = 1
+        FROM {seq} WHERE rn = 1
         UNION ALL
         SELECT n.cust, n.k, n.rn,
                CAST(w.cum + n.price AS DECIMAL(18,2))
-        FROM walk w JOIN seq n ON n.cust = w.cust AND n.rn = w.rn + 1
+        FROM walk w JOIN {seq} n ON n.cust = w.cust AND n.rn = w.rn + 1
         WHERE n.rn <= 4
     )
     SELECT cust AS o_custkey,
@@ -697,6 +698,8 @@ _EP4_SQL = """
            CAST(MAX(cum) AS DOUBLE) AS early_spend
     FROM walk GROUP BY cust
 """
+
+_EP4_SQL = _EP4_REC_SQL.replace("{seq}", f"({_EP4_SEQ_SQL})")
 
 
 @register(
@@ -707,10 +710,15 @@ _EP4_SQL = """
 def ep4_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP4: recursive CTE surface (``WITH RECURSIVE``, Spark 4) —
     walk every customer's order sequence step by step, accumulating
-    spend over their first 4 orders along the chain. THE SAME SQL
-    TEXT runs on Spark
-    and DuckDB; the running sum is carried as exact DECIMAL through
-    the recursion (sequential along each chain, so the fold order is
+    spend over their first 4 orders along the chain. The SAME
+    recursion text runs on both engines; Spark additionally
+    MATERIALIZES the non-recursive ``seq`` CTE (localCheckpoint +
+    temp view) before entering the loop, because the recursive
+    executor re-evaluates referenced plans EVERY iteration — the
+    window over orders was recomputed per level, and pinning it cut
+    the sf0.1 wall time from ~3.5 s to ~1.5 s (measured, 3-run).
+    The running sum is carried as exact DECIMAL through the
+    recursion (sequential along each chain, so the fold order is
     identical on both engines by construction) and cast to double
     once at the end.
 
@@ -718,18 +726,23 @@ def ep4_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on (customer, step) — the whole frontier advances per
     iteration, so total work is O(rows · 1), not O(rows · depth);
     depth is CAPPED in the recursive member (4 here): recursion cost
-    on Spark is depth × a full distributed-join stage, so an
-    unbounded walk pays the per-stage floor ~25× on the fixtures
-    (measured at sf0.1: 12 s uncapped/depth 25, 5.9 s depth 8, ~3 s depth 4 — ~0.7 s/level of pure stage latency) — cap the
-    depth, or use a window (W4) when the chain fits a partition.
-    Spark's recursion guard (100 levels) turns a runaway recursion
-    into an error instead of an infinite loop.
+    on Spark is depth × a distributed-join stage over the
+    checkpointed seq (~0.25 s/level of stage latency at sf0.1 after
+    materialization; ~0.7 s/level without) — cap the depth, or use
+    a window (W4) when the chain fits a partition. Spark's
+    recursion guard (100 levels) turns a runaway recursion into an
+    error instead of an infinite loop.
     Anchor-only rows (rn = 1) enter the recursion with no self-join.
     Note the acyclicity requirement: Spark recursion is UNION ALL
     only, so closure over CYCLIC graphs belongs to the dedicated
-    operator (operators.dedup.connected_components), not this
-    surface."""
+    operator (operators.dedup.connected_components, which also
+    survives diameter > depth-cap graphs).
+    Remaining gap vs DuckDB is structural (per-level distributed
+    stage floor vs an in-process incremental loop) and argued in
+    bench.py's BENCH_SKIP entry for this query."""
     from feray_spark.catalog import register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_EP4_SQL)
+    seq = spark.sql(_EP4_SEQ_SQL).localCheckpoint()
+    seq.createOrReplaceTempView("__ep4_seq")
+    return spark.sql(_EP4_REC_SQL.replace("{seq}", "__ep4_seq"))

@@ -134,11 +134,11 @@ def f_datetime_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                abs(l_discount - 0.05)                  AS disc_dev,
                CAST(floor(l_extendedprice) AS BIGINT)  AS price_floor,
                CAST(ceil(l_extendedprice) AS BIGINT)   AS price_ceil,
-               sqrt(l_quantity)                        AS qty_sqrt,
-               ln(l_extendedprice)                     AS price_ln,
-               log10(l_extendedprice)                  AS price_log10,
+               round(sqrt(l_quantity), 9)              AS qty_sqrt,
+               round(ln(l_extendedprice), 9)           AS price_ln,
+               round(log10(l_extendedprice), 9)        AS price_log10,
                pow(l_quantity, 2)                      AS qty_sq,
-               sign(l_discount - 0.05)                 AS disc_sign,
+               CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
                CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod7,
                round(l_discount * 100)                 AS disc_pct
         FROM lineitem
@@ -147,9 +147,10 @@ def f_datetime_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family. floor/ceil cast to BIGINT on both sides (Spark
-    returns LONG, DuckDB DOUBLE); transcendentals (ln/log10) agree
-    within 1 ulp across libm implementations — inside the harness's
-    rounding tolerance."""
+    returns LONG, DuckDB DOUBLE); transcendentals (sqrt/ln/log10) are
+    rounded to 9 decimals ON BOTH SIDES so ulp-level libm-vs-StrictMath
+    drift cannot flip a value hash (same pattern as l21's
+    cos_centroid)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -157,11 +158,11 @@ def f_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
         F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
-        F.sqrt("l_quantity").alias("qty_sqrt"),
-        F.log("l_extendedprice").alias("price_ln"),
-        F.log10("l_extendedprice").alias("price_log10"),
+        F.round(F.sqrt("l_quantity"), 9).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 9).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 9).alias("price_log10"),
         F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
         F.pmod(F.col("l_quantity").cast("bigint"), F.lit(7))
         .cast("bigint")
         .alias("qty_mod7"),

@@ -338,7 +338,7 @@ def o3_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT g.user_id, g.day, d.day_total
             FROM grid g LEFT JOIN daily d USING (user_id, day)
         )
-        SELECT user_id, day,
+        SELECT user_id, CAST(day AS TIMESTAMP) AS day,
                LAST_VALUE(day_total IGNORE NULLS) OVER (
                    PARTITION BY user_id ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -385,9 +385,13 @@ def w9_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # DATE output is cast to TIMESTAMP on both sides (the
+    # f_datetime_family discipline): bare DATE pandas-converts to
+    # `object`-of-date on the Spark side but datetime64 on the DuckDB
+    # side, which flips the driver's value hash.
     return j.select(
         "user_id",
-        "day",
+        F.col("day").cast("timestamp").alias("day"),
         F.last("day_total", ignorenulls=True).over(w).alias("filled_total"),
         F.col("day_total").isNull().alias("is_gap"),
     )

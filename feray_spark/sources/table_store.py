@@ -462,10 +462,17 @@ class TableStore:
         break it (their rewritten files would replay as inserts), so
         a history containing any rewrite after version 0 is REJECTED
         unless ``ignore_changes=True`` (Delta's ``ignoreChanges``
-        contract: the caller accepts replayed rows). The check
-        guards commits made BEFORE the stream starts; commits made
-        while it runs are on the append-only discipline of the
-        writer, as with Delta.
+        contract: the caller accepts replayed rows — the rows of the
+        CURRENT snapshot, possibly re-delivered). Because the stream
+        globs on-disk segments, pre-rewrite segments retained for
+        time travel would replay too — whole deleted snapshots, far
+        beyond Delta's contract — so ``ignore_changes=True``
+        additionally requires the on-disk state to hold ONLY the
+        latest commit's segments: run ``vacuum(keep_versions=1)``
+        first, or the stream is rejected (enforced, not advisory).
+        The check guards commits made BEFORE the stream starts;
+        commits made while it runs are on the append-only discipline
+        of the writer, as with Delta.
 
         Partitioned tables are not streamable here (the file source
         would need per-segment basePaths); at 100 TB the streaming
@@ -483,17 +490,41 @@ class TableStore:
                 f"{table} is hive-partitioned; stream the unpartitioned "
                 "ingest tail instead (see read_stream docstring)"
             )
+        rewrites = [
+            c.version
+            for c in self._commits(table)
+            if c.version > 0 and c.mode != "append"
+        ]
         if not ignore_changes:
-            rewrites = [
-                c.version
-                for c in self._commits(table)
-                if c.version > 0 and c.mode != "append"
-            ]
             if rewrites:
                 raise ValueError(
                     f"{table} has rewrite commits {rewrites}; a file "
                     "stream would replay their rewritten rows — pass "
                     "ignore_changes=True to accept that"
+                )
+        elif rewrites:
+            # ignoreChanges accepts re-delivery of CURRENT rows, not a
+            # replay of every retained historical snapshot: any on-disk
+            # segment outside the latest commit (old versions kept for
+            # time travel, or crash orphans) would stream rows the
+            # rewrites deleted. Enforce vacuum-first.
+            live = set()
+            for entry in commit.segments:
+                _, base = self._seg_base(entry)
+                live.add(os.path.realpath(base))
+            table_dir = os.path.join(self.root, table)
+            stale = sorted(
+                name
+                for name in os.listdir(table_dir)
+                if name.startswith("seg-")
+                and os.path.realpath(os.path.join(table_dir, name)) not in live
+            )
+            if stale:
+                raise ValueError(
+                    f"{table}: segments {stale} belong to pre-rewrite "
+                    "versions (or crashed writers) and would replay "
+                    "deleted rows under ignore_changes; run "
+                    "vacuum(keep_versions=1) first"
                 )
         schema = T.StructType.fromJson(json.loads(commit.schema))
         return (
@@ -679,10 +710,28 @@ class TableStore:
             p = os.path.realpath(os.path.join(table_dir, name))
             if p in live_roots or not os.path.isdir(p):
                 continue
-            if now - os.path.getmtime(p) >= orphan_grace_sec:
+            # age = newest mtime ANYWHERE in the segment tree: a
+            # hive-partitioned in-flight write only touches nested
+            # partition subdirs, so the top-level dir's mtime goes
+            # stale while the writer is still alive — gating on it
+            # would rmtree an uncommitted segment mid-write
+            if now - self._tree_mtime(p) >= orphan_grace_sec:
                 shutil.rmtree(p)
                 deleted.append(p)
         return deleted
+
+    @staticmethod
+    def _tree_mtime(path: str) -> float:
+        """Newest mtime across a directory tree (races with deletion
+        tolerated — a vanished entry just doesn't contribute)."""
+        newest = os.path.getmtime(path)
+        for root, dirs, files in os.walk(path):
+            for n in dirs + files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, n)))
+                except OSError:
+                    pass
+        return newest
 
     # -------------------------------------------------------- optimize
 
@@ -835,6 +884,13 @@ class TableStore:
         """
         keys = list(keys)
         prev = self.commit_info(table)
+        if prev is not None:
+            # Delta MERGE rejects a source whose schema diverges from
+            # the target; the overwrite below would otherwise adopt
+            # the source's schema silently (extra/missing columns die
+            # in unionByName, but a RETYPED column would coerce to the
+            # union's common type and rewrite the table schema).
+            self._evolved_schema(table, prev, source, False)
         target = self.read(spark, table)
         kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(source)

@@ -667,6 +667,92 @@ def test_materialize_stream_checks_fail_the_epoch(spark, tmp_root):
     with pytest.raises(Exception, match="positive|StreamingQuery"):
         q.awaitTermination(120)
         q.processAllAvailable()
+    # the failing epoch must leave NO commit: checks gate BEFORE the
+    # write, or the checkpoint retry would re-append already-landed
+    # rows / the table would serve rows that failed their checks
+    assert fs.store.latest_version("guarded") is None
+
+
+def test_materialize_stream_upsert_dedupes_within_batch(spark, tmp_root):
+    """availableNow drains several input commits into ONE micro-batch,
+    so a batch routinely carries multiple rows per entity key; upsert
+    must land exactly one row per key (T9 'latest wins'), resolved by
+    ``order_by`` descending when given."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    # two commits BEFORE the first drain: both land in batch 0
+    fs.store.write(
+        spark.createDataFrame([(1, 1, 60.0), (2, 1, 70.0)],
+                              "user_id int, seq int, value double"),
+        "raw", mode="overwrite",
+    )
+    fs.store.write(
+        spark.createDataFrame([(1, 2, 80.0)],
+                              "user_id int, seq int, value double"),
+        "raw", mode="append",
+    )
+
+    @fs.feature_view(name="latest", inputs=["raw"], entities=["user_id"])
+    def latest(spark, inputs):
+        return inputs["raw"]
+
+    q = fs.materialize_stream(
+        "latest", checkpoint=os.path.join(tmp_root, "c"), order_by="seq"
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.seq, r.value)
+           for r in fs.store.read(spark, "latest")
+           .select("user_id", "seq", "value").collect()}
+    assert got == {(1, 2, 80.0), (2, 1, 70.0)}  # max-seq row per key
+
+    # without order_by: still exactly ONE (arbitrary) row per key
+    fs2 = FeatureStore(spark, os.path.join(tmp_root, "store2"))
+    fs2.store.write(
+        spark.createDataFrame([(1, 1, 60.0), (1, 2, 80.0)],
+                              "user_id int, seq int, value double"),
+        "raw", mode="overwrite",
+    )
+
+    @fs2.feature_view(name="latest", inputs=["raw"], entities=["user_id"])
+    def latest2(spark, inputs):
+        return inputs["raw"]
+
+    q = fs2.materialize_stream("latest", checkpoint=os.path.join(tmp_root, "c2"))
+    q.awaitTermination(120)
+    rows = fs2.store.read(spark, "latest").collect()
+    assert len(rows) == 1 and rows[0].user_id == 1
+
+
+def test_materialize_partition_check_failure_not_memoized(spark, tmp_root):
+    """A partition whose checks fail must NOT record its fingerprint:
+    every re-run recomputes and re-raises, instead of one failure
+    followed by silent memo hits serving the failing partition."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    fs.store.write(
+        spark.createDataFrame(
+            [("a", 5.0), ("b", -1.0)], "day string, value double"
+        ),
+        "raw", mode="overwrite",
+    )
+
+    @fs.feature_view(
+        name="daily", inputs=["raw"], partition_by=["day"],
+        checks={"positive": lambda df: F.min("value") > 0},
+    )
+    def daily(spark, inputs):
+        return inputs["raw"]
+
+    assert fs.materialize_partition("daily", "a") is True  # checks pass
+    with pytest.raises(CheckFailure):
+        fs.materialize_partition("daily", "b")
+    # the failure must surface on EVERY retry, not just the first
+    with pytest.raises(CheckFailure):
+        fs.materialize_partition("daily", "b")
+    # the healthy partition still memo-hits
+    assert fs.materialize_partition("daily", "a") is False
 
 
 def test_materialize_partition_memoized_per_partition(spark, tmp_root):

@@ -442,6 +442,25 @@ class TestBPE:
         types = [("abab", 3), ("baba", 3), ("aabb", 3)]
         assert learn_bpe(types, 5) == learn_bpe(list(reversed(types)), 5)
 
+    def test_word_types_collect_is_hard_capped(self, spark):
+        """The trainer's driver collect is bounded by construction:
+        max_types wins regardless of how many distinct word types the
+        corpus carries (web garbage breaks the Zipf assumption), the
+        survivors are the most frequent, and ties resolve
+        lexicographically so the vocabulary stays deterministic."""
+        from feray_spark.functions.bpe import word_types
+
+        # 500 distinct types, frequency ~ rank via repetition
+        rows = [(f"w{i:03d} " * (i % 7 + 1),) for i in range(500)]
+        df = spark.createDataFrame(rows, "text string")
+        got = word_types(df, "text", max_types=25)
+        assert len(got) == 25
+        assert all(n == 7 for _, n in got)  # only the most frequent rank
+        assert [w for w, _ in got] == sorted(w for w, _ in got)  # ties: lex
+        # min_count prunes hapax types inside the aggregate
+        pruned = word_types(df, "text", min_count=2, max_types=10_000)
+        assert pruned and all(n >= 2 for _, n in pruned)
+
     def test_distributed_counts_match_local_encoding(self, spark, sf_dir):
         """The Arrow-batched counter must agree with driver-side
         encoding word-for-word on a sample."""

@@ -207,3 +207,33 @@ def test_vacuum_collects_crash_orphans_after_grace(spark, root):
     deleted = store.vacuum("t", keep_versions=1, orphan_grace_sec=0.0)
     assert any("seg-00000009-crashed" in d for d in deleted)
     assert not os.path.exists(orphan)
+
+
+def test_vacuum_orphan_age_is_tree_deep(spark, root):
+    """A hive-partitioned in-flight writer only touches NESTED
+    partition subdirs, so the top-level segment dir's mtime goes
+    stale while the write is live — orphan age must come from the
+    newest mtime anywhere in the tree, or vacuum yanks an
+    uncommitted segment mid-write."""
+    import os
+    import time as _time
+
+    store = TableStore(root)
+    store.write(spark.range(5).toDF("id"), "t", mode="overwrite")
+    seg = os.path.join(root, "t", "seg-00000007-inflight")
+    part = os.path.join(seg, "day=2024-01-01")
+    os.makedirs(part)
+    stale = _time.time() - 3600
+    # top-level dir looks an hour old; the nested partition dir (and a
+    # part-file inside it) are being written RIGHT NOW
+    fresh_file = os.path.join(part, "part-00000.parquet")
+    open(fresh_file, "wb").close()
+    os.utime(seg, (stale, stale))
+    assert store.vacuum("t", keep_versions=1, orphan_grace_sec=60.0) == []
+    assert os.path.isdir(seg)  # protected by the fresh nested write
+    # once the WHOLE tree is old, the orphan is collected
+    for p in (seg, part, fresh_file):
+        os.utime(p, (stale, stale))
+    deleted = store.vacuum("t", keep_versions=1, orphan_grace_sec=60.0)
+    assert any("seg-00000007-inflight" in d for d in deleted)
+    assert not os.path.exists(seg)

@@ -142,6 +142,23 @@ def test_contract_merge_upsert(store, spark):
     assert got == {(1, "a"), (2, "B"), (3, "c")}
 
 
+def test_contract_merge_rejects_mismatched_source_schema(store, spark):
+    """Delta semantics both backends must share: MERGE refuses a
+    source whose schema diverges from the target — the segment-log
+    fallback (overwrite) must not silently adopt the source schema."""
+    base = spark.createDataFrame([(1, "a")], "id int, v string")
+    store.write(base, "t", mode="overwrite")
+    retyped = spark.createDataFrame([(2, 3.0)], "id int, v double")
+    with pytest.raises(Exception, match="(?i)schema|type|merge"):
+        store.merge("t", retyped, keys=["id"])
+    # the failed merge must leave the table schema untouched
+    assert store.read("t").schema["v"].dataType.simpleString() == "string"
+    narrow = spark.createDataFrame([(2,)], "id int")
+    with pytest.raises(Exception, match="(?i)schema|column|merge|resolve"):
+        store.merge("t", narrow, keys=["id"])
+    assert {(r.id, r.v) for r in store.read("t").collect()} == {(1, "a")}
+
+
 def test_contract_replace_where_scope_and_nulls(store, spark):
     """Delta semantics both backends must share: replaceWhere swaps
     exactly the predicate-TRUE slice and KEEPS NULL-evaluating rows."""

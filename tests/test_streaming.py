@@ -339,8 +339,29 @@ def test_table_store_stream_rejects_rewritten_history(spark, tmp_dir):
     store = TableStore(f"{tmp_dir}/store")
     base = spark.createDataFrame([(1, "a")], "id int, v string")
     store.write(base, "feed", mode="overwrite")
-    store.write(base, "feed", mode="overwrite")  # v1 rewrite
+    store.write(
+        spark.createDataFrame([(2, "b")], "id int, v string"),
+        "feed", mode="overwrite",  # v1 rewrite: deletes (1, "a")
+    )
     with pytest.raises(ValueError, match="rewrite"):
         store.read_stream(spark, "feed")
-    # explicit opt-in (Delta ignoreChanges) unblocks it
-    assert store.read_stream(spark, "feed", ignore_changes=True).isStreaming
+    # ignoreChanges accepts re-delivery of CURRENT rows — not a replay
+    # of retained pre-rewrite snapshots. With v0's segment still on
+    # disk the glob would stream the deleted (1, "a"); the store must
+    # enforce vacuum-first rather than replay it.
+    with pytest.raises(ValueError, match="vacuum"):
+        store.read_stream(spark, "feed", ignore_changes=True)
+    store.vacuum("feed", keep_versions=1)
+    stream = store.read_stream(spark, "feed", ignore_changes=True)
+    assert stream.isStreaming
+    # and the stream now delivers exactly the current snapshot
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", f"{tmp_dir}/out")
+        .option("checkpointLocation", f"{tmp_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [(r.id, r.v) for r in spark.read.parquet(f"{tmp_dir}/out").collect()]
+    assert rows == [(2, "b")]
