@@ -503,3 +503,69 @@ def connected_components_star(
         "comp", F.col("id")
     )
     return result.unionByName(singletons)
+
+
+def semantic_dedup(
+    vec_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    tau: float = 0.4,
+    n_bits: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space coarsely, then
+    within each cluster drop every vector that has a SMALLER-id
+    neighbor with cosine ≥ ``tau`` — the deterministic one-pass
+    keep-first rule (the paper keeps one representative per semantic
+    duplicate group; keep-lowest-id makes the survivor reproducible
+    and lets a SQL oracle replay the exact decision).
+
+    Clustering here is a deterministic SIGN-BUCKET quantization: bit
+    i of the bucket key is ``1[v_i >= 0]`` over the first ``n_bits``
+    components — a fixed random-hyperplane LSH with axis-aligned
+    planes. Unlike k-means it needs no training pass, is identical
+    in any engine, and has the same role: bound the pairwise
+    comparison to same-bucket vectors. Cost O(Σ |bucket|²) instead
+    of O(n²); pick ``n_bits ≈ log2(n / target_cluster_size)`` so
+    buckets stay pair-join-sized as the corpus grows. The production
+    tier at 1B+ vectors swaps the bucketer for the trained IVF
+    centroid assignment (operators.similarity.ivf_topk's cell plan)
+    and keeps THIS pruning rule unchanged — the rule, not the
+    clusterer, is the operator's contract.
+
+    Shuffle shape: one self-equi-join keyed on the bucket (pairs
+    exist only within buckets; the smaller-id condition halves them),
+    cosine evaluated inside whole-stage codegen on the joined rows,
+    then one left-anti join back on id. A borderline near-dup PAIR
+    that straddles a bucket boundary is missed — the documented
+    recall trade of every bucketed near-dup tier (same as
+    minhash_lsh_pairs' banding).
+
+    Returns the KEPT rows: (id, bucket).
+    """
+    bits = [
+        F.when(F.element_at(F.col(vec_col), i + 1).cast("double") >= 0,
+               F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_bits)
+    ]
+    tagged = vec_df.select(
+        F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket")
+    )
+    from feray_spark.functions.vectors import cosine_similarity
+
+    a, b = tagged.alias("a"), tagged.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .filter(
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            >= F.lit(tau)
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+    )
+    return tagged.select(id_col, "bucket").join(dropped, id_col, "left_anti")

@@ -188,6 +188,7 @@ def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "l2d_embedding_neardup",
     oracle="""
+        SELECT id_a, id_b, ROUND(cosine, 9) AS cosine FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                list_reduce(list_transform(
                    list_zip(a.embedding, b.embedding),
@@ -210,6 +211,7 @@ def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * sqrt(list_reduce(list_transform(b.embedding,
                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                      (acc, x) -> acc + x))) >= 0.4
+        ) t
     """,
     tags=("llm", "L2", "L3", "dedup", "similarity"),
 )
@@ -219,9 +221,12 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.similarity.embedding_neardup_pairs — zero shuffles; the
     oracle brute-forces all pairs. Threshold margin vs float noise:
     nearest fixture cosine to 0.4 is >= 1e-5, float64-vs-fold
-    disagreement is ~1e-15."""
+    disagreement is ~1e-15; the OUTPUT cosine rounds to 9 decimals on
+    both sides (threshold/ranking stay full-precision) so the ulp
+    drift can't flip a strict value hash."""
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, id_col="vec_id", vec_col="embedding", tau=0.4)
+    pairs = embedding_neardup_pairs(e, id_col="vec_id", vec_col="embedding", tau=0.4)
+    return pairs.withColumn("cosine", F.round("cosine", 9))
 
 
 @register(
@@ -243,7 +248,7 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             CROSS JOIN embeddings c
             WHERE q.vec_id != c.vec_id
         )
-        SELECT q_id, c_id, cosine, rank FROM (
+        SELECT q_id, c_id, ROUND(cosine, 9) AS cosine, rank FROM (
             SELECT q_id, c_id, cosine,
                    ROW_NUMBER() OVER (PARTITION BY q_id
                        ORDER BY cosine DESC, c_id) AS rank
@@ -257,16 +262,18 @@ def l3_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     50th vector) — vectorized broadcast scan (one numpy matmul per
     Arrow batch against the broadcast query index); corpus never
     shuffles. Cosines agree with the oracle's sequential fold within
-    ~1 ulp, inside the 1e-9 canonical rounding; the interpreted
-    fold twin (brute_force_topk) stays available where bit-exact
-    parity is required."""
+    ~1 ulp; ranking runs at full precision while the OUTPUT cosine
+    rounds to 9 decimals on both sides, so the ulp drift can't flip
+    a strict value hash; the interpreted fold twin (brute_force_topk)
+    stays available where bit-exact parity is required."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0)
-    return exact_scan_topk(
+    topk = exact_scan_topk(
         queries.select(F.col("vec_id").alias("q_id"), "embedding"),
         e.select(F.col("vec_id").alias("c_id"), "embedding"),
         k=3,
     )
+    return topk.withColumn("cosine", F.round("cosine", 9))
 
 
 @register("l3b_lsh_topk", tags=("llm", "L3", "similarity"))
@@ -374,7 +381,7 @@ def l4b_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded AS (SELECT doc_id, unnest(list_distinct(w)) AS token
                      FROM words)
         SELECT token, COUNT(*) AS df,
-               ln((SELECT COUNT(*) FROM documents)::DOUBLE / COUNT(*)) AS idf
+               ROUND(ln((SELECT COUNT(*) FROM documents)::DOUBLE / COUNT(*)), 9) AS idf
         FROM exploded GROUP BY token
     """,
     tags=("llm", "L5"),
@@ -395,7 +402,7 @@ def l5_token_df_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tokens.groupBy("token").agg(
         F.count("*").alias("df"),
-        F.log(F.lit(float(n_docs)) / F.count("*")).alias("idf"),
+        F.round(F.log(F.lit(float(n_docs)) / F.count("*")), 9).alias("idf"),
     )
 
 
@@ -1835,3 +1842,57 @@ def l23_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.join(F.broadcast(reps), "dhash").select(
         "doc_id", "cluster_rep"
     )
+
+
+_L24_BITS_SQL = ", ".join(
+    f"CASE WHEN CAST(embedding[{i + 1}] AS DOUBLE) >= 0 "
+    "THEN '1' ELSE '0' END"
+    for i in range(8)
+)
+_L24_COS_SQL = """
+    list_reduce(list_transform(
+        list_zip(a.embedding, b.embedding),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+        (acc, x) -> acc + x)
+    / (sqrt(list_reduce(list_transform(a.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          (acc, x) -> acc + x))
+       * sqrt(list_reduce(list_transform(b.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          (acc, x) -> acc + x)))
+"""
+
+
+@register(
+    "l24_semantic_dedup",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT vec_id, embedding,
+                   concat({_L24_BITS_SQL}) AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_id, a.bucket AS bucket
+        FROM tagged a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM tagged b
+            WHERE b.bucket = a.bucket AND b.vec_id < a.vec_id
+              AND {_L24_COS_SQL} >= 0.4
+        )
+    """,
+    tags=("llm", "L24", "dedup", "similarity"),
+)
+def l24_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24 (beyond the brief): SemDeDup-style semantic dedup — the
+    keep-list after coarse clustering (deterministic sign-bucket
+    quantization over the first 8 components) and within-cluster
+    keep-lowest-id pruning of cosine-≥-0.4 semantic duplicates
+    (operators.dedup.semantic_dedup; the oracle replays the exact
+    rule as a NOT EXISTS anti-join). Scale shape: ONE bucket-keyed
+    self-join bounds all pairwise cosine work to same-bucket pairs
+    (O(Σ|bucket|²), n_bits grows with the corpus), one left-anti
+    join back; at 1B+ vectors the bucketer swaps for the trained
+    IVF centroid assignment with the same pruning contract."""
+    from feray_spark.operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, id_col="vec_id", vec_col="embedding", tau=0.4)

@@ -885,12 +885,37 @@ class TableStore:
         keys = list(keys)
         prev = self.commit_info(table)
         if prev is not None:
-            # Delta MERGE rejects a source whose schema diverges from
-            # the target; the overwrite below would otherwise adopt
-            # the source's schema silently (extra/missing columns die
-            # in unionByName, but a RETYPED column would coerce to the
-            # union's common type and rewrite the table schema).
-            self._evolved_schema(table, prev, source, False)
+            # Delta MERGE semantics: the TARGET schema is invariant.
+            # The source must carry exactly the target's columns, and
+            # its types reconcile onto the target's by safe UP-CAST
+            # only (DataFrame.to — int source into long target is
+            # fine; narrowing or string→numeric raises). Without
+            # this, the overwrite below would silently adopt the
+            # union's widened type and rewrite the table schema.
+            from pyspark.sql import types as T
+
+            tgt_schema = T.StructType.fromJson(json.loads(prev.schema))
+            missing = sorted(
+                set(f.name for f in tgt_schema.fields)
+                - set(source.columns)
+            )
+            extra = sorted(
+                set(source.columns)
+                - set(f.name for f in tgt_schema.fields)
+            )
+            if missing or extra:
+                raise ValueError(
+                    f"{table}: MERGE source schema mismatch "
+                    f"(missing {missing}, extra {extra}); MERGE never "
+                    "evolves the target schema"
+                )
+            try:
+                source = source.to(tgt_schema)
+            except Exception as e:
+                raise ValueError(
+                    f"{table}: MERGE source types do not up-cast to the "
+                    f"target schema: {e}"
+                ) from e
         target = self.read(spark, table)
         kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(source)

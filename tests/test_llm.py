@@ -411,6 +411,36 @@ def test_embedding_neardup_guard_switches_to_bucketed(spark, sf_dir):
         assert abs(cos - exact[pair]) < 1e-9
 
 
+def test_semantic_dedup_keep_rule_and_bucketing(spark):
+    """L24: within a sign-bucket, every cosine-≥-τ duplicate of a
+    smaller id is dropped (lowest id survives); near-dups split
+    across buckets are the documented recall miss, not a drop."""
+    from feray_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        # bucket '10...': 1 and 2 are near-identical -> 2 drops
+        (1, [1.0, -1.0, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1]),
+        (2, [1.0, -1.0, 0.1, 0.1, 0.1, 0.1, 0.1, 0.11]),
+        # same bucket, orthogonal-ish to 1 -> kept
+        (3, [0.1, -1.0, 1.0, -0.9, 0.5, 0.1, 0.1, 0.1]),
+        # near-identical to 1 but component 2 flips sign -> other
+        # bucket -> KEPT (boundary miss by design)
+        (4, [1.0, 0.0001, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id int, embedding array<float>",
+    )
+    kept = semantic_dedup(df, id_col="vec_id", vec_col="embedding", tau=0.9)
+    got = {r.vec_id for r in kept.collect()}
+    assert got == {1, 3, 4}
+    # deterministic: same input, same keep-list
+    again = {r.vec_id
+             for r in semantic_dedup(df, id_col="vec_id",
+                                     vec_col="embedding", tau=0.9).collect()}
+    assert again == got
+
+
 class TestBPE:
     def test_classic_corpus_merges(self):
         """Sennrich's worked example shape: repeated subwords merge

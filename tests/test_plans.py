@@ -441,3 +441,14 @@ def test_embedding_outliers_precut_and_broadcast(spark, sf_dir):
     plan = plan_of(q.fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
+
+def test_semantic_dedup_pairs_are_bucket_joined(spark, sf_dir):
+    """l24: all pairwise cosine work rides ONE equi-join keyed on the
+    sign-bucket (never a nested loop / cartesian all-pairs), and the
+    keep-list resolves with a left-anti join."""
+    q = load_all()["l24_semantic_dedup"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan

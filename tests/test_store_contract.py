@@ -143,20 +143,31 @@ def test_contract_merge_upsert(store, spark):
 
 
 def test_contract_merge_rejects_mismatched_source_schema(store, spark):
-    """Delta semantics both backends must share: MERGE refuses a
-    source whose schema diverges from the target — the segment-log
-    fallback (overwrite) must not silently adopt the source schema."""
-    base = spark.createDataFrame([(1, "a")], "id int, v string")
+    """Delta semantics both backends must share: MERGE never evolves
+    the TARGET schema. A source whose types reconcile by store-
+    assignment cast (int→long, numeric→string) merges with its rows
+    cast to the target's types; a missing/extra column or an unsafe
+    cast (string→numeric) is rejected — the segment-log fallback
+    (overwrite) must not silently adopt the source schema either
+    way."""
+    base = spark.createDataFrame([(1, 10)], "id int, v bigint")
     store.write(base, "t", mode="overwrite")
-    retyped = spark.createDataFrame([(2, 3.0)], "id int, v double")
-    with pytest.raises(Exception, match="(?i)schema|type|merge"):
-        store.merge("t", retyped, keys=["id"])
-    # the failed merge must leave the table schema untouched
-    assert store.read("t").schema["v"].dataType.simpleString() == "string"
-    narrow = spark.createDataFrame([(2,)], "id int")
+    # reconcilable source: v arrives as INT, stores as the target's
+    # BIGINT — schema invariant, values merged
+    narrow_typed = spark.createDataFrame([(2, 20)], "id int, v int")
+    store.merge("t", narrow_typed, keys=["id"])
+    assert store.read("t").schema["v"].dataType.simpleString() == "bigint"
+    assert {(r.id, r.v) for r in store.read("t").collect()} == {(1, 10), (2, 20)}
+    # unsafe cast: STRING source into a numeric column
+    stringy = spark.createDataFrame([(3, "x")], "id int, v string")
+    with pytest.raises(Exception, match="(?i)cast|type|merge"):
+        store.merge("t", stringy, keys=["id"])
+    assert store.read("t").schema["v"].dataType.simpleString() == "bigint"
+    # column-set mismatch
+    missing_col = spark.createDataFrame([(3,)], "id int")
     with pytest.raises(Exception, match="(?i)schema|column|merge|resolve"):
-        store.merge("t", narrow, keys=["id"])
-    assert {(r.id, r.v) for r in store.read("t").collect()} == {(1, "a")}
+        store.merge("t", missing_col, keys=["id"])
+    assert {(r.id, r.v) for r in store.read("t").collect()} == {(1, 10), (2, 20)}
 
 
 def test_contract_replace_where_scope_and_nulls(store, spark):
