@@ -51,6 +51,32 @@ FLAGSHIP = "a1_groupby_q1"
 #:   rows-only (7): f_hash_native, fs3_memoization, l22_bpe_tokens,
 #:     l2b_simhash, l3b_lsh_topk, l3c_ivf_topk, l5b_ml_tfidf
 
+#: ROUND-5 ROTATION (swap in as _DRIVER_PRIORITY after CORRECTNESS_r04
+#: lands). Construction rule: (1) entries with no driver row anywhere —
+#: after r4 that is only l24_semantic_dedup (added this round, outside
+#: the r4 window); (2) entries whose CODE changed after their last
+#: driver row (l3 swapped to the fold scorer; l2d/l5 output rounding);
+#: (3) the 6 entries whose latest row dates to r01 (oldest evidence);
+#: (4) fill to 50 with the remaining r01-era catalog in registry order.
+_ROUND5_PRIORITY = [
+    "l24_semantic_dedup", "l3_embedding_topk", "l2d_embedding_neardup",
+    "l5_token_df_idf", "w7_first_last_value", "w8_top_k_per_group",
+    "o1_multikey_sort", "o2_limit_offset", "o3_global_topk",
+    "u1_union_all", "s1_parquet_scan_count", "s9_metadata_sink",
+    "s6_csv_roundtrip", "s6b_ndjson_roundtrip", "s7_inmemory_rows",
+    "p1_project_compute", "p2_rename_drop_cast", "p3_filter_comparison",
+    "p4_boolean_logic", "p5_in_between_like", "p5b_regex_predicate",
+    "p6_null_predicates", "p7_case_banding", "ep3_sql_surface",
+    "ep3b_subquery_decorrelation", "j1_inner_join", "j2_left_outer",
+    "j2b_full_outer", "j3_cross_join", "j4_left_semi", "j4b_left_anti",
+    "j6_theta_join", "j6b_nested_loop", "j7_range_join",
+    "j9_point_in_time_spine", "j10_salted_join", "j7b_interval_join",
+    "a3_statistical_aggs", "a3b_native_stddev_var", "a4_count_distinct",
+    "a5_approx_count_distinct", "a6_distinct_rows", "a7_collect_list_set",
+    "a8_rollup", "a8b_cube", "a8c_grouping_sets", "a9_pivot",
+    "a10_global_agg", "a11_filtered_agg", "a2_first_last_by",
+]
+
 #: The round-4 window (ACTIVE): the 37 never-checked entries above plus
 #: 13 high-value re-verifications filling the 50 slots. f_math_family and
 #: l4b_lang_rollup (the two r03 hash failures, fixed this round) replace

@@ -514,12 +514,14 @@ class FeatureStore:
           key (``dropDuplicates``) — so the T9 "latest wins"
           contract holds within a batch, not only across batches.
 
-        Declared asset checks run per micro-batch ON THE BATCH (one
-        combined aggregation) BEFORE the write and record in the
-        commit metadata; a failing check fails the epoch — with NO
-        commit for the failing batch, so the checkpoint retry cannot
-        duplicate rows that already landed (append mode) or serve
-        unchecked data (the table never sees the failing batch).
+        Declared asset checks run per micro-batch ON THE RAW BATCH
+        (one combined aggregation, BEFORE upsert dedup — the gate is
+        equally strict in both sink modes) and before the write; a
+        failing check fails the epoch with NO commit for the failing
+        batch, so the checkpoint retry cannot duplicate rows that
+        already landed (append mode) or serve unchecked data (the
+        table never sees the failing batch). Verdicts of PASSING
+        checks record in the commit metadata.
         ``partition_by`` declared on the view is honored on the
         first write. Exactly one input; rewrite histories are
         rejected by the store's streaming source."""
@@ -547,6 +549,22 @@ class FeatureStore:
         def sink(batch: DataFrame, epoch_id: int) -> None:
             if not batch.take(1):
                 return
+            # checks gate the epoch BEFORE any commit — and on the RAW
+            # batch, before upsert dedup, so the gate's strength does
+            # not depend on sink mode (a bad row superseded within the
+            # same batch still fails the epoch, exactly as in append
+            # mode). A failing batch must leave no trace, or the
+            # checkpoint retry duplicates it (append) / the table
+            # serves unchecked rows (upsert).
+            check_results: dict[str, bool] = {}
+            if checks:
+                row = batch.agg(
+                    *[c(batch).alias(n) for n, c in checks.items()]
+                ).collect()[0]
+                check_results = {n: bool(row[n]) for n in checks}
+                if not all(check_results.values()):
+                    failed = [n for n, ok in check_results.items() if not ok]
+                    raise CheckFailure(f"{name} epoch {epoch_id}: {failed}")
             if mode == "upsert":
                 # one row per entity key per batch (see docstring):
                 # merge() inserts every source row surviving its
@@ -563,18 +581,6 @@ class FeatureStore:
                     )
                 else:
                     batch = batch.dropDuplicates(keys)
-            # checks gate the epoch BEFORE any commit: a failing batch
-            # must leave no trace, or the checkpoint retry duplicates
-            # it (append) / the table serves unchecked rows (upsert)
-            check_results: dict[str, bool] = {}
-            if checks:
-                row = batch.agg(
-                    *[c(batch).alias(n) for n, c in checks.items()]
-                ).collect()[0]
-                check_results = {n: bool(row[n]) for n in checks}
-                if not all(check_results.values()):
-                    failed = [n for n, ok in check_results.items() if not ok]
-                    raise CheckFailure(f"{name} epoch {epoch_id}: {failed}")
             meta = {
                 "code_version": cv,
                 "epoch": epoch_id,

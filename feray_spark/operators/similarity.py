@@ -75,9 +75,12 @@ def exact_scan_topk(
     batch against the broadcast query index (the `_broadcast_scan_topk`
     shape with an all-pairs candidate mask). ~30x the per-pair
     throughput of the interpreted fold at identical output; float64
-    pairwise summation differs from the sequential fold by ~1 ulp,
-    which vanishes under the harness's 1e-9 rounding — use
-    :func:`brute_force_topk` where bit-exact fold parity is required.
+    pairwise summation differs from the sequential fold by ~1 ulp.
+    That drift touches VALUES only until two candidates are nearly
+    tied — then the (cosine DESC, id) rank itself can flip vs a
+    fold-scored engine. Use :func:`brute_force_topk` where bit-exact
+    fold parity (values AND ranks) is required, e.g. differential
+    testing against a sequential-fold oracle.
     Corpus never shuffles; the only shuffle ranks the tiny partial
     top-k (partitions x queries x k rows)."""
     qids, qM, qnorm = _index_pdf(queries, query_id, vec_col)

@@ -31,8 +31,8 @@ from feray_spark.operators.dedup import (
     simhash,
 )
 from feray_spark.operators.similarity import (
-    brute_force_topk,  # noqa: F401 - bit-exact fold twin, re-exported
-    exact_scan_topk,
+    brute_force_topk,
+    exact_scan_topk,  # noqa: F401 - vectorized twin, re-exported for users
     embedding_neardup_pairs,
     ivf_topk,
     lsh_bucketed_topk,
@@ -259,16 +259,18 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l3_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: exact cosine top-3 neighbors for a query subset (every
-    50th vector) — vectorized broadcast scan (one numpy matmul per
-    Arrow batch against the broadcast query index); corpus never
-    shuffles. Cosines agree with the oracle's sequential fold within
-    ~1 ulp; ranking runs at full precision while the OUTPUT cosine
-    rounds to 9 decimals on both sides, so the ulp drift can't flip
-    a strict value hash; the interpreted fold twin (brute_force_topk)
-    stays available where bit-exact parity is required."""
+    50th vector) — broadcast queries against the corpus scan, scored
+    by the SEQUENTIAL-FOLD cosine (codegen zip_with/aggregate),
+    bit-identical to the oracle's list_reduce: ranks can never flip
+    on near-ties, not just values (the matmul-vectorized twin
+    exact_scan_topk is ~1 ulp off per pair, which is enough to
+    reorder a near-tied (cosine DESC, id) rank between engines).
+    Output cosine additionally rounds to 9 decimals on both sides.
+    Corpus never shuffles; only the partial top-k ranks exchange.
+    l3b/l3c carry the vectorized + ANN scale tiers."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0)
-    topk = exact_scan_topk(
+    topk = brute_force_topk(
         queries.select(F.col("vec_id").alias("q_id"), "embedding"),
         e.select(F.col("vec_id").alias("c_id"), "embedding"),
         k=3,

@@ -740,9 +740,17 @@ def ep4_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     Remaining gap vs DuckDB is structural (per-level distributed
     stage floor vs an in-process incremental loop) and argued in
     bench.py's BENCH_SKIP entry for this query."""
+    import uuid
+
     from feray_spark.catalog import register_views
 
     register_views(spark, sf_dir)
-    seq = spark.sql(_EP4_SEQ_SQL).localCheckpoint()
-    seq.createOrReplaceTempView("__ep4_seq")
-    return spark.sql(_EP4_REC_SQL.replace("{seq}", "__ep4_seq"))
+    # lazy checkpoint: plan-only consumers (EXPLAIN, tests) trigger no
+    # job; the first executed recursion level materializes it once and
+    # every later level reuses the blocks. Unique view name per call:
+    # a session-global fixed name could be swapped by a concurrent
+    # builder between this checkpoint and the sql() analysis.
+    seq = spark.sql(_EP4_SEQ_SQL).localCheckpoint(eager=False)
+    view = f"__ep4_seq_{uuid.uuid4().hex[:8]}"
+    seq.createOrReplaceTempView(view)
+    return spark.sql(_EP4_REC_SQL.replace("{seq}", view))

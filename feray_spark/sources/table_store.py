@@ -504,25 +504,35 @@ class TableStore:
                 )
         elif rewrites:
             # ignoreChanges accepts re-delivery of CURRENT rows, not a
-            # replay of every retained historical snapshot: any on-disk
-            # segment outside the latest commit (old versions kept for
-            # time travel, or crash orphans) would stream rows the
-            # rewrites deleted. Enforce vacuum-first.
+            # replay of every retained historical snapshot: an on-disk
+            # segment referenced only by an OLDER commit (a version
+            # kept for time travel) would stream rows the rewrites
+            # deleted. Enforce vacuum-first for those. Scoped to
+            # commit-referenced segments on purpose: an UNREFERENCED
+            # seg dir may be an in-flight writer that vacuum's grace
+            # window rightly refuses to delete — rejecting on it would
+            # send the operator in a circle (and its rows are the
+            # same in-flight-appear risk every file stream has).
             live = set()
             for entry in commit.segments:
                 _, base = self._seg_base(entry)
                 live.add(os.path.realpath(base))
-            table_dir = os.path.join(self.root, table)
             stale = sorted(
-                name
-                for name in os.listdir(table_dir)
-                if name.startswith("seg-")
-                and os.path.realpath(os.path.join(table_dir, name)) not in live
+                {
+                    os.path.basename(base)
+                    for c in self._commits(table)
+                    if c.version < commit.version
+                    for base in (
+                        os.path.realpath(self._seg_base(e)[1])
+                        for e in c.segments
+                    )
+                    if base not in live and os.path.isdir(base)
+                }
             )
             if stale:
                 raise ValueError(
                     f"{table}: segments {stale} belong to pre-rewrite "
-                    "versions (or crashed writers) and would replay "
+                    "versions retained for time travel and would replay "
                     "deleted rows under ignore_changes; run "
                     "vacuum(keep_versions=1) first"
                 )
@@ -895,13 +905,16 @@ class TableStore:
             from pyspark.sql import types as T
 
             tgt_schema = T.StructType.fromJson(json.loads(prev.schema))
+            # case-insensitive like Spark's default resolution (the
+            # old unionByName path resolved 'ID' onto 'id'; the check
+            # must not be stricter than the engine)
+            tgt_names = {f.name.lower(): f.name for f in tgt_schema.fields}
+            src_names = {c.lower(): c for c in source.columns}
             missing = sorted(
-                set(f.name for f in tgt_schema.fields)
-                - set(source.columns)
+                tgt_names[n] for n in set(tgt_names) - set(src_names)
             )
             extra = sorted(
-                set(source.columns)
-                - set(f.name for f in tgt_schema.fields)
+                src_names[n] for n in set(src_names) - set(tgt_names)
             )
             if missing or extra:
                 raise ValueError(

@@ -47,9 +47,16 @@ def build(out_path: str) -> list[str]:
     pkg_root = os.path.join(ROOT, PACKAGE)
     entries: list[str] = []
     for dirpath, dirnames, filenames in os.walk(pkg_root):
-        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        # allowlist, not denylist: the determinism claim ("artifact
+        # hash IS the code version") only holds if stray checkout
+        # artifacts (.ipynb_checkpoints, editor swap/backup files,
+        # .DS_Store) can never ship
+        dirnames[:] = sorted(
+            d for d in dirnames
+            if d != "__pycache__" and not d.startswith(".")
+        )
         for fn in sorted(filenames):
-            if fn.endswith((".pyc", ".pyo")):
+            if not fn.endswith(".py") or fn.startswith("."):
                 continue
             full = os.path.join(dirpath, fn)
             entries.append(os.path.relpath(full, ROOT))

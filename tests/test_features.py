@@ -724,6 +724,36 @@ def test_materialize_stream_upsert_dedupes_within_batch(spark, tmp_root):
     assert len(rows) == 1 and rows[0].user_id == 1
 
 
+def test_materialize_stream_checks_gate_raw_batch_in_upsert(spark, tmp_root):
+    """Checks must be equally strict in both sink modes: a
+    check-failing row superseded by a newer row for the SAME key in
+    the same micro-batch still fails the epoch (the gate runs on the
+    raw batch, before upsert dedup)."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    fs.store.write(
+        spark.createDataFrame([(1, 1, -5.0), (1, 2, 3.0)],
+                              "user_id int, seq int, value double"),
+        "raw", mode="overwrite",
+    )
+
+    @fs.feature_view(
+        name="gated", inputs=["raw"], entities=["user_id"],
+        checks={"positive": lambda df: F.min("value") > 0},
+    )
+    def gated(spark, inputs):
+        return inputs["raw"]
+
+    q = fs.materialize_stream(
+        "gated", checkpoint=os.path.join(tmp_root, "c"), order_by="seq"
+    )
+    with pytest.raises(Exception, match="positive|StreamingQuery"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    assert fs.store.latest_version("gated") is None  # no commit either
+
+
 def test_materialize_partition_check_failure_not_memoized(spark, tmp_root):
     """A partition whose checks fail must NOT record its fingerprint:
     every re-run recomputes and re-raises, instead of one failure

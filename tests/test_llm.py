@@ -411,6 +411,33 @@ def test_embedding_neardup_guard_switches_to_bucketed(spark, sf_dir):
         assert abs(cos - exact[pair]) < 1e-9
 
 
+def test_exact_scan_topk_matches_fold_twin(spark, sf_dir):
+    """The vectorized matmul tier must agree with the bit-exact fold
+    twin on ranks exactly and on cosines within the documented ulp
+    band (fixture neighbors are well-separated, so the rank-flip
+    caveat cannot trigger here)."""
+    from feray_spark.catalog import load_table
+    from feray_spark.operators.similarity import (
+        brute_force_topk,
+        exact_scan_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    fold = {(r.q_id, r.rank): (r.c_id, r.cosine)
+            for r in brute_force_topk(q, c, k=3).collect()}
+    vec = {(r.q_id, r.rank): (r.c_id, r.cosine)
+           for r in exact_scan_topk(q, c, k=3).collect()}
+    assert set(fold) == set(vec)
+    for key, (cid, cos) in fold.items():
+        vcid, vcos = vec[key]
+        assert vcid == cid
+        assert abs(vcos - cos) < 1e-9
+
+
 def test_semantic_dedup_keep_rule_and_bucketing(spark):
     """L24: within a sign-bucket, every cosine-≥-τ duplicate of a
     smaller id is dropped (lowest id survives); near-dups split

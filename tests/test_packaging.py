@@ -9,6 +9,7 @@ import subprocess
 import sys
 
 from scripts.package import build
+from tests.conftest import SF_DIR
 
 
 def test_package_zip_imports_standalone_and_is_deterministic(tmp_path):
@@ -60,7 +61,7 @@ def test_package_zip_runs_a_query_on_spark(spark, tmp_path):
         "from feray_spark.session import apply_semantics\n"
         "from feray_spark.queries import load_all\n"
         "apply_semantics(spark)\n"
-        "df = load_all()['a1_groupby_q1'].fn(spark, '/root/testdata/sf0.001')\n"
+        f"df = load_all()['a1_groupby_q1'].fn(spark, {SF_DIR!r})\n"
         "print('rows:', df.count())\n"
         "spark.stop()\n"
     )

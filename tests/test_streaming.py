@@ -352,6 +352,12 @@ def test_table_store_stream_rejects_rewritten_history(spark, tmp_dir):
     with pytest.raises(ValueError, match="vacuum"):
         store.read_stream(spark, "feed", ignore_changes=True)
     store.vacuum("feed", keep_versions=1)
+    # an UNREFERENCED seg dir (in-flight writer / young crash orphan,
+    # grace-protected from vacuum) must NOT re-block the stream — the
+    # vacuum-first rule is scoped to commit-referenced old versions
+    import os
+
+    os.makedirs(f"{tmp_dir}/store/feed/seg-00000099-inflight")
     stream = store.read_stream(spark, "feed", ignore_changes=True)
     assert stream.isStreaming
     # and the stream now delivers exactly the current snapshot
