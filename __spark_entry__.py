@@ -53,13 +53,14 @@ FLAGSHIP = "a1_groupby_q1"
 
 #: ROUND-5 ROTATION (swap in as _DRIVER_PRIORITY after CORRECTNESS_r04
 #: lands). Construction rule: (1) entries with no driver row anywhere —
-#: after r4 that is only l24_semantic_dedup (added this round, outside
-#: the r4 window); (2) entries whose CODE changed after their last
+#: after r4 that is l24_semantic_dedup and l18b_incremental_neardup
+#: (added this round, outside the r4 window); (2) entries whose CODE changed after their last
 #: driver row (l3 swapped to the fold scorer; l2d/l5 output rounding);
 #: (3) the 6 entries whose latest row dates to r01 (oldest evidence);
 #: (4) fill to 50 with the remaining r01-era catalog in registry order.
 _ROUND5_PRIORITY = [
-    "l24_semantic_dedup", "l3_embedding_topk", "l2d_embedding_neardup",
+    "l24_semantic_dedup", "l18b_incremental_neardup",
+    "l3_embedding_topk", "l2d_embedding_neardup",
     "l5_token_df_idf", "w7_first_last_value", "w8_top_k_per_group",
     "o1_multikey_sort", "o2_limit_offset", "o3_global_topk",
     "u1_union_all", "s1_parquet_scan_count", "s9_metadata_sink",
@@ -74,7 +75,7 @@ _ROUND5_PRIORITY = [
     "a3_statistical_aggs", "a3b_native_stddev_var", "a4_count_distinct",
     "a5_approx_count_distinct", "a6_distinct_rows", "a7_collect_list_set",
     "a8_rollup", "a8b_cube", "a8c_grouping_sets", "a9_pivot",
-    "a10_global_agg", "a11_filtered_agg", "a2_first_last_by",
+    "a10_global_agg", "a11_filtered_agg",
 ]
 
 #: The round-4 window (ACTIVE): the 37 never-checked entries above plus

@@ -39,6 +39,7 @@ BENCH_SKIP = {
     "l6d_video_frame_split",
     "l23_image_phash_dedup",  # real decode+hash vs a closed-form oracle
     "l18_incremental_dedup",
+    "l18b_incremental_neardup",  # write-dominated, like l18
     # recursive CTE: Spark executes each recursion level as a full
     # distributed-join stage (~0.25 s/level at sf0.1 even with the
     # non-recursive CTE checkpointed; ~1.5 s total, depth capped at 4)

@@ -78,7 +78,41 @@ def minhash_bands(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
-    rows = num_hashes // bands
+    sig = minhash_signatures(
+        df, text_col, id_col, shingle_n=shingle_n, num_hashes=num_hashes
+    )
+    return sig.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            band_hash_array("sig", num_hashes=num_hashes, bands=bands)
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(id, sig array<bigint>) MinHash signatures — the factored
+    signature pass of :func:`minhash_bands`, exposed so stateful
+    consumers (the L18b incremental index) can PERSIST signatures and
+    later estimate Jaccard from them without ever re-touching text:
+    est_jaccard(a, b) = fraction of equal positions (the standard
+    MinHash estimator).
+
+    Scale shape — the classic explode->groupBy MinHash: explode
+    shingles, hash each shingle exactly once per seed, take per-doc
+    mins in ONE hash aggregate (map-side partials apply). One shuffle
+    on the doc id. The tempting explode-free alternative (signature
+    as a nested higher-order expression feeding band hashes)
+    re-evaluates the whole signature once per reference — Catalyst
+    does not CSE across lambda functions — and is ~30x slower at
+    sf0.001. Docs with fewer than ``shingle_n`` words have no
+    shingles and drop out (no signature, never near-anything)."""
     # Materialize the word array BEFORE shingling: the shingle
     # expression references it ~shingle_n times per element and
     # Catalyst doesn't CSE across lambdas — as a real column the
@@ -92,22 +126,37 @@ def minhash_bands(
         )
         .select("__id", shingle_base_hash(F.col("__s")).alias("__x"))
     )
-    sig = shingled.groupBy("__id").agg(
-        *[
-            F.min(minhash_value(F.col("__x"), j)).alias(f"mh{j}")
-            for j in range(num_hashes)
-        ]
-    )
-    band_hashes = F.array(
+    return shingled.groupBy("__id").agg(
+        F.array(
+            *[
+                F.min(minhash_value(F.col("__x"), j))
+                for j in range(num_hashes)
+            ]
+        ).alias("sig")
+    ).select(F.col("__id").alias(id_col), "sig")
+
+
+def band_hash_array(
+    sig_col: str | F.Column, *, num_hashes: int = 8, bands: int = 4
+) -> F.Column:
+    """array<string> of ``bands`` md5 band hashes over a signature
+    array column (rows-per-band consecutive positions, matching
+    :func:`minhash_bands`' banding exactly)."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    rows = num_hashes // bands
+    return F.array(
         *[
             F.md5(
-                F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(sig, b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
+                )
             )
             for b in range(bands)
         ]
-    )
-    return sig.select(
-        "__id", F.posexplode(band_hashes).alias("band_idx", "band_hash")
     )
 
 

@@ -1455,6 +1455,116 @@ def l18_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l18b_incremental_neardup",
+    oracle=None,  # the greedy accepted-set depends recursively on the
+    # evolving index state — not SQL-expressible; tests/test_llm.py
+    # replays the documented one-pass rule in python over the same
+    # md5-deterministic signatures and asserts set equality
+    tags=("llm", "L18", "L2", "dedup"),
+)
+def l18b_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18b: incremental NEAR-dup ingestion — L18's stateful shape,
+    but the index holds MinHash SIGNATURES instead of content hashes,
+    so each new crawl batch drops fuzzy duplicates of everything
+    already accepted without the corpus text ever persisting or
+    re-scanning. Per batch (pessimistic one-pass rule, documented):
+    a doc is dropped iff some smaller-id same-batch doc OR some
+    indexed doc collides in ≥1 LSH band AND the signature-estimated
+    Jaccard (fraction of equal minhash positions — the standard
+    estimator) is ≥ 0.5; survivors append their (id, signature,
+    bands) to the index. Pessimistic = the smaller-id doc counts
+    even if it was itself dropped: never keeps a dup, may drop a
+    chain member a sequential greedy would keep — the standard
+    trade for a one-pass distributed rule.
+
+    Scale shape: state is O(accepted) × (8 longs + 4 band rows) —
+    vectors, never text; per batch ONE signature pass (explode →
+    hash-agg), one band-keyed equi-join against the index, one
+    in-batch band aggregation, and bounded-size appends. The
+    estimator needs no text round-trip, which is what makes the
+    INDEX (not the corpus) the only long-lived state at 100 TB."""
+    import os
+    import shutil
+    import tempfile
+
+    from feray_spark.operators.dedup import band_hash_array, minhash_signatures
+    from feray_spark.sources.table_store import TableStore
+
+    NUM_HASHES, BANDS, TAU = 8, 4, 0.5
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"feray_spark_l18b_store_{sf_dir.strip('/').replace('/', '_')}",
+    )
+    shutil.rmtree(root, ignore_errors=True)  # idempotent re-runs
+    store = TableStore(root)
+    d = load_table(spark, sf_dir, "documents")
+
+    def est(a_sig, b_sig):
+        eq = F.zip_with(a_sig, b_sig, lambda x, y: x == y)
+        return F.size(F.filter(eq, lambda v: v)) / F.lit(NUM_HASHES)
+
+    first = True
+    for batch_tag in (0, 1):
+        batch = d.filter(F.col("doc_id") % 2 == batch_tag)
+        sigs = minhash_signatures(
+            batch, "text", "doc_id", num_hashes=NUM_HASHES
+        )
+        bands = sigs.select(
+            "doc_id",
+            "sig",
+            F.posexplode(
+                band_hash_array("sig", num_hashes=NUM_HASHES, bands=BANDS)
+            ).alias("band_idx", "band_hash"),
+        )
+        # in-batch collisions: larger id drops on a verified smaller id
+        in_pairs = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("b.doc_id") < F.col("a.doc_id")),
+            )
+            .filter(est(F.col("a.sig"), F.col("b.sig")) >= TAU)
+            .select(F.col("a.doc_id").alias("doc_id"))
+        )
+        dropped = in_pairs
+        if not first:
+            idx = store.read(spark, "nd_bands").alias("i")
+            vs_index = (
+                bands.alias("a")
+                .join(
+                    idx,
+                    (F.col("a.band_idx") == F.col("i.band_idx"))
+                    & (F.col("a.band_hash") == F.col("i.band_hash")),
+                )
+                .filter(est(F.col("a.sig"), F.col("i.sig")) >= TAU)
+                .select(F.col("a.doc_id").alias("doc_id"))
+            )
+            dropped = dropped.unionByName(vs_index)
+        accepted = sigs.join(dropped, "doc_id", "left_anti").select(
+            "doc_id", "sig", F.lit(batch_tag).cast("bigint").alias("ingest_batch")
+        )
+        acc_bands = accepted.select(
+            "doc_id",
+            "sig",
+            F.posexplode(
+                band_hash_array("sig", num_hashes=NUM_HASHES, bands=BANDS)
+            ).alias("band_idx", "band_hash"),
+        ).select("doc_id", "band_idx", "band_hash", "sig")
+        store.write(
+            acc_bands, "nd_bands", mode="overwrite" if first else "append"
+        )
+        store.write(
+            accepted.select("doc_id", "ingest_batch"),
+            "accepted_docs",
+            mode="overwrite" if first else "append",
+        )
+        first = False
+    return store.read(spark, "accepted_docs")
+
+
+@register(
     "l19_fuzzy_blocked_pairs",
     oracle="""
         WITH b AS (

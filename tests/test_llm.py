@@ -411,6 +411,65 @@ def test_embedding_neardup_guard_switches_to_bucketed(spark, sf_dir):
         assert abs(cos - exact[pair]) < 1e-9
 
 
+def test_incremental_neardup_matches_replayed_rule(spark, sf_dir):
+    """L18b end-to-end invariant: the two-batch stateful run through
+    the table store must equal a sequential replay of the documented
+    pessimistic one-pass rule (band collision + signature-estimated
+    Jaccard >= 0.5, smaller id wins, index = previously ACCEPTED
+    docs) over the same md5-deterministic signatures."""
+    import hashlib
+
+    from feray_spark.catalog import load_table
+    from feray_spark.operators.dedup import minhash_signatures
+    from feray_spark.queries import load_all
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures(d, "text", "doc_id").collect()
+    }
+
+    def bandhashes(sig):
+        return [
+            hashlib.md5(f"{sig[2 * b]}|{sig[2 * b + 1]}".encode()).hexdigest()
+            for b in range(4)
+        ]
+
+    def estj(a, b):
+        return sum(x == y for x, y in zip(a, b)) / 8.0
+
+    accepted: dict[int, int] = {}
+    index_bands: dict[tuple[int, str], list[int]] = {}
+    for tag in (0, 1):
+        batch_ids = sorted(i for i in sigs if i % 2 == tag)
+        bb = {i: bandhashes(sigs[i]) for i in batch_ids}
+        for i in batch_ids:
+            coll = set()
+            for bi, bh in enumerate(bb[i]):
+                coll |= set(index_bands.get((bi, bh), []))
+            for j in batch_ids:
+                if j >= i:
+                    break
+                if any(bb[j][bi] == bb[i][bi] for bi in range(4)):
+                    coll.add(j)
+            if any(estj(sigs[i], sigs[j]) >= 0.5 for j in coll):
+                continue  # dropped
+            accepted[i] = tag
+        for i in batch_ids:
+            if i in accepted:
+                for bi, bh in enumerate(bb[i]):
+                    index_bands.setdefault((bi, bh), []).append(i)
+
+    got = {
+        (r.doc_id, r.ingest_batch)
+        for r in load_all()["l18b_incremental_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert got == set(accepted.items())
+    # and it actually dropped something (the fixtures carry near-dup
+    # families), else the invariant is vacuous
+    assert len(got) < len(sigs)
+
+
 def test_exact_scan_topk_matches_fold_twin(spark, sf_dir):
     """The vectorized matmul tier must agree with the bit-exact fold
     twin on ranks exactly and on cosines within the documented ulp
