@@ -49,8 +49,12 @@ def report_materialization(metadata: dict, data_version: str | None = None) -> N
     path = os.environ.get(CHANNEL_ENV)
     if not path:
         raise RuntimeError("no pipes channel: run under run_external_job()")
-    with open(path, "w") as f:
+    # atomic publish: a crash mid-dump must leave NO channel file, not
+    # a truncated one the harvester would choke on
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump({"metadata": metadata, "data_version": data_version}, f)
+    os.replace(tmp, path)
 
 
 def get_extras() -> dict:
@@ -81,8 +85,19 @@ def run_external_job(
         )
         report = {}
         if os.path.exists(channel):
-            with open(channel) as f:
-                report = json.load(f)
+            # a crashed/misbehaving child must never cost the caller
+            # the returncode/stderr they need to diagnose it: a
+            # malformed or non-dict channel degrades to an empty
+            # report (the atomic write makes this a can't-happen for
+            # our own report_materialization, but the channel is an
+            # external contract)
+            try:
+                with open(channel) as f:
+                    parsed = json.load(f)
+                if isinstance(parsed, dict):
+                    report = parsed
+            except (json.JSONDecodeError, OSError):
+                pass
         return ExternalResult(
             returncode=proc.returncode,
             metadata=report.get("metadata", {}),

@@ -30,9 +30,17 @@ CODE_VERSION_COL = "_code_version"
 def with_data_version(
     df: DataFrame, cols: Sequence[str | Column] | None = None
 ) -> DataFrame:
-    """FS1: inject the record-level content hash. ``cols`` defaults to
-    every current column in declaration order — callers with evolving
-    schemas should pass an explicit stable list."""
+    """FS1: inject the record-level content hash.
+
+    ``cols`` defaults to every current column in declaration order.
+    That default deliberately trades churn for safety, against
+    functions/hashing.py's explicit-list rule: when the view's schema
+    evolves, every row's version CHANGES and the FS3 memo recomputes —
+    wasteful, but never stale (the dangerous direction is an unchanged
+    version over changed data, which the all-columns default cannot
+    produce). Views whose schema is expected to evolve should declare
+    an explicit stable ``version_cols`` list so additive columns don't
+    bust their memo."""
     cols = list(cols) if cols is not None else [c for c in df.columns]
     return df.withColumn(DATA_VERSION_COL, row_version(cols))
 

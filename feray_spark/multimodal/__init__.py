@@ -138,6 +138,16 @@ def image_dimensions(data: bytes) -> tuple[int, int]:
 decode_image = image_dimensions
 
 
+def _payload(m) -> bytes | None:
+    """Inline payload bytes, or None for POINTER-ONLY media rows —
+    MEDIA_STRUCT declares ``data`` nullable precisely so payloads too
+    large to inline can ride as object-store URIs. Extractors must
+    treat those as 'not decodable here' (null features / no frames),
+    never crash the task on ``bytes(None)``."""
+    d = m["data"]
+    return None if d is None else bytes(d)
+
+
 def fake_decode(data: bytes) -> tuple[int, int]:
     """Deterministic stand-in decoder used by tests: derives a fake
     (width, height) from the first payload bytes."""
@@ -165,18 +175,23 @@ def extract_media_features(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            media = pdf[media_col]
-            dims = [decode(bytes(m["data"])) for m in media]
+            payloads = [_payload(m) for m in pdf[media_col]]
+            dims = [decode(p) if p is not None else (None, None)
+                    for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "mime": [m["mime"] for m in media],
-                    "n_bytes": [len(bytes(m["data"])) for m in media],
+                    "mime": [m["mime"] for m in pdf[media_col]],
+                    "n_bytes": pd.array(
+                        [len(p) if p is not None else None for p in payloads],
+                        dtype="Int32",
+                    ),
                     "payload_sha256": [
-                        hashlib.sha256(bytes(m["data"])).hexdigest() for m in media
+                        hashlib.sha256(p).hexdigest() if p is not None else None
+                        for p in payloads
                     ],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
+                    "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int32"),
                 }
             )
 
@@ -258,7 +273,10 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, frames, digests = [], [], [], []
             for doc_id, m in zip(pdf[id_col], pdf[media_col]):
-                for i, frame in enumerate(extract_frames(bytes(m["data"]))):
+                p = _payload(m)
+                if p is None:  # pointer-only row: nothing to split here
+                    continue
+                for i, frame in enumerate(extract_frames(p)):
                     if i % every:
                         continue
                     ids.append(doc_id)
@@ -381,7 +399,13 @@ def resize_media(
                         {
                             "mime": m["mime"],
                             "uri": m["uri"],
-                            "data": resize(bytes(m["data"]), width, height),
+                            # pointer-only rows pass through unresized —
+                            # the payload isn't here to rewrite
+                            "data": (
+                                resize(p, width, height)
+                                if (p := _payload(m)) is not None
+                                else None
+                            ),
                         }
                         for m in media
                     ],
@@ -487,14 +511,22 @@ def extract_audio_features(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            media = pdf[media_col]
-            decoded = [decode(bytes(m["data"])) for m in media]
+            payloads = [_payload(m) for m in pdf[media_col]]
+            decoded = [
+                decode(p) if p is not None else (None, None, None)
+                for p in payloads
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "mime": [m["mime"] for m in media],
-                    "n_bytes": [len(bytes(m["data"])) for m in media],
-                    "sample_rate": [d[0] for d in decoded],
+                    "mime": [m["mime"] for m in pdf[media_col]],
+                    "n_bytes": pd.array(
+                        [len(p) if p is not None else None for p in payloads],
+                        dtype="Int64",
+                    ),
+                    "sample_rate": pd.array(
+                        [d[0] for d in decoded], dtype="Int32"
+                    ),
                     "duration_s": [d[1] for d in decoded],
                     "rms": [d[2] for d in decoded],
                 }

@@ -26,7 +26,12 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-#: algebraic reducers: (per-batch pandas agg, cross-batch combine)
+#: algebraic reducers: (per-batch pandas agg, cross-batch combine).
+#: NOTE on 'sum' over doubles: partials accumulate in float across
+#: arbitrary Arrow-batch boundaries, so the low bits are
+#: order-dependent — fine for analytics, NOT oracle-hash-stable.
+#: Money sums that must match a SQL twin bit-for-bit belong on the
+#: queries/util.py dsum (scaled-long/decimal) path, not here.
 _COMBINE = {"count": "sum", "min": "min", "max": "max", "sum": "sum"}
 
 
@@ -56,11 +61,16 @@ def grouped_partial_agg(
         partials: list[pd.DataFrame] = []
         for pdf in batches:
             if len(pdf):
-                partials.append(pdf.groupby(key)[val].agg(list(ops)))
+                # dropna=False: Spark groupBy (and applyInPandas) emit
+                # a NULL-key group; pandas' default would silently
+                # drop those rows and diverge from the contract
+                partials.append(
+                    pdf.groupby(key, dropna=False)[val].agg(list(ops))
+                )
         if not partials:
             return
         merged = pd.concat(partials)
-        out = merged.groupby(level=0).agg(
+        out = merged.groupby(level=0, dropna=False).agg(
             {op: _COMBINE[op] for op in ops}
         ).reset_index()
         out.columns = [key] + names

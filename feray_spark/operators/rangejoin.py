@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _BIN = "__rj_bin"
+_BIN_IV = "__rj_bin_iv"
 
 
 def point_interval_join(
@@ -70,18 +71,17 @@ def point_interval_join(
     bins = F.when(hi_bin >= lo_bin, F.sequence(lo_bin, hi_bin)).otherwise(
         F.array().cast("array<bigint>")
     )
-    iv = intervals.withColumn(_BIN, F.explode(bins))
+    iv = intervals.withColumn(_BIN_IV, F.explode(bins))
     residual = (F.col(point_ts) >= F.col(interval_lo)) & (
         F.col(point_ts) < F.col(interval_hi)
     )
-    joined = p.join(iv, on=[_BIN], how="inner").filter(residual).drop(_BIN)
-    if how == "inner":
-        return joined
-    # left: re-attach points that matched no interval
-    matched = joined.select(*points.columns)
-    unmatched = p.drop(_BIN).exceptAll(matched)
-    for c in intervals.columns:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(intervals.schema[c].dataType)
-        )
-    return joined.unionByName(unmatched)
+    # The residual rides IN the join condition: Catalyst still
+    # extracts the bin equality as the shuffle key (plan-asserted —
+    # never a nested loop) and checks the residual on the joined row.
+    # For ``left`` this is what makes ONE pass correct: the point side
+    # carries exactly one bin per row (never exploded), so unmatched
+    # points null-pad exactly once — no second execution of the join
+    # for an exceptAll re-derivation of the unmatched set, and no
+    # full-row comparability requirement on the point columns.
+    cond = (F.col(_BIN) == F.col(_BIN_IV)) & residual
+    return p.join(iv, cond, how).drop(_BIN, _BIN_IV)

@@ -35,7 +35,26 @@ def salted_join(
     (xxhash64 of all columns) so it is deterministic across retries —
     a requirement for idempotent task re-execution — while still
     spreading rows with identical join keys.
+
+    ``how`` is restricted to join types whose result is provably
+    identical to the unsalted join: inner/left/left_semi/left_anti
+    (the large side keeps exactly one salt per row; semi/anti
+    existence checks are per-(key, salt) but replication puts the
+    small side under EVERY salt). right/full would emit one
+    null-padded copy of each unmatched SMALL row per salt —
+    ``salts``× duplication, silently wrong — so they are rejected;
+    salt the other side's frame for those.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower().replace("_", "") not in {
+        a.replace("_", "") for a in allowed
+    }:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, got {how!r}: "
+            "right/full would duplicate unmatched small-side rows "
+            "once per salt"
+        )
     on = list(on)
     overlapping = [c for c in small.columns if c in large.columns and c not in on]
     if overlapping:

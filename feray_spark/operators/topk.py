@@ -25,6 +25,16 @@ def top_k_per_group(
     """k best rows per key under a total order. Pass fully
     deterministic ``order_by`` (include a unique tiebreaker) or ranks
     are run-dependent."""
+    # collisions corrupt silently (an input __rn would be overwritten;
+    # an input column named rank_col would leave TWO identically-named
+    # columns after the rename, failing any later select) — reject
+    if "__rn" in df.columns:
+        raise ValueError("input already has a __rn column; rename it first")
+    if rank_col and rank_col in df.columns:
+        raise ValueError(
+            f"input already has a {rank_col!r} column; pass a different "
+            "rank_col (or None to drop the rank)"
+        )
     w = W.partitionBy(*partition_by).orderBy(*order_by)
     ranked = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
     if rank_col:

@@ -34,28 +34,43 @@ from feray_spark.catalog import normalize_events_ts, table_path
 from feray_spark.sources.table_store import TableStore
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture, for smoke tests
-    and availableNow parity runs. The stream schema is taken from the
-    parquet footer (a one-time driver-side metadata read, no data
-    scan) so the source tracks fixture vintage — ts has shipped both
-    as int64-nanos and TIMESTAMP(US); both are normalized to
-    session-TZ timestamp exactly as the batch catalog does.
-    Production sources (kafka etc.) plug in via the same schema."""
+def _stage_file_stream(
+    spark: SparkSession, src: str, prefix: str
+) -> DataFrame:
+    """File-source stream over a single parquet file: the file source
+    requires a DIRECTORY, so the file is symlinked into a per-source
+    stage dir under the system tempdir. The schema comes from the
+    parquet footer (one driver-side metadata read, no data scan). A
+    stale, dangling, or foreign link is replaced, not trusted —
+    ``os.path.exists`` FOLLOWS links, so a dangling one would
+    otherwise slip past an exists() guard straight into
+    ``os.symlink``'s FileExistsError."""
     import hashlib
     import os
     import tempfile
 
-    src = table_path(sf_dir, "events")
-    # the file stream source requires a directory; stage a symlink
     tag = hashlib.sha256(src.encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"feray_stream_src_{tag}")
+    stage = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
+    link = os.path.join(stage, os.path.basename(src))
+    if not (os.path.islink(link) and os.readlink(link) == src):
+        if os.path.lexists(link):
+            os.unlink(link)
         os.symlink(src, link)
     schema = spark.read.parquet(src).schema
-    raw = spark.readStream.schema(schema).format("parquet").load(stage)
+    return spark.readStream.schema(schema).format("parquet").load(stage)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture, for smoke tests
+    and availableNow parity runs. The stream schema tracks fixture
+    vintage — ts has shipped both as int64-nanos and TIMESTAMP(US);
+    both are normalized to session-TZ timestamp exactly as the batch
+    catalog does. Production sources (kafka etc.) plug in via the
+    same schema."""
+    raw = _stage_file_stream(
+        spark, table_path(sf_dir, "events"), "feray_stream_src"
+    )
     return normalize_events_ts(raw)
 
 
@@ -229,8 +244,18 @@ def serve_upsert(
     checkpoint: str,
 ):
     """T9/T10: serving-table sink — per micro-batch MERGE keyed on the
-    entity (latest row per key wins within the batch), checkpointed
-    for exactly-once effects. Returns the StreamingQuery."""
+    entity (latest row per key wins within the batch AND against the
+    already-served row), checkpointed for exactly-once effects.
+    Returns the StreamingQuery.
+
+    Late data across batches: micro-batches are not globally
+    ts-ordered (a replayed partition, a lagging Kafka partition), so
+    an unconditional whenMatchedUpdateAll would let an OLDER event
+    arriving in a LATER batch overwrite a newer serving row. The
+    merge is therefore guarded: a batch row only replaces the stored
+    row when its (ts, event_id) is >= the stored one — Delta's
+    ``whenMatchedUpdate(condition=...)`` expressed as a pre-merge
+    anti-stale filter, since the store's MERGE is updateAll-only."""
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -250,8 +275,26 @@ def serve_upsert(
             store.write(latest, table, mode="overwrite",
                         user_metadata={"epoch": epoch_id})
         else:
-            store.merge(spark, table, latest, keys=keys,
-                        user_metadata={"epoch": epoch_id})
+            current = store.read(spark, table).select(
+                *keys,
+                F.col("ts").alias("__cur_ts"),
+                F.col("event_id").alias("__cur_eid"),
+            )
+            fresh = (
+                latest.join(current, list(keys), "left")
+                .filter(
+                    F.col("__cur_ts").isNull()
+                    | (F.col("ts") > F.col("__cur_ts"))
+                    | (
+                        (F.col("ts") == F.col("__cur_ts"))
+                        & (F.col("event_id") >= F.col("__cur_eid"))
+                    )
+                )
+                .drop("__cur_ts", "__cur_eid")
+            )
+            if fresh.take(1):  # all-stale batch: skip the rewrite
+                store.merge(spark, table, fresh, keys=keys,
+                            user_metadata={"epoch": epoch_id})
 
     return (
         events.writeStream.foreachBatch(upsert)
@@ -314,19 +357,9 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents fixture — the unbounded
     twin of the LLM text-pipeline inputs, staged the same way as
     :func:`stream_events`."""
-    import hashlib
-    import os
-    import tempfile
-
-    src = table_path(sf_dir, "documents")
-    tag = hashlib.sha256(src.encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"feray_stream_doc_{tag}")
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    schema = spark.read.parquet(src).schema
-    return spark.readStream.schema(schema).format("parquet").load(stage)
+    return _stage_file_stream(
+        spark, table_path(sf_dir, "documents"), "feray_stream_doc"
+    )
 
 
 def quality_filter_stream(docs: DataFrame) -> DataFrame:

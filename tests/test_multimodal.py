@@ -184,3 +184,52 @@ def test_dhash_brightness_invariant_and_discriminative():
     # signed-long contract for Spark columns
     h = dhash_image(p5(3, 0))
     assert -(1 << 63) <= h < (1 << 63)
+
+
+def test_pointer_only_media_rows_do_not_crash(spark):
+    """MEDIA_STRUCT allows data=NULL (object-store-pointer payloads);
+    every extractor must treat those as not-decodable-here — null
+    features / no frames / unresized passthrough — never bytes(None)."""
+    from pyspark.sql import types as T
+
+    from feray_spark.multimodal import (
+        MEDIA_STRUCT,
+        extract_audio_features,
+        extract_media_features,
+        fake_chunk_frames,
+        fake_decode,
+        resize_media,
+        sample_frames,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("media", MEDIA_STRUCT, False),
+        ]
+    )
+    rows = [
+        (1, ("image/png", None, b"P5 2 2 255 " + bytes(4))),
+        (2, ("image/png", "s3://bucket/huge.png", None)),  # pointer-only
+    ]
+    df = spark.createDataFrame(rows, schema)
+
+    feats = {r.doc_id: r for r in
+             extract_media_features(df, decoder=fake_decode).collect()}
+    assert feats[1].n_bytes is not None and feats[1].width is not None
+    assert feats[2].n_bytes is None and feats[2].payload_sha256 is None
+    assert feats[2].width is None and feats[2].height is None
+
+    frames = sample_frames(df, frame_extractor=fake_chunk_frames).collect()
+    assert {r.doc_id for r in frames} == {1}  # pointer row yields none
+
+    resized = {r.doc_id: r for r in
+               resize_media(df, 1, 1, resizer=lambda b, w, h: b).collect()}
+    assert resized[2].media.data is None  # passthrough, not a crash
+    assert resized[1].media.data is not None
+
+    audio = {r.doc_id: r for r in
+             extract_audio_features(
+                 df, decoder=lambda b: (8000, 0.5, 0.1)).collect()}
+    assert audio[1].sample_rate == 8000
+    assert audio[2].sample_rate is None and audio[2].rms is None

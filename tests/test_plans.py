@@ -452,3 +452,24 @@ def test_semantic_dedup_pairs_are_bucket_joined(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_salted_join_rejects_small_side_outer(spark, sf_dir):
+    """j10's operator: right/full would emit one null-padded copy of
+    each unmatched small row PER SALT — rejected, not silently wrong;
+    the provably-identical join types still work."""
+    import pytest as _pytest
+
+    from feray_spark.operators.skew import salted_join
+
+    large = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    small = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    for bad in ("right", "full", "full_outer", "rightouter"):
+        with _pytest.raises(ValueError, match="salt"):
+            salted_join(large, small, on=["l_orderkey"], how=bad)
+    # left semi on a salted key still equals the plain semi-join
+    got = salted_join(large, small, on=["l_orderkey"], how="left_semi").count()
+    want = large.join(small, "l_orderkey", "left_semi").count()
+    assert got == want

@@ -184,6 +184,48 @@ def test_serving_upsert_sink_and_checkpoint_idempotence(spark, tmp_dir):
     assert store.latest_version("serving") == v_before  # no new commit
 
 
+def test_serving_upsert_late_batch_never_regresses(spark, tmp_dir):
+    """Micro-batches are not globally ts-ordered (replay, lagging
+    partition): an OLDER event for a served key arriving in a LATER
+    batch must not overwrite the newer serving row."""
+    import datetime
+    import os
+
+    src = f"{tmp_dir}/events_src"
+    os.makedirs(src)
+    cols = "event_id long, ts timestamp, user_id long, value double"
+
+    def add_file(rows, name):
+        # the file source wants flat files in the watched dir
+        tmp = f"{tmp_dir}/w_{name}"
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(src, f"{name}.parquet"))
+
+    add_file([(2, datetime.datetime(2024, 1, 2), 7, 20.0)], "b1")
+    store = TableStore(f"{tmp_dir}/store")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(cols)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(src)
+        )
+        q = serve_upsert(
+            stream, store, "serving", keys=["user_id"],
+            checkpoint=f"{tmp_dir}/ckpt",
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # the LATE batch: older ts for the same served key
+    add_file([(1, datetime.datetime(2024, 1, 1), 7, 10.0)], "b2")
+    drain()
+    rows = store.read(spark, "serving").collect()
+    assert len(rows) == 1
+    assert rows[0].event_id == 2 and rows[0].value == 20.0  # not regressed
+
+
 def test_rate_source_shapes_events(spark, tmp_dir):
     """S8: the built-in rate source, shaped to the events schema,
     drives the same windowed plan as the file source."""

@@ -37,3 +37,30 @@ def test_isolated_map_survives_poison_records(spark):
     assert rows[4]["status"] == "ok" and rows[4]["result"] == 2.5
     assert rows[0]["status"] == "error" and rows[0]["result"] is None
     assert "ZeroDivisionError" in rows[0]["error"]
+
+
+def test_grouped_partial_agg_keeps_null_key_group(spark):
+    """Spark groupBy emits a NULL-key group; the mapInPandas
+    partial-combine path must too (pandas groupby defaults to
+    dropna=True, which would silently lose those rows)."""
+    from pyspark.sql import functions as F
+
+    from feray_spark.operators.grouped import grouped_partial_agg
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (None, 3.0), (None, 5.0), (2, 7.0)], "k int, v double"
+    )
+    got = {
+        r.k: (r.count_v, r.min_v, r.max_v)
+        for r in grouped_partial_agg(df, "k", "v",
+                                     ops=("count", "min", "max")).collect()
+    }
+    want = {
+        r.k: (float(r["count(v)"]), r["min(v)"], r["max(v)"])
+        for r in df.groupBy("k").agg(
+            F.count("v").alias("count(v)"),
+            F.min("v").alias("min(v)"),
+            F.max("v").alias("max(v)"),
+        ).collect()
+    }
+    assert got == want and None in got
