@@ -13,11 +13,20 @@ Canonicalization rules (must be reproducible by any engine — the
 DuckDB oracle recomputes identical hashes):
 - column order is the caller's explicit list (never "all columns" —
   schema evolution would silently change every version);
-- NULL renders as the sentinel byte 0x00 (Spark's concat_ws would
-  otherwise silently skip NULLs — SURVEY §7.6 item 2);
+- every field renders PREFIX-FREE: NULL is the one-byte frame ``n``;
+  a value renders ``v<charlen>:<value>``. Length framing makes the
+  rendering injective — no separator byte can collide with value
+  content (('a\\x1fb','c') vs ('a','b\\x1fc')), and a real one-byte
+  string can never alias NULL — so distinct rows get distinct
+  pre-images by construction;
 - floats/doubles must be passed through a decimal cast by the caller
   when they are money-like, otherwise repr instability leaks in;
-- fields join on the unit-separator byte 0x1f.
+- frames concatenate directly (self-delimiting, no separator).
+
+The DuckDB twin of one frame:
+``CASE WHEN x IS NULL THEN 'n'
+  ELSE 'v' || length(CAST(x AS VARCHAR)) || ':' || CAST(x AS VARCHAR)
+  END``.
 """
 
 from __future__ import annotations
@@ -27,17 +36,18 @@ from collections.abc import Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-NULL_SENTINEL = "\x00"
-FIELD_SEP = "\x1f"
-
 
 def canonical_str(col: str | Column) -> Column:
-    """Render one column as its canonical string (NULL -> 0x00)."""
+    """Render one column as its canonical prefix-free frame
+    (``n`` for NULL, ``v<len>:<value>`` otherwise)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(c.cast("string"), F.lit(NULL_SENTINEL))
+    s = c.cast("string")
+    return F.when(s.isNull(), F.lit("n")).otherwise(
+        F.concat(F.lit("v"), F.length(s).cast("string"), F.lit(":"), s)
+    )
 
 
 def row_version(cols: Sequence[str | Column]) -> Column:
     """The ``_data_version`` column: sha256 hex digest of the
-    canonical row rendering."""
-    return F.sha2(F.concat_ws(FIELD_SEP, *[canonical_str(c) for c in cols]), 256)
+    canonical row rendering (concatenated self-delimiting frames)."""
+    return F.sha2(F.concat(*[canonical_str(c) for c in cols]), 256)

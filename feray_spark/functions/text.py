@@ -139,7 +139,12 @@ def lang_id(col: str | Column) -> Column:
 def quality_score(col: str | Column) -> Column:
     """L4: composite quality score in [0,1]: mean of
     (length in bounds, stopword ratio >= 0.05, mean word length in
-    [2, 12]). All-integer/ratio arithmetic — deterministic."""
+    [2, 12]). All-integer/ratio arithmetic — deterministic. Zero-word
+    text scores 0.0 BY DEFINITION (pinned explicitly on both engines:
+    the ratio terms are 0/0, which Spark's non-ANSI division makes
+    NULL but DuckDB's IEEE division makes NaN — and DuckDB orders NaN
+    greater than everything, so an unpinned empty document would
+    score 0.333 there and NULL here)."""
     c = F.col(col) if isinstance(col, str) else col
     w = words(c)
     n = F.size(w)
@@ -150,9 +155,10 @@ def quality_score(col: str | Column) -> Column:
     stop_ok = (stop_hits.cast("double") / n) >= 0.05
     mean_wlen = (F.length(c) - n + 1).cast("double") / n
     wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
-    return (
+    score = (
         len_ok.cast("int") + stop_ok.cast("int") + wlen_ok.cast("int")
     ).cast("double") / 3.0
+    return F.when(n == 0, F.lit(0.0)).otherwise(score)
 
 
 def doc_fingerprint(col: str | Column, gram: int = 8) -> Column:

@@ -38,20 +38,26 @@ def _scratch_store(prefix: str, sf_dir: str):
 @register(
     "fs1_record_versions",
     oracle="""
+        WITH framed AS (
+            SELECT l_orderkey, l_linenumber,
+                   [CAST(l_orderkey AS VARCHAR),
+                    CAST(l_partkey AS VARCHAR),
+                    CAST(l_suppkey AS VARCHAR),
+                    CAST(l_linenumber AS VARCHAR),
+                    CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+                    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                    CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR),
+                    CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR),
+                    l_returnflag, l_linestatus,
+                    CAST(epoch_us(l_shipdate) AS VARCHAR)] AS vals
+            FROM lineitem
+        )
         SELECT l_orderkey, l_linenumber,
-               sha256(concat_ws(chr(31),
-                   CAST(l_orderkey AS VARCHAR),
-                   CAST(l_partkey AS VARCHAR),
-                   CAST(l_suppkey AS VARCHAR),
-                   CAST(l_linenumber AS VARCHAR),
-                   CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
-                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
-                   CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR),
-                   CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR),
-                   l_returnflag, l_linestatus,
-                   CAST(epoch_us(l_shipdate) AS VARCHAR)
-               )) AS _data_version
-        FROM lineitem
+               sha256(list_reduce(list_transform(vals,
+                   x -> CASE WHEN x IS NULL THEN 'n'
+                        ELSE 'v' || length(x) || ':' || x END),
+                   (acc, x) -> acc || x)) AS _data_version
+        FROM framed
     """,
     tags=("feature", "FS1"),
 )

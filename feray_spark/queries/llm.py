@@ -1054,13 +1054,14 @@ def l12_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB twin of functions.text.quality_score (same integer/ratio
 # arithmetic, same IEEE ops) — shared by the sampling/cap oracles.
-_QUALITY_SQL = f"""(CAST((length(text) BETWEEN 20 AND 100000) AS INT)
+_QUALITY_SQL = f"""(CASE WHEN len({_WORDS_SQL}) = 0 THEN 0.0
+               ELSE (CAST((length(text) BETWEEN 20 AND 100000) AS INT)
                 + CAST((len(list_filter({_WORDS_SQL},
                        x -> list_contains(['the','a','of','and','to','in'], x)
                        ))::DOUBLE / len({_WORDS_SQL}) >= 0.05) AS INT)
                 + CAST(((length(text) - len({_WORDS_SQL}) + 1)::DOUBLE
                         / len({_WORDS_SQL}) BETWEEN 2.0 AND 12.0) AS INT)
-               )::DOUBLE / 3.0"""
+               )::DOUBLE / 3.0 END)"""
 
 _PACK_CTX = 2048  # tokens per packed training sequence
 _PACK_SHARDS = 32  # deterministic packing shards (parallelism unit)

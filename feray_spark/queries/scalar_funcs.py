@@ -367,15 +367,21 @@ def f_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f_hash_family",
     oracle="""
+        WITH framed AS (
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+                   [CAST(l_orderkey AS VARCHAR),
+                    CAST(l_linenumber AS VARCHAR),
+                    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                    CAST(NULLIF(l_returnflag, 'N') AS VARCHAR)] AS vals
+            FROM lineitem
+        )
         SELECT l_orderkey, l_linenumber,
-               sha256(concat_ws(chr(31),
-                   CAST(l_orderkey AS VARCHAR),
-                   CAST(l_linenumber AS VARCHAR),
-                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
-                   coalesce(CAST(NULLIF(l_returnflag, 'N') AS VARCHAR), chr(0))
-               )) AS data_version,
+               sha256(list_reduce(list_transform(vals,
+                   x -> CASE WHEN x IS NULL THEN 'n'
+                        ELSE 'v' || length(x) || ':' || x END),
+                   (acc, x) -> acc || x)) AS data_version,
                md5(l_returnflag || l_linestatus) AS md5_flags
-        FROM lineitem
+        FROM framed
     """,
     tags=("scalar", "hash", "FS1"),
 )

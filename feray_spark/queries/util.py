@@ -60,11 +60,6 @@ def dwsum(col: str | Column, w) -> Column:
     ).cast("double")
 
 
-def dmul(a: Column, b: Column) -> Column:
-    """Exact decimal product of two money-like columns."""
-    return a.cast(DEC) * b.cast(DEC)
-
-
 # ---------- DuckDB-SQL side ----------
 
 def sql_dsum(expr: str) -> str:
@@ -198,10 +193,19 @@ def fan_out(df):
         raw = df.sparkSession.conf.get(
             "spark.sql.files.maxPartitionBytes", "134217728"
         ).lower()
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-        mult = units.get(raw.rstrip("b")[-1:], 1)
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
+                 "p": 1 << 50}
+        suffix = raw.rstrip("b")[-1:]
         digits = "".join(ch for ch in raw if ch.isdigit())
-        max_pb = int(digits or "134217728") * mult
+        if suffix.isdigit():
+            max_pb = int(digits or "134217728")
+        elif suffix in units and digits:
+            max_pb = int(digits) * units[suffix]
+        else:
+            # unknown unit: fall back to Spark's default rather than
+            # a 1-byte threshold that would silently disable the
+            # repartition this function exists to apply
+            max_pb = 134217728
         if total >= target * max_pb:
             return df  # big input: the scan already yields >= target splits
         return df.repartition(target)

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from feray_spark.catalog import load_table
 from feray_spark.operators.topk import top_k_per_group
 from feray_spark.queries import register
-from feray_spark.queries.util import dec, dwsum
+from feray_spark.queries.util import dsum, dwsum
 
 _BY_PRICE = "ORDER BY o_totalprice DESC, o_orderkey"
 
@@ -366,7 +366,6 @@ def w9_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``last(ignorenulls)`` frame over the user partitioning the grid
     side already has, so the dense grid shuffles once."""
     e = load_table(spark, sf_dir, "events")
-    from feray_spark.queries.util import dsum
 
     daily = e.groupBy(
         "user_id", F.to_date("ts").alias("day")

@@ -125,8 +125,12 @@ def jdbc_writer(
     user: str | None = None,
     password: str | None = None,
     batch_size: int = 10_000,
+    driver: str | None = None,
 ):
-    """S4: configured JDBC writer (call ``.save()`` to execute)."""
+    """S4: configured JDBC writer (call ``.save()`` to execute).
+    ``driver`` pins the JDBC driver class for endpoints that don't
+    auto-register from the URL (e.g. hive2) — the same knob
+    :func:`jdbc_reader` exposes; the pair stays symmetric."""
     writer = (
         df.write.format("jdbc")
         .mode(mode)
@@ -138,4 +142,6 @@ def jdbc_writer(
         writer = writer.option("user", user)
     if password is not None:
         writer = writer.option("password", password)
+    if driver is not None:
+        writer = writer.option("driver", driver)
     return writer

@@ -100,6 +100,23 @@ def test_row_version_stable_under_column_reorder(spark, data):
     assert h1 == h2
 
 
+def test_row_version_is_injective_on_separator_content(spark):
+    """FS1: the prefix-free framing means values containing the old
+    separator/sentinel bytes can neither shift field boundaries
+    (('a\\x1fb','c') vs ('a','b\\x1fc')) nor alias NULL ('\\x00')."""
+    df = spark.createDataFrame(
+        [("a\x1fb", "c"), ("a", "b\x1fc"), ("\x00", "x"), (None, "x")],
+        "a string, b string",
+    )
+    hashes = [
+        r["h"]
+        for r in df.select(
+            row_version([F.col("a"), F.col("b")]).alias("h")
+        ).collect()
+    ]
+    assert len(set(hashes)) == 4  # all four rows distinct
+
+
 @given(
     vals=st.lists(
         st.floats(
