@@ -171,3 +171,23 @@ def doc_fingerprint(col: str | Column, gram: int = 8) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(F.length(low) - gram + 1, F.lit(1)))
     grams = F.transform(idx, lambda i: F.substr(low, i, F.lit(gram)))
     return F.array_min(F.transform(grams, lambda g: hash64(g, 0)))
+
+
+def md5_bucket(salt: str, col: str | Column, mod: int) -> Column:
+    """Engine-portable deterministic bucket draw in [0, mod):
+    first 8 hex chars of md5(salt ‖ value) as a bigint, mod the
+    bucket count. md5 renders identically in every engine (unlike
+    xxhash64/murmur whose seeds differ), so the SQL twin
+    ``('0x' || substr(md5(salt || CAST(x AS VARCHAR)), 1, 8))::BIGINT
+    % mod`` reproduces the draw bit-for-bit. Shared by the split /
+    packing / sampling / mixture queries (one definition, four
+    oracles)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % mod
+    )

@@ -48,6 +48,8 @@ def brute_force_topk(
     """Exact cosine top-k: for each query vector the k most similar
     corpus vectors. Output: (q_id, c_id, cosine, rank)."""
     q = queries.select(F.col(query_id), F.col(vec_col).alias("__qv"))
+    # fan_out measured (via l3 at sf0.1, local[32]): 0.78 s with vs
+    # 2.46 s without — the per-pair fold is the hottest loop here
     c = fan_out(corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv")))
     pairs = c.crossJoin(F.broadcast(q))
     if not include_self:
@@ -98,6 +100,7 @@ def exact_scan_topk(
         qM=qM,
         qnorm=qnorm,
         match_fn=match_fn,
+        qid_type=dict(queries.dtypes)[query_id],
     )
 
 
@@ -164,6 +167,7 @@ def _broadcast_scan_topk(
     qM,
     qnorm,
     match_fn,
+    qid_type: str = "bigint",
 ) -> DataFrame:
     """Shared ANN fast path for a small (broadcastable) query set.
 
@@ -203,7 +207,10 @@ def _broadcast_scan_topk(
                     continue
                 order = np.lexsort((cid[rows], -cos[rows, j]))[:k]
                 sel = rows[order]
-                out_q.append(np.full(len(sel), b_qids[j], dtype=np.int64))
+                # dtype inferred from the id value: ids are not
+                # necessarily integers (string doc ids are the norm
+                # for document corpora)
+                out_q.append(np.full(len(sel), b_qids[j]))
                 out_c.append(cid[sel])
                 out_s.append(cos[sel, j])
             if out_q:
@@ -215,8 +222,9 @@ def _broadcast_scan_topk(
                     }
                 )
 
+    cid_type = dict(corpus.dtypes)[corpus_id]
     cand = fan_out(corpus.select(F.col(corpus_id), F.col(vec_col))).mapInPandas(
-        score, f"{query_id} long, {corpus_id} long, cosine double"
+        score, f"{query_id} {qid_type}, {corpus_id} {cid_type}, cosine double"
     )
     w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (
@@ -279,6 +287,7 @@ def lsh_bucketed_topk(
             qM=qM,
             qnorm=qnorm,
             match_fn=match_fn,
+            qid_type=dict(queries.dtypes)[query_id],
         )
     qb = with_lsh_buckets(
         queries.select(F.col(query_id), F.col(vec_col)),
@@ -565,6 +574,17 @@ def ivf_topk(
             .limit(max(8, nprobe))
             .toPandas()
         )
+    if not len(seed):
+        # genuinely empty corpus (a filtered partition that matched
+        # nothing): no neighbors exist — return the empty result frame
+        # instead of letting np.stack raise an opaque ValueError
+        spark = corpus.sparkSession
+        id_t = dict(queries.dtypes)[query_id]
+        cid_t = dict(corpus.dtypes)[corpus_id]
+        return spark.createDataFrame(
+            [], f"{query_id} {id_t}, {corpus_id} {cid_t}, "
+                "cosine double, rank int"
+        )
     seed = seed.sort_values("__sid")
     if n_cells is not None:
         # deterministic trim (smallest ids win) of the rounding excess
@@ -580,6 +600,7 @@ def ivf_topk(
         # through cell assignment and scoring in a single pass with no
         # candidate shuffle (see _broadcast_scan_topk)
         qids, qM, qnorm = _index_pdf(queries, query_id, vec_col)
+        qid_type = dict(queries.dtypes)[query_id]
         qsims = (qM / qnorm[:, None]) @ cent.T
         probes = np.argsort(-qsims, axis=1)[:, :nprobe]  # (nq, nprobe)
 
@@ -598,6 +619,7 @@ def ivf_topk(
             qM=qM,
             qnorm=qnorm,
             match_fn=match_fn,
+            qid_type=qid_type,
         )
 
     bc = corpus.sparkSession.sparkContext.broadcast(cent)

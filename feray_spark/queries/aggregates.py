@@ -76,14 +76,21 @@ def a1_groupby_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_charge": (price * (100 - disc) * (100 + tax), 100 * 100 * 100),
             "__sum_disc": (disc, 100),
         },
+        # SQL AVG divides by COUNT(col), not COUNT(*): the two only
+        # coincide NULL-free, and the oracle's sql_davg counts the
+        # column — keep the denominators identical by construction
+        counts={
+            "__n_qty": F.col("l_quantity"),
+            "__n_price": F.col("l_extendedprice"),
+            "__n_disc": F.col("l_discount"),
+        },
         count_star="count_order",
     )
-    n = F.col("count_order")
     return (
-        agg.withColumn("avg_qty", F.col("sum_qty") / n)
-        .withColumn("avg_price", F.col("sum_base_price") / n)
-        .withColumn("avg_disc", F.col("__sum_disc") / n)
-        .drop("__sum_disc")
+        agg.withColumn("avg_qty", F.col("sum_qty") / F.col("__n_qty"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("__n_price"))
+        .withColumn("avg_disc", F.col("__sum_disc") / F.col("__n_disc"))
+        .drop("__sum_disc", "__n_qty", "__n_price", "__n_disc")
         .orderBy("l_returnflag", "l_linestatus")
     )
 
@@ -325,13 +332,15 @@ def a10_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price": (scaled_long("l_extendedprice"), 100),
             "__sum_disc": (scaled_long("l_discount"), 100),
         },
+        # AVG denominator = COUNT(col), matching the oracle (see a1)
+        counts={"__n_disc": F.col("l_discount")},
         mins={"first_ship": F.col("l_shipdate")},
         maxs={"last_ship": F.col("l_shipdate")},
         count_star="n",
     )
     return (
-        agg.withColumn("mean_disc", F.col("__sum_disc") / F.col("n"))
-        .drop("__sum_disc")
+        agg.withColumn("mean_disc", F.col("__sum_disc") / F.col("__n_disc"))
+        .drop("__sum_disc", "__n_disc")
         .select("total_price", "mean_disc", "first_ship", "last_ship", "n")
     )
 
@@ -571,7 +580,6 @@ def a13_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = counts.orderBy(F.col("n").desc(), F.col("key")).limit(_HH_K)
     total = o.agg(F.count("*").alias("__t"))
-    from pyspark.sql import Window as W
 
     rank_w = W.orderBy(F.col("n").desc(), F.col("key"))  # k rows by now
     return (

@@ -8,10 +8,6 @@ additionally covered by tests/test_features.py.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,16 +19,11 @@ from feray_spark.queries import register
 
 
 def _scratch_store(prefix: str, sf_dir: str):
-    """Fresh per-(query, sf) TableStore under tmp — wiped first so
-    re-runs are deterministic."""
-    from feray_spark.sources.table_store import TableStore
+    """Fresh per-(query, sf) TableStore under tmp (queries/util.py
+    scratch_store — one definition across the stateful catalog)."""
+    from feray_spark.queries.util import scratch_store
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"feray_spark_{prefix}_{sf_dir.strip('/').replace('/', '_')}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    return TableStore(root), root
+    return scratch_store(prefix, sf_dir)
 
 
 @register(
@@ -63,8 +54,9 @@ def _scratch_store(prefix: str, sf_dir: str):
 )
 def fs1_record_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FS1: the full-row record version over canonicalized lineitem —
-    money via decimal, timestamps via epoch-microseconds, 0x1f field
-    separator. The DuckDB oracle recomputes the identical sha256,
+    money via decimal, timestamps via epoch-microseconds, prefix-free
+    field framing (functions/hashing.py). The DuckDB oracle
+    recomputes the identical sha256,
     proving the version is engine-independent (reference README.md:23;
     polars-hash parity per SURVEY §2.8 hashing row)."""
     li = fan_out(load_table(spark, sf_dir, "lineitem"))

@@ -21,6 +21,7 @@ from feray_spark.functions.text import (
     bpe_ish_token_count,
     doc_fingerprint,
     lang_id,
+    md5_bucket,
     quality_score,
     token_count,
 )
@@ -321,13 +322,14 @@ def l3c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         list_distinct({_WORDS_SQL}),
                         ['the','a','of','and','to','in'])) >= 2
                     THEN 'en' ELSE 'und' END AS lang_guess,
-               (CAST((length(text) BETWEEN 20 AND 100000) AS INT)
+               (CASE WHEN len({_WORDS_SQL}) = 0 THEN 0.0
+                ELSE (CAST((length(text) BETWEEN 20 AND 100000) AS INT)
                 + CAST((len(list_filter({_WORDS_SQL},
                        x -> list_contains(['the','a','of','and','to','in'], x)
                        ))::DOUBLE / len({_WORDS_SQL}) >= 0.05) AS INT)
                 + CAST(((length(text) - len({_WORDS_SQL}) + 1)::DOUBLE
                         / len({_WORDS_SQL}) BETWEEN 2.0 AND 12.0) AS INT)
-               )::DOUBLE / 3.0 AS quality,
+               )::DOUBLE / 3.0 END) AS quality,
                list_min(list_transform(
                    generate_series(1, greatest(length(text) - 7, 1)),
                    i -> substr(md5(concat_ws('|', '0',
@@ -341,7 +343,9 @@ def l4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-check against the fixture's n_chars), BPE-ish token count,
     heuristic language ID, composite quality score, rolling-hash
     fingerprint. One projection; fan_out spreads the per-row hash
-    work across cores when the scan arrives under-partitioned."""
+    work across cores when the scan arrives under-partitioned
+    (measured: 0.90 s with vs 5.86 s without at sf0.1, local[32] —
+    the heaviest per-row expression chain in the catalog)."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
@@ -399,7 +403,10 @@ def l5_token_df_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no text bytes move; counting the fanned-out frame would shuffle
     # every document first
     n_docs = base.count()
-    tokens = fan_out(base).select(
+    # no fan_out: the explode itself multiplies rows before the
+    # hash-agg, so the extra exchange only adds latency (measured
+    # 0.34 s without vs 0.48 s with at sf0.1, local[32])
+    tokens = base.select(
         F.explode(F.array_distinct(words_fn("text"))).alias("token")
     )
     return tokens.groupBy("token").agg(
@@ -422,11 +429,17 @@ def l5b_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any fit-then-transform pipeline)
     tfd = tf.transform(tok.transform(d)).persist()
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
-    out = idf.transform(tfd)
-    return out.select(
+    out = idf.transform(tfd).select(
         "doc_id",
         F.expr("size(tokens)").alias("n_tokens"),
     )
+    # the FIT is what needed the cache (it's a second full pass); drop
+    # the pin now so the TF vectors don't occupy executor storage for
+    # the session's lifetime — the caller's single execution of `out`
+    # re-tokenizes once, which is cheaper than a permanently smaller
+    # execution-memory region for every later query
+    tfd.unpersist(blocking=False)
+    return out
 
 
 @register(
@@ -603,7 +616,10 @@ def l6c_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": out})
 
-    with_media = fan_out(d.select("doc_id")).mapInPandas(
+    # no fan_out: synthesis + decode are cheap per row and the scan
+    # feeds a single mapInPandas chain — the extra exchange measured
+    # SLOWER (0.67 s without vs 1.01 s with at sf0.1, local[32])
+    with_media = d.select("doc_id").mapInPandas(
         gen, "doc_id long, media struct<mime:string,uri:string,data:binary>"
     )
     return extract_audio_features(with_media)
@@ -764,16 +780,7 @@ def l9_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     One narrow projection + tiny aggregate."""
     d = load_table(spark, sf_dir, "documents")
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split42:"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
+        md5_bucket("split42:", "doc_id", 100)
     )
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
@@ -894,6 +901,7 @@ def l10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one projection, zero shuffles — regexp_count /
     regexp_replace / md5 are all JVM-side codegen'd expressions, so
     the pass runs at scan speed and pushes nothing to Python."""
+    # fan_out measured: 0.23 s with vs 0.49 s without (sf0.1, local[32])
     d = fan_out(load_table(spark, sf_dir, "documents"))
     planted = F.concat(
         F.col("text"),
@@ -927,15 +935,26 @@ def l10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
         ), wc AS (
             SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_words,
+                   COUNT(*) AS n_distinct_words,
+                   1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                       AS dup_word_ratio,
+                   CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                       AS top_word_share
+            FROM wc GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(SUM(c) AS BIGINT) AS n_words,
-               COUNT(*) AS n_distinct_words,
-               1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
-                   AS dup_word_ratio,
-               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
-                   AS top_word_share
-        FROM wc GROUP BY doc_id
+        -- LEFT JOIN from documents: a zero-word doc has no exploded
+        -- rows, but the per-row Spark side still emits it (n_words 0,
+        -- NULL ratios) — the oracle must emit the same row
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(a.n_distinct_words, 0) AS BIGINT)
+                   AS n_distinct_words,
+               a.dup_word_ratio AS dup_word_ratio,
+               a.top_word_share AS top_word_share
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """,
     tags=("llm", "L11", "quality"),
 )
@@ -1027,6 +1046,7 @@ def l12_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feray_spark.functions.text import words as words_fn
 
     d = load_table(spark, sf_dir, "documents")
+    # fan_out measured: 0.69 s with vs 1.14 s without (sf0.1, local[32])
     grams = (
         fan_out(d)
         .select("doc_id", words_fn("text").alias("__w"))
@@ -1110,16 +1130,7 @@ def l13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     shard = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("pack13:"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _PACK_SHARDS
+        md5_bucket("pack13:", "doc_id", _PACK_SHARDS)
     )
     toks = d.select(
         "doc_id", shard.alias("shard"), token_count("text").alias("n_tokens")
@@ -1162,19 +1173,12 @@ def l14_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-run after adding documents keeps every previous decision (the
     property random sampling lacks, and the reason every production
     pipeline samples by hash). One narrow projection + filter, zero
-    shuffles, pushed to the scan."""
+    shuffles, pushed to the scan. fan_out measured: 0.70 s with vs
+    0.99 s without (sf0.1, local[32]) — the quality expression is
+    regex-heavy per row."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("sample7:"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 1_000_000
+        md5_bucket("sample7:", "doc_id", 1_000_000)
     )
     q = quality_score("text")
     return d.filter(u < q * 1_000_000.0).select(
@@ -1266,7 +1270,10 @@ def l16_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feray_spark.functions.text import words as words_fn
 
     d = load_table(spark, sf_dir, "documents")
-    toks = fan_out(d).select(
+    # no fan_out: both lineages (tf build + scoring) re-read the
+    # cheap scan; the extra exchange measured SLOWER (0.72 s without
+    # vs 1.02 s with at sf0.1, local[32])
+    toks = d.select(
         "doc_id", F.explode(words_fn("text")).alias("token")
     )
     tf = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
@@ -1340,18 +1347,12 @@ def l17_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-the-rows variant (drop the final agg)."""
     d = load_table(spark, sf_dir, "documents")
     u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("mix17:"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 1_000_000
+        md5_bucket("mix17:", "doc_id", 1_000_000)
     )
-    tok = fan_out(d).select(
+    # no fan_out: the scan feeds two lineages (stats + filter) and
+    # per-row work is one md5 — the extra exchange measured SLOWER
+    # (0.77 s without vs 1.12 s with at sf0.1, local[32])
+    tok = d.select(
         "doc_id", "source", u.alias("u"), token_count("text").alias("n_tok")
     )
     w_raw = 1 + F.expr("CAST(substring(source, 4) AS INT)") % 5
@@ -1416,18 +1417,9 @@ def l18_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the index (bloom-prunable — the runtime-filter plan
     test), one append. Nothing text-sized persists; the index append
     is idempotent per batch for exactly-once re-runs."""
-    import os
-    import shutil
-    import tempfile
+    from feray_spark.queries.util import scratch_store
 
-    from feray_spark.sources.table_store import TableStore
-
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"feray_spark_l18_store_{sf_dir.strip('/').replace('/', '_')}",
-    )
-    shutil.rmtree(root, ignore_errors=True)  # idempotent re-runs
-    store = TableStore(root)
+    store, root = scratch_store("l18_store", sf_dir)
     d = load_table(spark, sf_dir, "documents")
 
     first = True
@@ -1484,20 +1476,11 @@ def l18b_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-batch band aggregation, and bounded-size appends. The
     estimator needs no text round-trip, which is what makes the
     INDEX (not the corpus) the only long-lived state at 100 TB."""
-    import os
-    import shutil
-    import tempfile
-
     from feray_spark.operators.dedup import band_hash_array, minhash_signatures
-    from feray_spark.sources.table_store import TableStore
+    from feray_spark.queries.util import scratch_store
 
     NUM_HASHES, BANDS, TAU = 8, 4, 0.5
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"feray_spark_l18b_store_{sf_dir.strip('/').replace('/', '_')}",
-    )
-    shutil.rmtree(root, ignore_errors=True)  # idempotent re-runs
-    store = TableStore(root)
+    store, root = scratch_store("l18b_store", sf_dir)
     d = load_table(spark, sf_dir, "documents")
 
     def est(a_sig, b_sig):

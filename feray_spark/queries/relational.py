@@ -57,18 +57,9 @@ def s2_table_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: reads stay ONE multi-path vectorized parquet scan;
     the aggregate is the two-level exact-decimal sum used everywhere
     (S=1 per snapshot)."""
-    import os
-    import shutil
-    import tempfile
+    from feray_spark.queries.util import scratch_store
 
-    from feray_spark.sources.table_store import TableStore
-
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"feray_spark_s2_store_{sf_dir.strip('/').replace('/', '_')}",
-    )
-    shutil.rmtree(root, ignore_errors=True)  # idempotent re-runs
-    store = TableStore(root)
+    store, root = scratch_store("s2_store", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     store.write(
         orders.filter(F.col("o_orderpriority") == "1-URGENT"),
@@ -113,18 +104,9 @@ def s9_metadata_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface the METADATA alongside a re-count of the read-back table.
     A hash match proves the commit log carried the metadata and that
     it agrees with the stored data."""
-    import os
-    import shutil
-    import tempfile
+    from feray_spark.queries.util import scratch_store
 
-    from feray_spark.sources.table_store import TableStore
-
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"feray_spark_s9_store_{sf_dir.strip('/').replace('/', '_')}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    store = TableStore(root)
+    store, root = scratch_store("s9_store", sf_dir)
     feature = (
         load_table(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
@@ -170,18 +152,9 @@ def s10_optimize_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     that installs that layout (bit-interleaved range ranks →
     repartitionByRange). The skipping effect itself is asserted
     footer-by-footer in tests/test_optimize.py."""
-    import os
-    import shutil
-    import tempfile
+    from feray_spark.queries.util import scratch_store
 
-    from feray_spark.sources.table_store import TableStore
-
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"feray_spark_s10_store_{sf_dir.strip('/').replace('/', '_')}",
-    )
-    shutil.rmtree(root, ignore_errors=True)  # idempotent re-runs
-    store = TableStore(root)
+    store, root = scratch_store("s10_store", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     store.write(
         orders.filter(F.col("o_orderpriority") == "1-URGENT"),
@@ -251,18 +224,9 @@ def s11_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite commit pays a diff (two ``exceptAll`` hash-aggregates),
     the documented read-time-CDF trade vs Delta's write-time
     ``_change_data`` files."""
-    import os
-    import shutil
-    import tempfile
+    from feray_spark.queries.util import scratch_store
 
-    from feray_spark.sources.table_store import TableStore
-
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"feray_spark_s11_store_{sf_dir.strip('/').replace('/', '_')}",
-    )
-    shutil.rmtree(root, ignore_errors=True)  # idempotent re-runs
-    store = TableStore(root)
+    store, root = scratch_store("s11_store", sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     store.write(
         orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
