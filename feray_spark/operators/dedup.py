@@ -117,6 +117,8 @@ def minhash_signatures(
     # expression references it ~shingle_n times per element and
     # Catalyst doesn't CSE across lambdas — as a real column the
     # regex split runs once per row instead of once per reference.
+    # fan_out measured via l2: 1.65 s with vs 2.03 s without (sf0.1,
+    # local[32]) — per-row shingle+md5 work dominates
     shingled = (
         fan_out(df)
         .select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))
@@ -229,6 +231,7 @@ def minhash_lsh_pairs(
     pruned = df.select(F.col(id_col), F.col(text_col)).join(
         cand_ids, id_col, "leftsemi"
     )
+    # fan_out measured via l2 (with the signatures site): see above
     shsets = (
         fan_out(pruned)
         .select(F.col(id_col).alias("__tid"), words(text_col).alias("__w"))
@@ -270,6 +273,8 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     codegen ``bits``-fold)."""
     # Materialized per-row word array (see minhash_bands: Catalyst
     # won't CSE the regex split across the references below).
+    # fan_out measured via l2b: 0.59 s with vs 1.60 s without (sf0.1,
+    # local[32]) — the 60-bit per-word fold is hot
     df = fan_out(df).withColumn("__w", F.array_distinct(words(text_col)))
     w = F.col("__w")
     # per-word value from the md5 prefix (15 hex chars = 60 bits)
@@ -338,6 +343,8 @@ def ngram_jaccard_pairs(
     # intermediate projection holding the shingle array gets
     # collapsed into the word-split projection, after which the
     # regex split re-runs per element access inside the lambda.
+    # fan_out measured via l2c: 1.28 s with vs 2.35 s without (sf0.1,
+    # local[32])
     tok = (
         fan_out(df)
         .select(F.col(id_col).alias("__id"), words(text_col).alias("__w"))

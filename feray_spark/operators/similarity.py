@@ -35,6 +35,20 @@ from feray_spark.functions.vectors import cosine_similarity, cosine_similarity_b
 from feray_spark.queries.util import fan_out
 
 
+def _dtype_of(df: DataFrame, name: str) -> str:
+    """dtype of ``name`` resolved the way Spark resolves columns —
+    exact match first, then case-insensitive (spark.sql.caseSensitive
+    defaults to false, so ``F.col`` would have accepted the name)."""
+    for c, t in df.dtypes:
+        if c == name:
+            return t
+    low = name.lower()
+    for c, t in df.dtypes:
+        if c.lower() == low:
+            return t
+    raise KeyError(name)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -100,7 +114,7 @@ def exact_scan_topk(
         qM=qM,
         qnorm=qnorm,
         match_fn=match_fn,
-        qid_type=dict(queries.dtypes)[query_id],
+        qid_type=_dtype_of(queries, query_id),
     )
 
 
@@ -222,8 +236,11 @@ def _broadcast_scan_topk(
                     }
                 )
 
-    cid_type = dict(corpus.dtypes)[corpus_id]
-    cand = fan_out(corpus.select(F.col(corpus_id), F.col(vec_col))).mapInPandas(
+    cid_type = _dtype_of(corpus, corpus_id)
+    # no fan_out: the per-batch numpy matmul is cheap next to an extra
+    # round-robin exchange of the vectors (measured via l3b 0.45 s vs
+    # 0.70 s with, l3c 0.69 s vs 0.96 s with; sf0.1, local[32])
+    cand = corpus.select(F.col(corpus_id), F.col(vec_col)).mapInPandas(
         score, f"{query_id} {qid_type}, {corpus_id} {cid_type}, cosine double"
     )
     w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
@@ -287,7 +304,7 @@ def lsh_bucketed_topk(
             qM=qM,
             qnorm=qnorm,
             match_fn=match_fn,
-            qid_type=dict(queries.dtypes)[query_id],
+            qid_type=_dtype_of(queries, query_id),
         )
     qb = with_lsh_buckets(
         queries.select(F.col(query_id), F.col(vec_col)),
@@ -300,8 +317,11 @@ def lsh_bucketed_topk(
     # query buckets broadcast (the query set is small by contract of
     # this entry point): the corpus bucket stream map-side joins and
     # never shuffles
+    # no fan_out: feeds a broadcast join, not per-row heavy work — the
+    # measured analog (_broadcast_scan_topk via l3b/l3c) ran faster
+    # without the extra exchange
     cand = (
-        fan_out(cb).join(F.broadcast(qb), ["table_idx", "bucket"])
+        cb.join(F.broadcast(qb), ["table_idx", "bucket"])
         .filter(F.col(query_id) != F.col(corpus_id))
         .select(query_id, corpus_id)
         .distinct()
@@ -475,8 +495,11 @@ def _kmeans_refine(
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             return pd.Series((mat @ C.T).argmax(axis=1).astype("int64"))
 
+        # no fan_out: the posexplode + groupBy shuffle dominates; an
+        # extra pre-exchange only adds latency (the l3b/l3c measured
+        # pattern for cheap-vectorized-work-into-a-shuffle)
         means = (
-            fan_out(corpus.select(F.col(vec_col).alias("__v")))
+            corpus.select(F.col(vec_col).alias("__v"))
             .withColumn("__cell", assign(F.col("__v")))
             .select("__cell", F.posexplode("__v").alias("__d", "__x"))
             .groupBy("__cell", "__d")
@@ -579,8 +602,8 @@ def ivf_topk(
         # nothing): no neighbors exist — return the empty result frame
         # instead of letting np.stack raise an opaque ValueError
         spark = corpus.sparkSession
-        id_t = dict(queries.dtypes)[query_id]
-        cid_t = dict(corpus.dtypes)[corpus_id]
+        id_t = _dtype_of(queries, query_id)
+        cid_t = _dtype_of(corpus, corpus_id)
         return spark.createDataFrame(
             [], f"{query_id} {id_t}, {corpus_id} {cid_t}, "
                 "cosine double, rank int"
@@ -600,7 +623,7 @@ def ivf_topk(
         # through cell assignment and scoring in a single pass with no
         # candidate shuffle (see _broadcast_scan_topk)
         qids, qM, qnorm = _index_pdf(queries, query_id, vec_col)
-        qid_type = dict(queries.dtypes)[query_id]
+        qid_type = _dtype_of(queries, query_id)
         qsims = (qM / qnorm[:, None]) @ cent.T
         probes = np.argsort(-qsims, axis=1)[:, :nprobe]  # (nq, nprobe)
 
@@ -644,7 +667,9 @@ def ivf_topk(
     def probe_cells(vecs: pd.Series) -> pd.Series:
         return _cells(vecs, nprobe)
 
-    cvec = fan_out(corpus.select(F.col(corpus_id), F.col(vec_col))).withColumn(
+    # no fan_out: one vectorized cell-assign then a broadcast join —
+    # the extra exchange measured slower on this shape (l3b/l3c)
+    cvec = corpus.select(F.col(corpus_id), F.col(vec_col)).withColumn(
         "__cell", assign_cell(F.col(vec_col))
     )
     qvec = queries.select(F.col(query_id), F.col(vec_col).alias("__qv")).withColumn(

@@ -48,6 +48,18 @@ MH_ROWS = MH_NUM_HASHES // MH_BANDS
 JACCARD_T = 0.5
 
 _WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+
+# DuckDB twin of functions.text.quality_score (same integer/ratio
+# arithmetic, same IEEE ops) — shared by l4 and the sampling/cap oracles.
+_QUALITY_SQL = f"""(CASE WHEN len({_WORDS_SQL}) = 0 THEN 0.0
+               ELSE (CAST((length(text) BETWEEN 20 AND 100000) AS INT)
+                + CAST((len(list_filter({_WORDS_SQL},
+                       x -> list_contains(['the','a','of','and','to','in'], x)
+                       ))::DOUBLE / len({_WORDS_SQL}) >= 0.05) AS INT)
+                + CAST(((length(text) - len({_WORDS_SQL}) + 1)::DOUBLE
+                        / len({_WORDS_SQL}) BETWEEN 2.0 AND 12.0) AS INT)
+               )::DOUBLE / 3.0 END)"""
+
 _SHINGLES_SQL = (
     "list_transform(generate_series(1, len(w) - 2), "
     "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
@@ -322,14 +334,7 @@ def l3c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         list_distinct({_WORDS_SQL}),
                         ['the','a','of','and','to','in'])) >= 2
                     THEN 'en' ELSE 'und' END AS lang_guess,
-               (CASE WHEN len({_WORDS_SQL}) = 0 THEN 0.0
-                ELSE (CAST((length(text) BETWEEN 20 AND 100000) AS INT)
-                + CAST((len(list_filter({_WORDS_SQL},
-                       x -> list_contains(['the','a','of','and','to','in'], x)
-                       ))::DOUBLE / len({_WORDS_SQL}) >= 0.05) AS INT)
-                + CAST(((length(text) - len({_WORDS_SQL}) + 1)::DOUBLE
-                        / len({_WORDS_SQL}) BETWEEN 2.0 AND 12.0) AS INT)
-               )::DOUBLE / 3.0 END) AS quality,
+               {_QUALITY_SQL} AS quality,
                list_min(list_transform(
                    generate_series(1, greatest(length(text) - 7, 1)),
                    i -> substr(md5(concat_ws('|', '0',
@@ -424,22 +429,16 @@ def l5b_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
     tok = Tokenizer(inputCol="text", outputCol="tokens")
     tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12)
-    # IDF.fit is a second full pass over the term-frequency vectors:
-    # persist so tokenize+hash runs once, not twice (standard shape for
-    # any fit-then-transform pipeline)
-    tfd = tf.transform(tok.transform(d)).persist()
+    # No persist: IDF.fit is the FIRST materialization (one pass for doc
+    # frequencies) and the caller's collection of `out` is the second.
+    # Caching between them would have to stay pinned past return to help,
+    # leaking storage memory per run; re-tokenizing once is cheaper.
+    tfd = tf.transform(tok.transform(d))
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
-    out = idf.transform(tfd).select(
+    return idf.transform(tfd).select(
         "doc_id",
         F.expr("size(tokens)").alias("n_tokens"),
     )
-    # the FIT is what needed the cache (it's a second full pass); drop
-    # the pin now so the TF vectors don't occupy executor storage for
-    # the session's lifetime — the caller's single execution of `out`
-    # re-tokenizes once, which is cheaper than a permanently smaller
-    # execution-memory region for every later query
-    tfd.unpersist(blocking=False)
-    return out
 
 
 @register(
@@ -681,7 +680,10 @@ def l6d_video_frame_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": media})
 
-    with_media = fan_out(d.select("doc_id")).mapInPandas(
+    # no fan_out: measured 0.75 s without vs 0.86 s with (sf0.1,
+    # local[32]) — frame synthesis is cheap per row and the payloads
+    # then re-exchange into sample_frames
+    with_media = d.select("doc_id").mapInPandas(
         gen, "doc_id long, media struct<mime:string,uri:string,data:binary>"
     )
     frames = sample_frames(with_media, every=_L6D_EVERY)
@@ -718,7 +720,8 @@ def l8_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, stride 24 → 8-word overlap) — the standard pre-embedding
     chunker. Pure higher-order expressions (sequence → transform →
     slice) exploded JVM-side: no UDF, no Python, chunk text never
-    leaves codegen until the explode. One narrow stage, S = 0."""
+    leaves codegen until the explode. One narrow stage, S = 0.
+    fan_out measured: 0.38 s with vs 0.45 s without (sf0.1, local[32])."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     window, stride = 32, 24
     w = F.split(F.lower("text"), r"\s+")
@@ -976,8 +979,12 @@ def l11_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB (nothing corpus-sized ever exchanges)."""
     from feray_spark.functions.text import words as words_fn
 
+    # fan_out measured: 0.42 s with vs 0.80 s without (sf0.1, local[32])
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    w = words_fn("text")
+    # NULL text folds into the zero-word case ((0, 0, NULL, NULL) row)
+    # exactly like the oracle's LEFT JOIN — without the coalesce,
+    # size(NULL array) would emit -1/NULL counts instead
+    w = words_fn(F.coalesce(F.col("text"), F.lit("")))
     sorted_w = F.array_sort(w)
     init = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
@@ -1071,17 +1078,6 @@ def l12_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("self_hit"),
     )
 
-
-# DuckDB twin of functions.text.quality_score (same integer/ratio
-# arithmetic, same IEEE ops) — shared by the sampling/cap oracles.
-_QUALITY_SQL = f"""(CASE WHEN len({_WORDS_SQL}) = 0 THEN 0.0
-               ELSE (CAST((length(text) BETWEEN 20 AND 100000) AS INT)
-                + CAST((len(list_filter({_WORDS_SQL},
-                       x -> list_contains(['the','a','of','and','to','in'], x)
-                       ))::DOUBLE / len({_WORDS_SQL}) >= 0.05) AS INT)
-                + CAST(((length(text) - len({_WORDS_SQL}) + 1)::DOUBLE
-                        / len({_WORDS_SQL}) BETWEEN 2.0 AND 12.0) AS INT)
-               )::DOUBLE / 3.0 END)"""
 
 _PACK_CTX = 2048  # tokens per packed training sequence
 _PACK_SHARDS = 32  # deterministic packing shards (parallelism unit)

