@@ -55,13 +55,14 @@ FLAGSHIP = "a1_groupby_q1"
 #: lands). Construction rule: (1) entries with no driver row anywhere —
 #: after r4 that is l24_semantic_dedup and l18b_incremental_neardup
 #: (added this round, outside the r4 window); (2) entries whose CODE changed after their last
-#: driver row (l3 swapped to the fold scorer; l2d/l5 output rounding);
+#: driver row (l3 swapped to the fold scorer; l2d/l5 output rounding;
+#: l4 gained fan_out + the shared-quality oracle after its r03 row);
 #: (3) the 6 entries whose latest row dates to r01 (oldest evidence);
 #: (4) fill to 50 with the remaining r01-era catalog in registry order.
 _ROUND5_PRIORITY = [
     "l24_semantic_dedup", "l18b_incremental_neardup",
     "l3_embedding_topk", "l2d_embedding_neardup",
-    "l5_token_df_idf", "w7_first_last_value", "w8_top_k_per_group",
+    "l5_token_df_idf", "l4_text_stats", "w7_first_last_value", "w8_top_k_per_group",
     "o1_multikey_sort", "o2_limit_offset", "o3_global_topk",
     "u1_union_all", "s1_parquet_scan_count", "s9_metadata_sink",
     "s6_csv_roundtrip", "s6b_ndjson_roundtrip", "s7_inmemory_rows",
@@ -75,7 +76,7 @@ _ROUND5_PRIORITY = [
     "a3_statistical_aggs", "a3b_native_stddev_var", "a4_count_distinct",
     "a5_approx_count_distinct", "a6_distinct_rows", "a7_collect_list_set",
     "a8_rollup", "a8b_cube", "a8c_grouping_sets", "a9_pivot",
-    "a10_global_agg", "a11_filtered_agg",
+    "a10_global_agg",
 ]
 
 #: The round-4 window (ACTIVE): the 37 never-checked entries above plus

@@ -143,9 +143,18 @@ class FeatureStore:
         path = self.sources[name]
         entries = []
         if os.path.isdir(path):
-            for fname in sorted(os.listdir(path)):
-                st = os.stat(os.path.join(path, fname))
-                entries.append((fname, st.st_size, int(st.st_mtime)))
+            # recursive: a hive-partitioned source rewrites files inside
+            # day=X/ subdirs without touching the top-level entry's
+            # size/mtime — a shallow listdir digest would serve stale
+            # memo hits over changed data
+            for dirpath, dirnames, filenames in os.walk(path):
+                dirnames.sort()
+                for fname in sorted(filenames):
+                    fp = os.path.join(dirpath, fname)
+                    st = os.stat(fp)
+                    entries.append(
+                        (os.path.relpath(fp, path), st.st_size, int(st.st_mtime))
+                    )
         else:
             st = os.stat(path)
             entries.append((os.path.basename(path), st.st_size, int(st.st_mtime)))
@@ -187,8 +196,18 @@ class FeatureStore:
             # verdicts are amended AFTER the write job (observed
             # metrics); a commit missing them means the process died
             # in that window — never serve it as a memo hit, or the
-            # checks would be skipped forever
-            and (not view.checks or "checks" in latest.user_metadata)
+            # checks would be skipped forever. A commit whose verdicts
+            # RECORD a failure is equally not a hit: re-runs must
+            # recompute and re-raise (materialize_partition's
+            # fingerprint-pop rule), never silently serve known-bad
+            # data from the cache
+            and (
+                not view.checks
+                or (
+                    "checks" in latest.user_metadata
+                    and all(latest.user_metadata["checks"].values())
+                )
+            )
         ):
             return self.store.read(self.spark, name), False
 
@@ -256,22 +275,26 @@ class FeatureStore:
             raise CheckFailure(f"{name}: checks failed: {failed}")
         return self.store.read(self.spark, name), True
 
-    def _amend_checks(self, name, commit, check_results: dict[str, bool]) -> None:
-        """Record check verdicts on the just-written commit. The
-        verdicts only exist AFTER the write job ran (observed
-        metrics), so they're patched into the commit file in place —
-        same version, enriched metadata (what Delta does by writing
-        checks into the commitInfo action post-hoc is not available
-        to a put-if-absent log, and a separate metadata commit would
-        burn a version per materialization)."""
+    def _amend_metadata(self, name, commit, updates: dict) -> None:
+        """Patch key/value pairs into a just-written commit's
+        user_metadata in place — same version, enriched metadata.
+        Used for facts that only exist AFTER the write job ran
+        (observed-metric check verdicts, and the partition
+        fingerprint they gate): what Delta does by writing checks
+        into the commitInfo action post-hoc is not available to a
+        put-if-absent log, and a separate metadata commit would burn
+        a version per materialization."""
         log = os.path.join(self.store._log_dir(name), f"{commit.version:08d}.json")
         with open(log) as f:
             rec = json.load(f)
-        rec["user_metadata"]["checks"] = check_results
+        rec["user_metadata"].update(updates)
         tmp = log + ".amend"
         with open(tmp, "w") as f:
             json.dump(rec, f)
         os.replace(tmp, log)
+
+    def _amend_checks(self, name, commit, check_results: dict[str, bool]) -> None:
+        self._amend_metadata(name, commit, {"checks": check_results})
 
     def materialize_partition(
         self,
@@ -355,17 +378,38 @@ class FeatureStore:
             CODE_VERSION_COL, F.lit(code_version(view.fn))
         )
         # declared asset checks (FS5) gate the partition exactly as
-        # materialize() gates the table: one combined aggregation over
-        # the partition result, verdicts recorded, failure raises
-        check_results: dict[str, bool] = {}
+        # materialize() gates the table — and like materialize() they
+        # ride the WRITE job as observed metrics (df.observe) instead
+        # of a separate eager aggregation, so checks cost zero extra
+        # passes over the partition. Verdicts then only exist AFTER
+        # the write, so the commit is made WITHOUT this partition's
+        # fingerprint and the fingerprint + verdicts are amended in
+        # once the checks pass: a crash in that window (or a failing
+        # check) leaves a fingerprint-less commit that the next run
+        # treats as a memo MISS — recompute and re-raise, never a hit
+        # that silently serves the failing partition. Checks observe
+        # can't carry (DISTINCT forms) fall back to the explicit
+        # pre-commit aggregation, detected at plan time.
+        observation = None
+        fallback_results: dict[str, bool] | None = None
         if view.checks:
-            row = result.agg(
-                *[c(result).alias(n) for n, c in view.checks.items()]
-            ).collect()[0]
-            check_results = {n: bool(row[n]) for n in view.checks}
+            from pyspark.sql import Observation
+
+            try:
+                observation = Observation()
+                result = result.observe(
+                    observation,
+                    *[c(result).alias(n) for n, c in view.checks.items()],
+                )
+            except Exception:
+                row = result.agg(
+                    *[c(result).alias(n) for n, c in view.checks.items()]
+                ).collect()[0]
+                fallback_results = {n: bool(row[n]) for n in view.checks}
 
         from feray_spark.sources.table_store import ConcurrentWriteError
 
+        commit = None
         for attempt in range(3):
             # re-resolve the fingerprint map EACH attempt so a commit
             # interleaved by another partition's writer keeps its
@@ -377,23 +421,27 @@ class FeatureStore:
                 if latest is not None
                 else {}
             )
-            if check_results and not all(check_results.values()):
-                # failing checks: commit the data + verdicts for
-                # inspection, but leave NO fingerprint for this
-                # partition — a re-run must be a memo MISS that
-                # recomputes and re-raises, never a hit that silently
-                # serves the failing partition
-                fps.pop(str(partition), None)
+            if view.checks:
+                # verdicts pending (observe) or failing (fallback):
+                # commit carries NO fingerprint for this partition yet
+                if fallback_results is None or not all(fallback_results.values()):
+                    fps.pop(str(partition), None)
+                else:
+                    fps[str(partition)] = part_fp
             else:
                 fps[str(partition)] = part_fp
             meta = {
                 "code_version": code_version(view.fn),
                 "partition_fingerprints": fps,
-                **({"checks": check_results} if view.checks else {}),
+                **(
+                    {"checks": fallback_results}
+                    if fallback_results is not None
+                    else {}
+                ),
             }
             try:
                 if latest is None:
-                    self.store.write(
+                    commit = self.store.write(
                         result,
                         name,
                         mode="overwrite",
@@ -401,13 +449,27 @@ class FeatureStore:
                         partition_by=[col],
                     )
                 else:
-                    self.store.replace_where(
+                    commit = self.store.replace_where(
                         self.spark, name, result, predicate, user_metadata=meta
                     )
                 break
             except ConcurrentWriteError:
                 if attempt == 2:
                     raise
+        check_results = fallback_results or {}
+        if observation is not None:
+            # the write above executed the observed plan; verdicts and
+            # (on success) the partition fingerprint are amended into
+            # the just-written commit
+            check_results = {k: bool(v) for k, v in observation.get.items()}
+            updates: dict = {"checks": check_results}
+            if all(check_results.values()):
+                fps = dict(
+                    commit.user_metadata.get("partition_fingerprints", {})
+                )
+                fps[str(partition)] = part_fp
+                updates["partition_fingerprints"] = fps
+            self._amend_metadata(name, commit, updates)
         if check_results and not all(check_results.values()):
             failed = [n for n, ok in check_results.items() if not ok]
             raise CheckFailure(f"{name} [{partition}]: checks failed: {failed}")
@@ -445,10 +507,12 @@ class FeatureStore:
         ``TableStore.read_stream``; a parquet source path streams via
         a staged file-source directory (single-file fixtures get a
         symlink dir under the STORE ROOT — never a predictable
-        world-shared /tmp path — and a stale/foreign symlink is
-        replaced, not trusted) with the footer schema."""
-        import hashlib
+        world-shared /tmp path — via the shared helper in
+        sources/staging.py, which replaces rather than trusts
+        stale/foreign symlinks) with the footer schema."""
         import os
+
+        from feray_spark.sources.staging import stage_single_file
 
         if name in self.views:
             return self.store.read_stream(self.spark, name)
@@ -458,18 +522,9 @@ class FeatureStore:
             if os.path.isdir(src):
                 stage = src
             else:
-                tag = hashlib.sha256(src.encode()).hexdigest()[:12]
-                stage = os.path.join(
-                    self.store.root, "_stream_stage", tag
+                stage = stage_single_file(
+                    src, os.path.join(self.store.root, "_stream_stage")
                 )
-                os.makedirs(stage, exist_ok=True)
-                link = os.path.join(stage, os.path.basename(src))
-                if os.path.islink(link) and os.readlink(link) == src:
-                    pass  # ours, still pointing at the right file
-                else:
-                    if os.path.lexists(link):
-                        os.unlink(link)
-                    os.symlink(src, link)
             return self.spark.readStream.schema(schema).parquet(stage)
         if self.store.latest_version(name) is not None:
             # raw ingestion tail written straight into the store —
@@ -665,18 +720,24 @@ class FeatureStore:
 
     def backfill(self, name: str, predicate: str) -> None:
         """FS7: recompute only the slice matching ``predicate``
-        (Delta ``replaceWhere`` semantics via the table store)."""
+        (Delta ``replaceWhere`` semantics via the table store).
+
+        The commit CARRIES FORWARD the previous fingerprint (the
+        annotate() rule) rather than stamping the current one: only
+        one slice was recomputed, so claiming the whole-table
+        fingerprint would turn the next sync() into a memo hit and
+        freeze every untouched slice at its stale contents when the
+        inputs have moved."""
         view = self.views[name]
         inputs = {i: self._load_input(i) for i in view.inputs}
         result = view.fn(self.spark, inputs).filter(predicate)
         result = with_data_version(result, view.version_cols)
         result = result.withColumn(CODE_VERSION_COL, F.lit(code_version(view.fn)))
+        prev = self.store.commit_info(name)
+        meta = dict(prev.user_metadata) if prev else {}
+        meta["backfill"] = predicate
         self.store.replace_where(
-            self.spark,
-            name,
-            result,
-            predicate,
-            user_metadata={"backfill": predicate, "fingerprint": self.fingerprint(view)},
+            self.spark, name, result, predicate, user_metadata=meta
         )
 
     # ------------------------------------------------------- annotate

@@ -1,0 +1,50 @@
+"""Staging for file-source streams over single-file fixtures.
+
+Spark's file stream source requires a DIRECTORY; a single parquet
+file is exposed by symlinking it into a per-source stage dir. The
+stage root must be PRIVATE to the caller: a predictable path in a
+world-shared /tmp would let another local user pre-create the dir
+(or swap the symlink between the readlink check and Spark's read)
+and feed attacker-controlled files into the stream. One definition
+here serves both ``streaming.fastlane`` and ``features.store`` so
+the hardening can never diverge between the two again.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+
+def private_stage_root(prefix: str = "feray_stage") -> str:
+    """A per-user 0700 directory under the system tempdir. Raises if
+    the path exists but is owned by someone else or group/world
+    accessible — never silently stage through a dir another user
+    controls."""
+    root = os.path.join(tempfile.gettempdir(), f"{prefix}_{os.getuid()}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.lstat(root)
+    if st.st_uid != os.getuid() or os.path.islink(root):
+        raise RuntimeError(f"stage root {root} is not owned by this user")
+    os.chmod(root, 0o700)
+    return root
+
+
+def stage_single_file(src: str, stage_root: str) -> str:
+    """Symlink ``src`` into ``<stage_root>/<sha256(src)[:12]>/`` and
+    return that directory. A stale, dangling, or foreign link is
+    replaced, not trusted — ``os.path.exists`` FOLLOWS links, so a
+    dangling one would otherwise slip past an exists() guard straight
+    into ``os.symlink``'s FileExistsError. The tag is deterministic
+    so a restarted stream's checkpoint resolves the same source
+    directory."""
+    tag = hashlib.sha256(src.encode()).hexdigest()[:12]
+    stage = os.path.join(stage_root, tag)
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, os.path.basename(src))
+    if not (os.path.islink(link) and os.readlink(link) == src):
+        if os.path.lexists(link):
+            os.unlink(link)
+        os.symlink(src, link)
+    return stage

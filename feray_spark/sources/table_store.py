@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from collections.abc import Sequence
@@ -68,6 +69,17 @@ class Commit:
     #: {segment_path: {col: [min, max]}} (numeric/string only,
     #: footer-derived — absent for pre-stats commits)
     stats: dict[str, Any] = field(default_factory=dict)
+
+
+def _has_data_files(seg: str) -> bool:
+    """Whether a just-written segment contains any parquet file. A
+    zero-row ``partitionBy`` write emits only _SUCCESS; committing the
+    empty directory as a segment would break later partitioned reads
+    (schema inference finds nothing), so writers drop such segments."""
+    for _root, _dirs, files in os.walk(seg):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def _segment_stats(seg: str) -> dict[str, list]:
@@ -216,11 +228,22 @@ class TableStore:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(seg)
         spark = df.sparkSession
-        n_new = spark.read.parquet(seg).count()
-        segments = [seg] if mode == "overwrite" or prev is None else [*prev.segments, seg]
+        if _has_data_files(seg):
+            n_new = spark.read.parquet(seg).count()
+            new_segs = [seg]
+        else:
+            # zero-row partitioned write: no files — commit without the
+            # segment instead of poisoning later reads
+            shutil.rmtree(seg, ignore_errors=True)
+            n_new, new_segs, seg = 0, [], None
+        segments = (
+            new_segs if mode == "overwrite" or prev is None
+            else [*prev.segments, *new_segs]
+        )
         row_count = n_new if mode == "overwrite" or prev is None else prev.row_count + n_new
         stats = {} if mode == "overwrite" or prev is None else dict(prev.stats)
-        stats[seg] = _segment_stats(seg)
+        if seg is not None:
+            stats[seg] = _segment_stats(seg)
         return self._commit(
             table,
             Commit(
@@ -297,8 +320,6 @@ class TableStore:
             os.link(tmp, dst)  # atomic: EEXIST iff someone committed first
         except FileExistsError as e:
             if new_segment is not None:
-                import shutil
-
                 shutil.rmtree(new_segment, ignore_errors=True)
             raise ConcurrentWriteError(
                 f"{table}: version {commit.version} was committed by another "
@@ -690,8 +711,6 @@ class TableStore:
         retention-guard pattern), so an in-flight writer's
         not-yet-committed segment is never yanked from under it.
         Returns the deleted segment paths."""
-        import shutil
-
         commits = self._commits(table)
         if not commits or keep_versions < 1:
             return []
@@ -929,6 +948,25 @@ class TableStore:
                     f"{table}: MERGE source types do not up-cast to the "
                     f"target schema: {e}"
                 ) from e
+        # Delta MERGE errors when several source rows hit one target
+        # row; this store's anti-join+union would instead silently
+        # keep BOTH source rows for the key. Reject duplicate source
+        # keys outright (deterministic and slightly stricter — the
+        # DeltaTableStore twin raises at runtime for the matched
+        # subset): callers own the latest-wins pre-dedup, exactly as
+        # materialize_stream and serve_upsert already do.
+        dup = (
+            source.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .take(1)
+        )
+        if dup:
+            key_vals = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"{table}: MERGE source has multiple rows per key "
+                f"(e.g. {key_vals}); deduplicate to one row per key first"
+            )
         target = self.read(spark, table)
         kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(source)
@@ -1039,7 +1077,14 @@ class TableStore:
         shape (rewrite one day, carry a decade). Otherwise it falls
         back to read-filter-rewrite, the documented limitation of the
         jar-less store."""
-        bad = replacement.filter(f"NOT ({predicate})").count()
+        # "violates" = predicate is not TRUE — same three-valued-logic
+        # rule as the kept side below. NOT(predicate) alone would wave
+        # NULL-evaluating rows through validation and then duplicate
+        # them (written into the new segment AND carried with the
+        # unmatched NULL partition).
+        bad = replacement.filter(
+            F.coalesce(F.expr(predicate), F.lit(False)) == F.lit(False)
+        ).count()
         if bad:
             raise ValueError(
                 f"replacement violates replaceWhere predicate for {bad} rows"
@@ -1058,7 +1103,14 @@ class TableStore:
                     .partitionBy(*prev.partition_by)
                     .parquet(seg)
                 )
-                n_new = spark.read.parquet(seg).count()
+                if _has_data_files(seg):
+                    n_new = spark.read.parquet(seg).count()
+                else:
+                    # empty replacement = delete-the-matched-partitions:
+                    # commit only the carried dirs (an empty segment
+                    # would break schema inference on later reads)
+                    shutil.rmtree(seg, ignore_errors=True)
+                    n_new, seg = 0, None
                 n_carried = 0
                 if carried:  # parquet footer counts only — no data IO
                     by_base: dict[str, list[str]] = {}
@@ -1070,7 +1122,7 @@ class TableStore:
                         )
                 segments: list[Any] = [
                     {"path": d, "base": b} for d, b in carried
-                ] + [seg]
+                ] + ([seg] if seg is not None else [])
                 commit = Commit(
                     version=version,
                     mode="replace_where",
@@ -1085,7 +1137,7 @@ class TableStore:
                     partition_by=prev.partition_by,
                     # carried partition dirs have no stats entry and are
                     # conservatively kept by segments_in_range
-                    stats={seg: _segment_stats(seg)},
+                    stats={seg: _segment_stats(seg)} if seg is not None else {},
                 )
                 return self._commit(table, commit, new_segment=seg)
         target = self.read(spark, table)

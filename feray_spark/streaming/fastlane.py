@@ -37,26 +37,13 @@ from feray_spark.sources.table_store import TableStore
 def _stage_file_stream(
     spark: SparkSession, src: str, prefix: str
 ) -> DataFrame:
-    """File-source stream over a single parquet file: the file source
-    requires a DIRECTORY, so the file is symlinked into a per-source
-    stage dir under the system tempdir. The schema comes from the
-    parquet footer (one driver-side metadata read, no data scan). A
-    stale, dangling, or foreign link is replaced, not trusted —
-    ``os.path.exists`` FOLLOWS links, so a dangling one would
-    otherwise slip past an exists() guard straight into
-    ``os.symlink``'s FileExistsError."""
-    import hashlib
-    import os
-    import tempfile
+    """File-source stream over a single parquet file via the shared
+    private staging helper (sources/staging.py — per-user 0700 root,
+    foreign links replaced, not trusted). The schema comes from the
+    parquet footer (one driver-side metadata read, no data scan)."""
+    from feray_spark.sources.staging import private_stage_root, stage_single_file
 
-    tag = hashlib.sha256(src.encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, os.path.basename(src))
-    if not (os.path.islink(link) and os.readlink(link) == src):
-        if os.path.lexists(link):
-            os.unlink(link)
-        os.symlink(src, link)
+    stage = stage_single_file(src, private_stage_root(prefix))
     schema = spark.read.parquet(src).schema
     return spark.readStream.schema(schema).format("parquet").load(stage)
 
@@ -287,7 +274,13 @@ def serve_upsert(
                     | (F.col("ts") > F.col("__cur_ts"))
                     | (
                         (F.col("ts") == F.col("__cur_ts"))
-                        & (F.col("event_id") >= F.col("__cur_eid"))
+                        # STRICT >: an event_id names one immutable
+                        # event, so a row equal to the stored (ts,
+                        # event_id) is a checkpoint replay of what is
+                        # already served — with >= every pure replay
+                        # would count as fresh and trigger a full
+                        # no-op MERGE rewrite
+                        & (F.col("event_id") > F.col("__cur_eid"))
                     )
                 )
                 .drop("__cur_ts", "__cur_eid")

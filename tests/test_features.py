@@ -895,3 +895,143 @@ def test_materialize_partition_quoted_value_and_checks(spark, tmp_root):
     assert meta["checks"] == {"positive": True}
     with pytest.raises(CheckFailure, match="positive"):
         fs.materialize_partition("by_day", "plain")
+
+
+def test_failing_checks_never_memo_hit(spark, tmp_root):
+    """A full-table materialization whose checks FAILED is not a memo
+    hit on the next call: re-runs recompute and re-raise (the
+    materialize_partition fingerprint-pop rule, applied to
+    materialize())."""
+    fs = _make_store(spark, tmp_root)
+    calls = {"n": 0}
+
+    @fs.feature_view(
+        name="failing",
+        inputs=["orders"],
+        checks={"impossible": lambda df: F.max("o_totalprice") < 0},
+    )
+    def failing(spark_, inputs):
+        calls["n"] += 1
+        return inputs["orders"].select("o_orderkey", "o_totalprice")
+
+    with pytest.raises(CheckFailure):
+        fs.materialize("failing")
+    first = calls["n"]
+    with pytest.raises(CheckFailure):
+        fs.materialize("failing")
+    assert calls["n"] > first  # recomputed, not served from the cache
+
+
+def test_backfill_carries_prev_fingerprint(spark, tmp_root):
+    """backfill() recomputes ONE slice, so its commit must not claim
+    the current whole-table fingerprint: after inputs change, a
+    backfill of one slice leaves the table stale-by-fingerprint and
+    the next sync() recomputes it in full."""
+    import os
+
+    src = os.path.join(tmp_root, "src")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, part string, v double"
+    ).write.parquet(src)
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"), sources={"s": src})
+
+    @fs.feature_view(name="feat", inputs=["s"], entities=["k"])
+    def feat(spark_, inputs):
+        return inputs["s"].select("k", "part", (F.col("v") * 2).alias("v2"))
+
+    fs.materialize("feat")
+    fp_before = fs.store.commit_info("feat").user_metadata["fingerprint"]
+
+    # inputs move (both slices changed)
+    shutil.rmtree(src)
+    spark.createDataFrame(
+        [(1, "a", 11.0), (2, "b", 21.0)], "k int, part string, v double"
+    ).write.parquet(src)
+    future = os.stat(src).st_mtime + 5
+    for f in os.listdir(src):
+        os.utime(os.path.join(src, f), (future, future))
+
+    fs.backfill("feat", "part = 'a'")
+    meta = fs.store.commit_info("feat").user_metadata
+    # the carried fingerprint is the PRE-change one, not the current
+    assert meta["fingerprint"] == fp_before
+    assert fs.fingerprint(fs.views["feat"]) != fp_before
+    # so the next sync is a MISS that recomputes the whole table
+    assert fs.sync() == {"feat": True}
+    got = {(r.k, r.v2) for r in fs.store.read(spark, "feat").collect()}
+    assert got == {(1, 22.0), (2, 42.0)}
+
+
+def test_replace_where_rejects_null_predicate_replacement(spark, tmp_root):
+    """Validation uses predicate-is-not-TRUE (three-valued logic): a
+    replacement row whose predicate evaluates NULL is a violation,
+    exactly like one that evaluates FALSE — otherwise it would be
+    written AND its partition carried, duplicating the row."""
+    ts = TableStore(tmp_root)
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id int, part string"
+    )
+    ts.write(df, "t", mode="overwrite", partition_by=["part"])
+    bad = spark.createDataFrame([(3, None)], "id int, part string")
+    with pytest.raises(ValueError, match="violates"):
+        ts.replace_where(spark, "t", bad, "part = 'x'")
+
+
+def test_replace_where_empty_replacement_deletes_partition(spark, tmp_root):
+    """An EMPTY replacement is the delete-a-partition shape (a
+    backfilled day whose input now has no rows): the matched
+    partition disappears, everything else is carried, and the commit
+    contains no empty segment to break later reads."""
+    ts = TableStore(tmp_root)
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "y")], "id int, part string"
+    )
+    ts.write(df, "t", mode="overwrite", partition_by=["part"])
+    empty = spark.createDataFrame([], "id int, part string")
+    commit = ts.replace_where(spark, "t", empty, "part = 'x'")
+    got = {(r.id, r.part) for r in ts.read(spark, "t").collect()}
+    assert got == {(2, "y"), (3, "y")}
+    assert commit.row_count == 2
+    # and an empty partitioned APPEND commits cleanly too
+    ts.write(empty, "t2_seed", mode="overwrite", partition_by=["part"])
+    assert ts.read(spark, "t2_seed").count() == 0
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_root):
+    """MERGE with several source rows per key raises (Delta errors on
+    multiple matches; silently keeping both rows would corrupt a
+    serving table)."""
+    ts = TableStore(tmp_root)
+    ts.write(
+        spark.createDataFrame([(1, "a")], "id int, v string"),
+        "t",
+        mode="overwrite",
+    )
+    dup = spark.createDataFrame([(1, "b"), (1, "c")], "id int, v string")
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        ts.merge(spark, "t", dup, keys=["id"])
+
+
+def test_input_version_sees_nested_file_changes(spark, tmp_root):
+    """The source digest walks the tree recursively: rewriting a file
+    INSIDE a partition subdir (top-level entry unchanged) busts the
+    memo key."""
+    import os
+
+    src = os.path.join(tmp_root, "src")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k int, day string, v double"
+    ).write.partitionBy("day").parquet(src)
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"), sources={"s": src})
+    v1 = fs._input_version("s")
+
+    # rewrite one nested file's CONTENT without touching the top-level
+    # day=a entry's size/mtime (bump only the nested file's mtime)
+    sub = os.path.join(src, "day=a")
+    top_stat = os.stat(sub)
+    for f in os.listdir(sub):
+        p = os.path.join(sub, f)
+        os.utime(p, (os.stat(p).st_mtime + 10,) * 2)
+    os.utime(sub, (top_stat.st_atime, top_stat.st_mtime))  # freeze the dir entry
+
+    assert fs._input_version("s") != v1
