@@ -98,9 +98,15 @@ def run_external_job(
                     report = parsed
             except (json.JSONDecodeError, OSError):
                 pass
+        # same degrade-don't-crash rule one level down: "metadata":
+        # null (or a non-dict) in an otherwise well-formed channel must
+        # not break the ExternalResult.metadata: dict contract
+        metadata = report.get("metadata")
+        if not isinstance(metadata, dict):
+            metadata = {}
         return ExternalResult(
             returncode=proc.returncode,
-            metadata=report.get("metadata", {}),
+            metadata=metadata,
             data_version=report.get("data_version"),
             stdout=proc.stdout,
             stderr=proc.stderr,

@@ -95,7 +95,7 @@ def image_dimensions(data: bytes) -> tuple[int, int]:
         return int(w), int(h)
     if data[:3] == b"\xff\xd8\xff":  # JPEG: scan for a SOFn marker
         pos = 2
-        while pos + 9 < len(data):
+        while pos + 9 <= len(data):
             if data[pos] != 0xFF:
                 pos += 1
                 continue
@@ -141,11 +141,19 @@ decode_image = image_dimensions
 def _payload(m) -> bytes | None:
     """Inline payload bytes, or None for POINTER-ONLY media rows —
     MEDIA_STRUCT declares ``data`` nullable precisely so payloads too
-    large to inline can ride as object-store URIs. Extractors must
-    treat those as 'not decodable here' (null features / no frames),
-    never crash the task on ``bytes(None)``."""
+    large to inline can ride as object-store URIs — and for NULL media
+    structs (the column itself is nullable). Extractors must treat
+    both as 'not decodable here' (null features / no frames), never
+    crash the task on ``bytes(None)`` / ``None["data"]``."""
+    if m is None:
+        return None
     d = m["data"]
     return None if d is None else bytes(d)
+
+
+def _mime(m) -> str | None:
+    """MIME of a media struct row, None for a NULL struct."""
+    return None if m is None else m["mime"]
 
 
 def fake_decode(data: bytes) -> tuple[int, int]:
@@ -181,7 +189,7 @@ def extract_media_features(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "mime": [m["mime"] for m in pdf[media_col]],
+                    "mime": [_mime(m) for m in pdf[media_col]],
                     "n_bytes": pd.array(
                         [len(p) if p is not None else None for p in payloads],
                         dtype="Int32",
@@ -345,6 +353,12 @@ def dhash_image(data: bytes, hash_size: int = 8) -> int:
     out = 0
     for b in bits:
         out = (out << 1) | int(b)
+    # fold to 64 bits: hash_size > 8 yields hash_size² bits, which
+    # must still land in a Spark LongType column — XOR successive
+    # 64-bit words (order-preserving, deterministic; a plain truncate
+    # would silently discard the high-gradient rows)
+    while out >= 1 << 64:
+        out = (out & ((1 << 64) - 1)) ^ (out >> 64)
     # two's-complement into a SIGNED 64-bit value so the hash is a
     # Spark LongType column (Arrow has no unsigned long)
     if out >= 1 << 63:
@@ -396,7 +410,9 @@ def resize_media(
                 {
                     "doc_id": pdf[id_col],
                     "media": [
-                        {
+                        None
+                        if m is None
+                        else {
                             "mime": m["mime"],
                             "uri": m["uri"],
                             # pointer-only rows pass through unresized —
@@ -519,7 +535,7 @@ def extract_audio_features(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "mime": [m["mime"] for m in pdf[media_col]],
+                    "mime": [_mime(m) for m in pdf[media_col]],
                     "n_bytes": pd.array(
                         [len(p) if p is not None else None for p in payloads],
                         dtype="Int64",

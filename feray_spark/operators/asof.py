@@ -62,32 +62,44 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*on, right_ts)]
     out_names = [c + suffix for c in right_cols]
+    clash = sorted(set(out_names) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join output columns {clash} collide with left columns; "
+            "pass a suffix or narrow right_cols"
+        )
 
     # Common frame: key cols, event time, side tag, payload structs.
     # side orders rows at EQUAL timestamps: for strict matching the
     # left row sorts BEFORE same-ts right rows (so it cannot see
     # them); for inclusive matching, after.
     left_side, right_side = (0, 1) if not allow_exact_matches else (1, 0)
+    # SQL ASOF semantics (polars join_asof, DuckDB ASOF JOIN): a right
+    # row with a NULL key or NULL timestamp can never match — drop them
+    # up front, or NULLS-FIRST ordering would sort a NULL-ts right row
+    # before every left row (visible to all of them) and NULL keys
+    # would equi-match each other.
+    rf = right.filter(F.col(right_ts).isNotNull())
+    for k in on:
+        rf = rf.filter(F.col(k).isNotNull())
+    rf = rf.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias(_TS),
+        F.lit(right_side).alias(_SIDE),
+        F.struct(*[F.col(c) for c in right_cols]).alias(_RPAY),
+    )
+    rpay_type = rf.schema[_RPAY].dataType
     lf = left.select(
         *[F.col(c) for c in on],
         F.col(left_ts).alias(_TS),
         F.lit(left_side).alias(_SIDE),
         F.struct(*[F.col(c) for c in left.columns]).alias("__asof_lpay"),
-        F.lit(None).alias(_RPAY),
+        # typed NULL up front (unionByName needs identical schemas)
+        F.lit(None).cast(rpay_type).alias(_RPAY),
     )
-    rf = right.select(
-        *[F.col(c) for c in on],
-        F.col(right_ts).alias(_TS),
-        F.lit(right_side).alias(_SIDE),
-        F.lit(None).alias("__asof_lpay"),
-        F.struct(*[F.col(c) for c in right_cols]).alias(_RPAY),
+    rf = rf.withColumn(
+        "__asof_lpay", F.lit(None).cast(lf.schema["__asof_lpay"].dataType)
     )
-    # align payload types: rebuild the left frame with a typed NULL for
-    # the right payload (unionByName needs identical schemas)
-    rpay_type = rf.schema[_RPAY].dataType
-    lpay_type = lf.schema["__asof_lpay"].dataType
-    lf = lf.withColumn(_RPAY, F.lit(None).cast(rpay_type))
-    rf = rf.withColumn("__asof_lpay", F.lit(None).cast(lpay_type))
 
     unioned = lf.unionByName(rf)
     w = (
@@ -142,6 +154,13 @@ def asof_join_multi(
     :func:`asof_join` form whenever features share payload columns
     (each asof_join breaks ties by its own payload struct)."""
     on = list(on)
+    out_cols = [c + sfx for sfx, (_, cols) in features.items() for c in cols]
+    clash = sorted(set(out_cols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join_multi output columns {clash} collide with left "
+            "columns; adjust the feature suffixes"
+        )
     left_side, right_side = (0, 1) if not allow_exact_matches else (1, 0)
     pay_names = {sfx: f"__asof_pay{sfx}" for sfx in features}
     lf = left.select(
@@ -150,6 +169,11 @@ def asof_join_multi(
         F.lit(left_side).alias(_SIDE),
         F.struct(*[F.col(c) for c in left.columns]).alias("__asof_lpay"),
     )
+    # SQL ASOF semantics: NULL-key / NULL-ts right rows never match
+    # (see asof_join)
+    right = right.filter(F.col(right_ts).isNotNull())
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
     rf = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias(_TS),

@@ -60,6 +60,8 @@ def point_interval_join(
         raise ValueError(f"column names must be disjoint, both have {sorted(overlap)}")
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    if bin_width_sec <= 0:
+        raise ValueError(f"bin_width_sec must be positive, got {bin_width_sec}")
     w_us = F.lit(int(bin_width_sec) * 1_000_000)
     p = points.withColumn(
         _BIN, F.floor(F.unix_micros(F.col(point_ts)) / w_us)

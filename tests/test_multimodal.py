@@ -14,6 +14,7 @@ import wave
 
 import numpy as np
 import pytest
+from pyspark.sql import types as T
 
 from feray_spark.multimodal import (
     decode_audio,
@@ -233,3 +234,38 @@ def test_pointer_only_media_rows_do_not_crash(spark):
                  df, decoder=lambda b: (8000, 0.5, 0.1)).collect()}
     assert audio[1].sample_rate == 8000
     assert audio[2].sample_rate is None and audio[2].rms is None
+
+
+def test_extractors_tolerate_null_media_struct(spark):
+    """A NULL media struct row (not just pointer-only data=None) must
+    yield null features, not a TypeError in the pandas batch."""
+    from feray_spark.multimodal import MEDIA_STRUCT, extract_media_features
+
+    df = spark.createDataFrame(
+        [(1, ("image/x-portable-graymap", "s://1", b"P5 2 2 255 \x00\x01\x02\x03")),
+         (2, None)],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("media", MEDIA_STRUCT),
+            ]
+        ),
+    )
+    rows = {r.doc_id: r for r in extract_media_features(df).collect()}
+    assert rows[1].width == 2 and rows[1].height == 2
+    assert rows[2].mime is None and rows[2].n_bytes is None
+    assert rows[2].width is None and rows[2].payload_sha256 is None
+
+
+def test_dhash_wide_sizes_fit_longtype():
+    """hash_size > 8 produces > 64 bits; the fold must keep the
+    result in signed-64 range (a LongType column) deterministically."""
+    from feray_spark.multimodal import dhash_image
+
+    # deterministic 17x16-able grayscale netpbm payload
+    w, h = 33, 32
+    header = f"P5 {w} {h} 255 ".encode()
+    pixels = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+    out = dhash_image(header + pixels, hash_size=16)
+    assert -(1 << 63) <= out < (1 << 63)
+    assert out == dhash_image(header + pixels, hash_size=16)  # stable

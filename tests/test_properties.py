@@ -335,3 +335,58 @@ def test_bpe_encode_is_lossless_and_monotone(types, n_merges):
         toks = encode_word(w, ranks)
         assert "".join(toks) == w + EOW
         assert len(toks) <= len(encode_word(w, fewer))
+
+
+def test_asof_ignores_null_keys_and_null_right_ts(spark):
+    """SQL ASOF semantics (DuckDB/polars): a right row with a NULL
+    key or NULL timestamp can never match, and a NULL-key left row is
+    left unmatched — the union+window rewrite must not let NULLS
+    FIRST ordering or NULL-key partitioning leak payloads."""
+    from feray_spark.operators.asof import asof_join
+
+    l_df = spark.createDataFrame(
+        [(1, "u", 10), (2, None, 10)], "lid int, k string, t long"
+    ).select("lid", "k", F.timestamp_seconds("t").alias("ts"))
+    r_df = spark.createDataFrame(
+        [
+            ("u", None, 111.0),   # NULL ts: never matches
+            (None, 5, 222.0),     # NULL key: never matches
+            ("u", 5, 333.0),      # the only legitimate match
+        ],
+        "k string, t long, payload double",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "payload")
+
+    rows = {
+        r.lid: r.payload
+        for r in asof_join(
+            l_df, r_df, on=["k"], left_ts="ts", right_cols=["payload"]
+        ).collect()
+    }
+    assert rows == {1: 333.0, 2: None}
+
+
+def test_asof_rejects_output_column_collisions(spark):
+    from feray_spark.operators.asof import asof_join
+
+    l_df = spark.createDataFrame([(1, "u", 10)], "lid int, k string, ts long")
+    r_df = spark.createDataFrame([("u", 5, 1.0)], "k string, ts long, lid double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(l_df, r_df, on=["k"], left_ts="ts", right_cols=["lid"])
+
+
+def test_interval_join_rejects_nonpositive_bin_width(spark):
+    from feray_spark.operators.rangejoin import point_interval_join
+
+    p = spark.createDataFrame([(1, 10)], "pid int, t long").select(
+        "pid", F.timestamp_seconds("t").alias("p_ts")
+    )
+    iv = spark.createDataFrame([(1, 0, 20)], "iid int, lo long, hi long").select(
+        "iid",
+        F.timestamp_seconds("lo").alias("lo"),
+        F.timestamp_seconds("hi").alias("hi"),
+    )
+    with pytest.raises(ValueError, match="bin_width_sec"):
+        point_interval_join(
+            p, iv, point_ts="p_ts", interval_lo="lo", interval_hi="hi",
+            bin_width_sec=0,
+        )

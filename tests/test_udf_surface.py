@@ -64,3 +64,17 @@ def test_grouped_partial_agg_keeps_null_key_group(spark):
         ).collect()
     }
     assert got == want and None in got
+
+
+def test_external_job_null_metadata_degrades_to_empty():
+    """A well-formed channel with "metadata": null (a non-Python
+    child's report) must not break ExternalResult.metadata: dict."""
+    child = (
+        "import json, os; "
+        "p = os.environ['FERAY_PIPES_CHANNEL']; "
+        "json.dump({'metadata': None, 'data_version': 'v1'}, open(p, 'w'))"
+    )
+    res = run_external_job([sys.executable, "-c", child])
+    assert res.returncode == 0
+    assert res.metadata == {}
+    assert res.data_version == "v1"
