@@ -77,8 +77,13 @@ def _shingles_of(w: Column, n: int) -> Column:
 def hash64(col: Column, seed: int) -> Column:
     """Seeded 64-bit-ish hash as a 16-hex-char string: md5 prefix of
     ``seed|value``. Oracle-reproducible (DuckDB md5) and uniform
-    enough for fingerprinting."""
-    return F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), col)), 1, 16)
+    enough for fingerprinting. NULL propagates: concat_ws silently
+    SKIPS null inputs, which would otherwise give every NULL value
+    the same constant hash md5(seed) — clustering all NULL docs as
+    'identical content' in any dedup keyed on the hash."""
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), col)), 1, 16)
+    )
 
 
 #: universal-hash family for MinHash: h_j(x) = (a_j*x + b_j) mod P over

@@ -53,38 +53,36 @@ def cosine_similarity_batch(a: str | Column, b: str | Column) -> Column:
     division returns NULL, and Spark sorts NULL last under desc
     while IEEE NaN would sort FIRST — emitting NaN here would
     reorder top-k results relative to the fold). NULL vectors and
-    dimension mismatches also yield NULL per row, again matching the
-    fold twin (zip_with over NULL is NULL; a ragged pair folds over
-    the shorter zip) — np.stack on a ragged/None-bearing object
-    array would otherwise kill the whole task for one bad row."""
+    RAGGED pairs (len(a) != len(b)) yield NULL per row, matching the
+    fold twin (zip_with over NULL is NULL; a ragged pair NULL-pads
+    the shorter side and the fold NULL-poisons) — np.stack on a
+    ragged/None-bearing object array would otherwise kill the whole
+    task for one bad row. Consistent pairs are scored whatever their
+    dimension: rows are grouped BY PAIR LENGTH, never against the
+    batch's first row, so a mixed-dimension table scores
+    deterministically regardless of batch composition or row
+    order."""
 
     @F.pandas_udf("double")
     def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
         if not len(xs):  # empty Arrow batch
             return pd.Series([], dtype="float64")
         xv, yv = xs.to_numpy(), ys.to_numpy()
-        dim = next(
-            (len(v) for v in xv if v is not None and len(v)), None
-        )
-        ok = np.array(
-            [
-                x is not None and y is not None
-                and len(x) == dim and len(y) == dim
-                for x, y in zip(xv, yv)
-            ],
-            dtype=bool,
-        ) if dim is not None else np.zeros(len(xv), dtype=bool)
+        len_x = np.array([len(v) if v is not None else -1 for v in xv])
+        len_y = np.array([len(v) if v is not None else -2 for v in yv])
+        ok = (len_x == len_y) & (len_x > 0)
         res = pd.Series([pd.NA] * len(xv), dtype="Float64")
-        if ok.any():
-            mx = np.stack(xv[ok]).astype(np.float64)
-            my = np.stack(yv[ok]).astype(np.float64)
+        for dim in np.unique(len_x[ok]):
+            sel = ok & (len_x == dim)
+            mx = np.stack(xv[sel]).astype(np.float64)
+            my = np.stack(yv[sel]).astype(np.float64)
             num = (mx * my).sum(axis=1)
             den = np.linalg.norm(mx, axis=1) * np.linalg.norm(my, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 out = num / den
             vals = pd.array(out, dtype="Float64")
             vals[np.isnan(out)] = pd.NA  # zero-norm -> NULL
-            res[ok] = vals
+            res[sel] = vals
         return res
 
     a = F.col(a) if isinstance(a, str) else a

@@ -66,8 +66,25 @@ def bucketed_join(
     right_table: str,
     on: Sequence[str],
     how: str = "inner",
+    *,
+    require_no_exchange: bool = False,
 ) -> DataFrame:
     """Join two bucketed catalog tables on their bucket keys. When
     both sides share bucket count and keys, Catalyst plans a
-    SortMergeJoin with no Exchange on either side."""
-    return spark.table(left_table).join(spark.table(right_table), list(on), how)
+    SortMergeJoin with no Exchange on either side.
+
+    ``require_no_exchange=True`` asserts that promise against the
+    physical plan and raises if any Exchange was inserted — the
+    mis-bucketing tripwire (mismatched bucket counts silently
+    re-introduce the full shuffle this module exists to eliminate)."""
+    joined = spark.table(left_table).join(
+        spark.table(right_table), list(on), how
+    )
+    if require_no_exchange:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise ValueError(
+                f"bucketed_join({left_table}, {right_table}) planned an "
+                "Exchange — bucket counts/keys do not line up:\n" + plan
+            )
+    return joined

@@ -44,8 +44,15 @@ from feray_spark.queries.util import fan_out
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """L1: drop byte-identical texts, keeping the lowest id per
     content hash (deterministic winner — required for reproducible
-    pipelines)."""
-    h = F.sha2(F.col(text_col), 256)
+    pipelines). NULL texts are NOT duplicates of each other (a failed
+    extraction is missing data, not identical content): each NULL row
+    keys on its own id and passes through — a bare sha2 partition
+    would group every NULL together and silently discard all but
+    one."""
+    h = F.coalesce(
+        F.sha2(F.col(text_col), 256),
+        F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+    )
     w = W.partitionBy(h).orderBy(F.col(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -78,6 +85,14 @@ def minhash_bands(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
+    from feray_spark.functions.text import MINHASH_COEFFS
+
+    if num_hashes > len(MINHASH_COEFFS):
+        raise ValueError(
+            f"num_hashes={num_hashes} exceeds the fixed universal-hash "
+            f"family ({len(MINHASH_COEFFS)} coefficient pairs); extend "
+            "functions.text.MINHASH_COEFFS (and its oracle twin) first"
+        )
     sig = minhash_signatures(
         df, text_col, id_col, shingle_n=shingle_n, num_hashes=num_hashes
     )
@@ -573,10 +588,16 @@ def semantic_dedup(
     Data-efficient learning at web-scale through semantic
     deduplication"): cluster the embedding space coarsely, then
     within each cluster drop every vector that has a SMALLER-id
-    neighbor with cosine ≥ ``tau`` — the deterministic one-pass
-    keep-first rule (the paper keeps one representative per semantic
-    duplicate group; keep-lowest-id makes the survivor reproducible
-    and lets a SQL oracle replay the exact decision).
+    neighbor with cosine ≥ ``tau``. Keep-lowest-id makes the survivor
+    reproducible and lets a SQL oracle replay the exact decision.
+    NOTE the rule is drop-if-ANY-smaller-id-neighbor, not a
+    sequential keep-first scan: on a similarity CHAIN 1–2–3 (1~2,
+    2~3, 1≁3) a sequential scan would keep {1, 3} (3 only compares
+    against the kept set) while this rule drops 3 too, keeping {1} —
+    slightly more aggressive on transitive chains, but expressible as
+    one self-join instead of an inherently sequential pass; at
+    near-dup thresholds (tau high) clusters are clique-like and the
+    two rules coincide.
 
     Clustering here is a deterministic SIGN-BUCKET quantization: bit
     i of the bucket key is ``1[v_i >= 0]`` over the first ``n_bits``

@@ -52,6 +52,13 @@ def grouped_partial_agg(
             raise ValueError(f"non-algebraic op {op!r}; use applyInPandas")
     names = list(out_names or [f"{op}_{val}" for op in ops])
     types = list(out_types or ["double"] * len(ops))
+    if len(names) != len(ops) or len(types) != len(ops):
+        # zip below would silently truncate the schema and surface as
+        # an opaque executor-side length mismatch
+        raise ValueError(
+            f"out_names/out_types must match ops: {len(ops)} ops, "
+            f"{len(names)} names, {len(types)} types"
+        )
     key_type = dict(df.dtypes)[key]
     schema = ", ".join(
         [f"{key} {key_type}"] + [f"{n} {t}" for n, t in zip(names, types)]

@@ -59,6 +59,12 @@ def salted_join(
     overlapping = [c for c in small.columns if c in large.columns and c not in on]
     if overlapping:
         raise ValueError(f"ambiguous non-key columns: {overlapping}")
+    if _SALT in large.columns or _SALT in small.columns:
+        # withColumn would silently OVERWRITE (and the final drop
+        # discard) a real user column of that name
+        raise ValueError(
+            f"salted_join reserves the column name {_SALT!r}; rename it"
+        )
     salted_large = large.withColumn(
         _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salts))
     )

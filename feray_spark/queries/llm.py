@@ -101,9 +101,13 @@ def _bands_cte_sql() -> str:
     "l1_exact_dedup",
     oracle="""
         SELECT doc_id, lang, source FROM (
+            -- NULL texts are not duplicates of each other: key each
+            -- on its own id (the operator's coalesce rule)
             SELECT doc_id, lang, source,
-                   ROW_NUMBER() OVER (PARTITION BY sha256(text)
-                                      ORDER BY doc_id) AS rn
+                   ROW_NUMBER() OVER (
+                       PARTITION BY coalesce(sha256(text),
+                                    '__null__' || CAST(doc_id AS VARCHAR))
+                       ORDER BY doc_id) AS rn
             FROM documents) t
         WHERE rn = 1
     """,
@@ -335,10 +339,14 @@ def l3c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ['the','a','of','and','to','in'])) >= 2
                     THEN 'en' ELSE 'und' END AS lang_guess,
                {_QUALITY_SQL} AS quality,
-               list_min(list_transform(
+               -- NULL text -> NULL fingerprint (the Spark hash64
+               -- NULL-propagates; DuckDB's concat_ws would otherwise
+               -- collapse every NULL doc to md5('0'))
+               CASE WHEN text IS NULL THEN NULL
+               ELSE list_min(list_transform(
                    generate_series(1, greatest(length(text) - 7, 1)),
                    i -> substr(md5(concat_ws('|', '0',
-                        substr(lower(text), i, 8))), 1, 16))) AS fingerprint
+                        substr(lower(text), i, 8))), 1, 16))) END AS fingerprint
         FROM documents
     """,
     tags=("llm", "L4"),

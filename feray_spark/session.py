@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import os
 
-from pyspark import SparkConf
 from pyspark.sql import SparkSession
 
 # Semantics-bearing configs: identical everywhere (tests, bench, cluster).
@@ -58,36 +57,54 @@ def get_spark(
     driver_mem: str | None = None,
     ui: bool = False,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = "local",
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults applied.
 
     ``cores`` — int N for ``local[N]``, "*" for all, None → env
-    ``SPARK_GRAFT_CPUS`` or all cores.
+    ``SPARK_GRAFT_CPUS`` or all cores. Only meaningful for local mode.
+    ``master`` — "local" (default) builds ``local[cores]``; any other
+    string is passed through (e.g. "yarn"); None leaves the master
+    entirely to spark-submit / the cluster manager — the cluster path
+    the module docstring describes, where only semantic configs are
+    forced and sizing comes from ``cluster_profile()`` / --conf.
     """
-    if cores is None:
-        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    builder = SparkSession.builder.appName(app_name).master(f"local[{cores}]")
-    if shuffle_partitions is None:
+    builder = SparkSession.builder.appName(app_name)
+    local = master == "local"
+    if local:
+        if cores is None:
+            cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        builder = builder.master(f"local[{cores}]")
+    elif master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is None and local:
         ncpu = os.cpu_count() or 8
         shuffle_partitions = ncpu if cores in ("*", None) else int(cores)
-    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    if driver_mem is None:
-        driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-    builder = builder.config("spark.driver.memory", driver_mem)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    if local:
+        if driver_mem is None:
+            driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        builder = builder.config("spark.driver.memory", driver_mem)
     builder = builder.config("spark.ui.enabled", "true" if ui else "false")
-    # whole-stage codegen emits one JIT-compiled class per plan shape;
-    # a wide query catalog (the bench sweeps ~100 distinct plans)
-    # overflows the JVM's default 240 MB code cache, after which the
-    # JIT flushes hot methods and queries rerun semi-interpreted —
-    # measured 2x+ slowdowns on codegen-heavy operators. Size it so
-    # the whole catalog stays compiled.
-    # Append to (not replace) any deployment-provided driver JVM options
-    # (spark-defaults.conf / env), so cluster operators' flags survive.
-    cache_flags = "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
-    existing_opts = SparkConf().get("spark.driver.extraJavaOptions", "") or ""
-    if cache_flags not in existing_opts:
-        existing_opts = f"{existing_opts} {cache_flags}".strip()
-    builder = builder.config("spark.driver.extraJavaOptions", existing_opts)
+    if local:
+        # whole-stage codegen emits one JIT-compiled class per plan
+        # shape; a wide query catalog (the bench sweeps ~100 distinct
+        # plans) overflows the JVM's default 240 MB code cache, after
+        # which the JIT flushes hot methods and queries rerun
+        # semi-interpreted — measured 2x+ slowdowns on codegen-heavy
+        # operators. Local mode only: on a cluster, driver JVM flags
+        # belong to the deployment (spark-defaults.conf / spark-submit)
+        # and setting extraJavaOptions here would CLOBBER them — a
+        # pre-JVM SparkConf() cannot see spark-defaults.conf to append.
+        # SPARK_GRAFT_DRIVER_JAVA_OPTS prepends caller flags locally.
+        cache_flags = "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+        existing_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
+        if cache_flags not in existing_opts:
+            existing_opts = f"{existing_opts} {cache_flags}".strip()
+        builder = builder.config("spark.driver.extraJavaOptions", existing_opts)
     # ...and the compiled-class cache that fronts the JIT: it holds
     # 100 generated classes by default, while the query catalog
     # compiles several codegen units per query — a sweep over the

@@ -5,6 +5,7 @@ behavior, LSH recall vs brute force, multimodal mapInPandas plumbing.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from feray_spark.catalog import load_table
@@ -604,3 +605,93 @@ class TestBPE:
         chars = {r.doc_id: len(r.text.replace(" ", "")) for r in got}
         for r in got:
             assert r.n <= chars[r.doc_id] + len(r.text.split())
+
+
+def test_exact_dedup_keeps_null_texts_distinct(spark):
+    """NULL texts are missing data, not byte-identical content: every
+    NULL-text row survives exact_dedup."""
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df, "text", "doc_id").collect())
+    assert kept == [1, 3, 4]
+
+
+def test_doc_fingerprint_null_propagates(spark):
+    """hash64/doc_fingerprint must yield NULL for NULL text, never the
+    constant md5(seed) that concat_ws's NULL-skipping would produce —
+    that constant would cluster every NULL doc as identical content."""
+    from feray_spark.functions.text import doc_fingerprint
+
+    df = spark.createDataFrame([(1, None), (2, "hello world")],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r.fp for r in
+            df.select("doc_id", doc_fingerprint("text").alias("fp")).collect()}
+    assert rows[1] is None
+    assert rows[2] is not None
+
+
+def test_minhash_rejects_num_hashes_beyond_family(spark):
+    from feray_spark.operators.dedup import minhash_bands
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="MINHASH_COEFFS"):
+        minhash_bands(df, "text", "doc_id", num_hashes=32, bands=8)
+
+
+def test_salted_join_rejects_reserved_salt_column(spark):
+    from feray_spark.operators.skew import salted_join
+
+    large = spark.createDataFrame([(1, 5)], "k long, __salt long")
+    small = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(large, small, on=["k"])
+
+
+def test_cosine_batch_mixed_dimensions_deterministic(spark):
+    """Pairs are scored by their own length, never the Arrow batch's
+    first row: a mixed-dimension table gets real cosines for every
+    consistent pair and NULL only for ragged/NULL pairs — matching
+    the sequential-fold twin regardless of row order."""
+    from feray_spark.functions.vectors import (
+        cosine_similarity,
+        cosine_similarity_batch,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], [0.0, 1.0]),            # 2-d pair
+        (2, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),  # 3-d pair (different dim)
+        (3, [1.0, 0.0], [1.0, 0.0, 0.0]),       # ragged -> NULL
+        (4, None, [1.0, 0.0]),                  # NULL vector -> NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    ).repartition(1)
+    got = {
+        r.id: r.c
+        for r in df.select(
+            "id", cosine_similarity_batch("a", "b").alias("c")
+        ).collect()
+    }
+    want = {
+        r.id: r.c
+        for r in df.select(
+            "id", cosine_similarity("a", "b").alias("c")
+        ).collect()
+    }
+    for i in (1, 2, 3, 4):
+        if want[i] is None:
+            assert got[i] is None, i
+        else:
+            assert got[i] is not None and abs(got[i] - want[i]) < 1e-12, i
+
+
+def test_grouped_partial_agg_validates_output_lengths(spark):
+    from feray_spark.operators.grouped import grouped_partial_agg
+
+    df = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="out_names/out_types"):
+        grouped_partial_agg(
+            df, "k", "v", ("count", "min", "max"), out_types=("long", "double")
+        )

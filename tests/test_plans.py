@@ -158,10 +158,13 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         path=str(tmp_path / "b_customer"),
     )
     try:
-        joined = bucketed_join(spark, "b_orders", "b_customer", ["o_custkey"])
         # disable auto-broadcast for the assertion: we want the SMJ shape
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
+            joined = bucketed_join(
+                spark, "b_orders", "b_customer", ["o_custkey"],
+                require_no_exchange=True,  # the operator-side tripwire
+            )
             plan = plan_of(joined)
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
