@@ -31,6 +31,13 @@ def isolated_map(
     rows with ``status='error'`` and the exception message rather
     than task failures. Output: (id_col, status, result, error).
     """
+    if id_col in ("status", "result", "error"):
+        # the dict-literal below would silently drop the id column and
+        # fail deep inside Arrow conversion
+        raise ValueError(
+            f"id_col {id_col!r} collides with isolated_map's reserved "
+            "output columns (status/result/error); rename it"
+        )
     schema = result_schema or f"{id_col} long, status string, result double, error string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

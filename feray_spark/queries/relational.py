@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from feray_spark.catalog import load_table
 from feray_spark.queries import register
+from feray_spark.queries.util import dsum
 
 # ---------------------------------------------------------------- scans
 
@@ -77,9 +78,7 @@ def s2_table_store_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.agg(
             F.lit(tag).alias("version_tag"),
             F.count("*").alias("n_rows"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_price"),
+            dsum("o_totalprice").alias("total_price"),
         ).select("version_tag", "n_rows", "total_price")
 
     return snap("v0", 0).unionByName(snap("latest", None))
@@ -170,9 +169,7 @@ def s10_optimize_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.agg(
             F.lit(tag).alias("layout"),
             F.count("*").alias("n_rows"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_price"),
+            dsum("o_totalprice").alias("total_price"),
         ).select("layout", "n_rows", "total_price")
 
     return snap("pre", 0).unionByName(snap("zordered", None))
@@ -254,9 +251,7 @@ def s11_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_price"),
+            dsum("o_totalprice").alias("total_price"),
         )
     )
 
@@ -268,11 +263,12 @@ def s11_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s6_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: CSV ingest. Round-trips `region` through CSV with an explicit
-    schema (inference = an extra full scan; never in production paths)."""
-    import os
-    import tempfile
+    schema (inference = an extra full scan; never in production paths).
+    Per-(tag, sf) scratch path so concurrent runs at different scale
+    factors never overwrite each other's files mid-read."""
+    from feray_spark.queries.util import scratch_dir
 
-    out = os.path.join(tempfile.gettempdir(), "feray_spark_csv_roundtrip")
+    out = scratch_dir("csv_roundtrip", sf_dir)
     region = load_table(spark, sf_dir, "region")
     region.write.mode("overwrite").option("header", True).csv(out)
     return (
@@ -291,11 +287,10 @@ def s6_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s6b_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: newline-delimited JSON ingest — `nation` written as NDJSON
     and read back with an explicit schema (matching the CSV twin's
-    no-inference discipline)."""
-    import os
-    import tempfile
+    no-inference discipline and its per-(tag, sf) scratch path)."""
+    from feray_spark.queries.util import scratch_dir
 
-    out = os.path.join(tempfile.gettempdir(), "feray_spark_ndjson_roundtrip")
+    out = scratch_dir("ndjson_roundtrip", sf_dir)
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -713,7 +708,14 @@ def ep4_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job; the first executed recursion level materializes it once and
     # every later level reuses the blocks. Unique view name per call:
     # a session-global fixed name could be swapped by a concurrent
-    # builder between this checkpoint and the sql() analysis.
+    # builder between this checkpoint and the sql() analysis. Earlier
+    # calls' views are dropped first so a long-lived session (bench
+    # loop, notebook) holds at most ONE pinned checkpoint, not one per
+    # invocation — the view reference is what keeps the checkpoint
+    # blocks from the ContextCleaner.
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name.startswith("__ep4_seq_"):
+            spark.catalog.dropTempView(t.name)
     seq = spark.sql(_EP4_SEQ_SQL).localCheckpoint(eager=False)
     view = f"__ep4_seq_{uuid.uuid4().hex[:8]}"
     seq.createOrReplaceTempView(view)

@@ -218,21 +218,29 @@ def fan_out(df):
 
 # ---------- scratch table stores for stateful catalog queries ----------
 
-def scratch_store(tag: str, sf_dir: str):
-    """Fresh per-(query, sf) TableStore under the system tempdir —
-    wiped first so catalog re-runs are deterministic. Returns
-    ``(store, root)``. One definition for every stateful catalog
-    query (s2/s9/s10/s11, fs*, l18/l18b) so the path template and
-    wipe behavior can never drift per site."""
+def scratch_dir(tag: str, sf_dir: str) -> str:
+    """Fresh per-(tag, sf) scratch directory under the system tempdir,
+    wiped first so catalog re-runs are deterministic. The sf component
+    keeps concurrent runs at different scale factors from clobbering
+    each other's files mid-read."""
     import os
     import shutil
     import tempfile
-
-    from feray_spark.sources.table_store import TableStore
 
     root = os.path.join(
         tempfile.gettempdir(),
         f"feray_spark_{tag}_{sf_dir.strip('/').replace('/', '_')}",
     )
     shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def scratch_store(tag: str, sf_dir: str):
+    """Fresh per-(query, sf) TableStore on a :func:`scratch_dir`.
+    Returns ``(store, root)``. One definition for every stateful
+    catalog query (s2/s9/s10/s11, fs*, l18/l18b) so the path template
+    and wipe behavior can never drift per site."""
+    from feray_spark.sources.table_store import TableStore
+
+    root = scratch_dir(tag, sf_dir)
     return TableStore(root), root

@@ -27,10 +27,26 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from collections.abc import Sequence
+from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class DeltaCommit:
+    """Commit info returned by write/replace_where — the shape callers
+    of ``TableStore.write`` rely on (``commit.version``,
+    ``commit.row_count``, ``commit.user_metadata``), populated from
+    the Delta history's latest entry after the write."""
+
+    version: int
+    mode: str
+    row_count: int
+    timestamp: float
+    user_metadata: dict[str, Any] = field(default_factory=dict)
 
 
 def available() -> bool:
@@ -84,7 +100,28 @@ class DeltaTableStore:
         user_metadata: dict[str, Any] | None = None,
         partition_by: Sequence[str] | None = None,
         merge_schema: bool = False,
-    ) -> None:
+        enable_cdf: bool = True,
+    ) -> DeltaCommit:
+        """Append/overwrite; returns commit info like
+        ``TableStore.write`` (callers use ``.version`` /
+        ``.row_count`` / ``.user_metadata``). ``enable_cdf`` makes a
+        table CREATED by this write carry
+        ``delta.enableChangeDataFeed=true`` (via the session's
+        table-property default, so no extra property-set commit) —
+        without it, :meth:`changes` on the store's own tables raises
+        at read time, breaking the TableStore twin's
+        change-feed-always-available contract."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if enable_cdf:
+            try:
+                df.sparkSession.conf.set(
+                    "spark.databricks.delta.properties.defaults."
+                    "enableChangeDataFeed",
+                    "true",
+                )
+            except Exception:  # pragma: no cover - locked-down conf
+                pass
         writer = df.write.format("delta").mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -95,6 +132,34 @@ class DeltaTableStore:
         if merge_schema:
             writer = writer.option("mergeSchema", "true")
         writer.save(self._path(table))
+        return self._latest_commit(df.sparkSession, table, mode)
+
+    def _latest_commit(
+        self, spark: SparkSession, table: str, mode: str
+    ) -> DeltaCommit:
+        from delta.tables import DeltaTable
+
+        hist = (
+            DeltaTable.forPath(spark, self._path(table))
+            .history(1)
+            .select("version", "userMetadata", "operationMetrics")
+            .collect()[0]
+        )
+        metrics = hist["operationMetrics"] or {}
+        try:
+            row_count = int(metrics.get("numOutputRows", -1))
+        except (TypeError, ValueError):  # pragma: no cover - metric absent
+            row_count = -1
+        if row_count < 0:
+            row_count = self.read(spark, table).count()
+        raw = hist["userMetadata"]
+        return DeltaCommit(
+            version=int(hist["version"]),
+            mode=mode,
+            row_count=row_count,
+            timestamp=time.time(),
+            user_metadata=json.loads(raw) if raw else {},
+        )
 
     # -------------------------------------------------------- read
 
@@ -136,12 +201,19 @@ class DeltaTableStore:
         accepted for call-shape parity (Delta's MERGE classifies
         updates itself). Exclusive ``from_version`` base, matching
         the segment store: Delta's startingVersion is inclusive, so
-        start at ``from_version + 1``. An empty range
-        (``from_version >= latest``) returns an empty feed like the
-        segment store — Delta itself errors when startingVersion
-        exceeds the latest version, which would break the standard
-        "anything since my last sync?" poll."""
+        start at ``from_version + 1``. ``from_version == latest``
+        returns an empty feed (the standard "anything since my last
+        sync?" poll — Delta itself errors when startingVersion
+        exceeds latest); a base that was never a committed version
+        raises KeyError exactly like ``TableStore.changes``, so a
+        poller holding a stale/wrong bookmark gets an error, never a
+        silent forever-empty feed."""
         latest = self.latest_version(spark, table)
+        if from_version < 0 or from_version > latest:
+            raise KeyError(
+                f"{table}: from_version {from_version} is not a committed "
+                f"version (latest is {latest})"
+            )
         end = latest if to_version is None else min(to_version, latest)
         if from_version >= end:
             snap = self.read(spark, table).limit(0)
@@ -187,7 +259,7 @@ class DeltaTableStore:
         predicate: str,
         *,
         user_metadata: dict[str, Any] | None = None,
-    ) -> None:
+    ) -> DeltaCommit:
         writer = (
             replacement.write.format("delta")
             .mode("overwrite")
@@ -196,6 +268,7 @@ class DeltaTableStore:
         if user_metadata:
             writer = writer.option("userMetadata", json.dumps(user_metadata))
         writer.save(self._path(table))
+        return self._latest_commit(spark, table, "replace_where")
 
     # ----------------------------------------------------- optimize
 

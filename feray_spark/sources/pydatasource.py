@@ -86,8 +86,14 @@ class _HistoryReader(DataSourceReader):
         ]
 
     def read(self, partition: _CommitPartition):
-        with open(partition.log_path) as f:
-            c = json.load(f)
+        try:
+            with open(partition.log_path) as f:
+                c = json.load(f)
+        except FileNotFoundError:
+            # the commit was vacuumed between driver-side planning and
+            # this executor read — serve the surviving commits instead
+            # of failing the whole query (the re-polling dashboard use)
+            return
         yield (
             int(c["version"]),
             c["mode"],

@@ -181,3 +181,24 @@ def test_python_datasource_history(spark, tmp_path):
     )
     assert again.count() == 2
     assert again.filter(F.col("mode") == "append").count() == 1
+
+
+def test_history_datasource_survives_vacuumed_commit(spark, tmp_path):
+    """A commit file deleted (vacuum) between planning and executor
+    read must drop out of the feed, not fail the query."""
+    import os
+
+    from feray_spark.sources.pydatasource import _CommitPartition, _HistoryReader
+
+    from feray_spark.sources.table_store import TableStore
+
+    ts = TableStore(str(tmp_path))
+    df = spark.range(3)
+    ts.write(df, "t", mode="overwrite")
+    ts.write(df, "t", mode="append")
+    reader = _HistoryReader({"root": str(tmp_path), "table": "t"})
+    parts = reader.partitions()
+    assert len(parts) == 2
+    os.remove(parts[0].log_path)  # the vacuum race
+    rows = [r for p in parts for r in reader.read(p)]
+    assert len(rows) == 1 and rows[0][0] == 1  # surviving version only

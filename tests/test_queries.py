@@ -72,3 +72,18 @@ def test_driver_window_is_the_priority_rotation():
     assert sorted(q) == sorted(set(q)) and len(q) == len(osql) + sum(
         1 for n in q if n not in osql
     )
+
+
+def test_ep4_bounds_its_temp_views(spark, sf_dir):
+    """Repeated ep4 invocations must not accumulate temp views (each
+    pins a localCheckpoint for the session's lifetime)."""
+    from feray_spark.queries import load_all
+
+    fn = load_all()["ep4_recursive_cte"].fn
+    for _ in range(3):
+        fn(spark, sf_dir).collect()
+    views = [
+        t.name for t in spark.catalog.listTables()
+        if t.isTemporary and t.name.startswith("__ep4_seq_")
+    ]
+    assert len(views) <= 1, views

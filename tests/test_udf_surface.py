@@ -78,3 +78,11 @@ def test_external_job_null_metadata_degrades_to_empty():
     assert res.returncode == 0
     assert res.metadata == {}
     assert res.data_version == "v1"
+
+
+def test_isolated_map_rejects_reserved_id_col(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "status long")
+    with pytest.raises(ValueError, match="reserved"):
+        isolated_map(df, lambda r: 1.0, id_col="status")
