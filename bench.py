@@ -131,6 +131,7 @@ def run_duck(sf_dir: str, runs: int = 3, names: list[str] | None = None) -> dict
 
     registry = load_all()
     con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")  # Spark session TZ is pinned UTC; match it
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM "

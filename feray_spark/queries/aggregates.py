@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from feray_spark.catalog import load_table
 from feray_spark.queries import register
 from feray_spark.queries.util import (
-    davg,
     dec,
     dsum,
     exact_grouped_sums,

@@ -15,7 +15,6 @@ from feray_spark.catalog import load_table
 from feray_spark.queries.util import dsum, fan_out
 from feray_spark.queries.util import scratch_store as _scratch_store
 from feray_spark.functions.hashing import row_version
-from feray_spark.operators.asof import point_in_time_join
 from feray_spark.queries import register
 
 
@@ -415,11 +414,12 @@ def fs9_partitioned_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition (the input pre-filter pushes to the scan) and writes
     ONLY its partition directory — the daily-pipeline pattern where
     day N's run costs day N, not the table's history."""
+    from feray_spark.catalog import table_path
     from feray_spark.features.store import FeatureStore
 
     _, root = _scratch_store("fs9", sf_dir)
     fs = FeatureStore(
-        spark, root, sources={"orders": f"{sf_dir}/orders.parquet"}
+        spark, root, sources={"orders": table_path(sf_dir, "orders")}
     )
 
     computes = {"1-URGENT": 0, "2-HIGH": 0}

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from feray_spark.catalog import load_table
 from feray_spark.functions.hashing import row_version
@@ -437,7 +436,9 @@ def f_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderdate + INTERVAL 3 MONTH                   AS plus3mo,
                CAST(date_diff('month', TIMESTAMP '1995-01-01',
                     date_trunc('month', o_orderdate)) AS DOUBLE) AS months_since,
-               CAST(to_timestamp(943920000) AS TIMESTAMP)       AS fixed_epoch,
+               -- TZ-free literal: to_timestamp(epoch) renders in the
+               -- harness's local TimeZone, which no harness pins
+               TIMESTAMP '1999-11-30 00:00:00'                  AS fixed_epoch,
                CAST(hour(o_orderdate) AS INT)                   AS order_hour,
                array_to_string(list_sort(list_distinct(
                    string_split(o_orderpriority, '-') ||
@@ -486,7 +487,7 @@ def f_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("month", "o_orderdate"),
             F.lit("1995-01-01").cast("timestamp"),
         ).alias("months_since"),
-        F.from_unixtime(F.lit(943920000)).cast("timestamp").alias("fixed_epoch"),
+        F.lit("1999-11-30 00:00:00").cast("timestamp").alias("fixed_epoch"),
         F.hour("o_orderdate").alias("order_hour"),
         F.array_join(
             F.array_sort(F.array_union(prio_parts, status_parts)), ","

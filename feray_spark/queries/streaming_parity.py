@@ -17,7 +17,6 @@ from feray_spark.queries.util import sql_dsum
 from feray_spark.streaming.fastlane import (
     sessionized,
     sliding_counts,
-    stream_dedup,
     tumbling_counts,
 )
 
@@ -165,8 +164,12 @@ def t6_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
-        pdf["__cents"] = pdf["value"].mul(100).round().astype("int64")
-        g = pdf.groupby("user_id", sort=False)
+        # nullable Int64 + dropna=False: a NULL value must not abort
+        # the cast and a NULL key must keep its group, exactly like
+        # the oracle's SUM-skips-NULLs / GROUP BY-keeps-NULL contract
+        # (the operators/grouped.py rule)
+        pdf["__cents"] = pdf["value"].mul(100).round().astype("Int64")
+        g = pdf.groupby("user_id", sort=False, dropna=False)
         out = pd.DataFrame(
             {
                 "n_events": g.size(),
@@ -198,10 +201,23 @@ def t6_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t5_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: dedup by event_id (batch twin of
-    dropDuplicatesWithinWatermark). event_id is unique in the
-    fixtures, so parity additionally proves nothing is dropped."""
+    dropDuplicatesWithinWatermark). The batch twin pins the
+    EARLIEST-ts survivor (min_by) so its output is deterministic and
+    matches the oracle's ROW_NUMBER-ORDER-BY-ts rule even when real
+    duplicates appear — stream dedup keeps the first-ARRIVING row,
+    which in an event-time-ordered replay is the same row; the real
+    streaming leg (arbitrary arrival, replay across restarts) is
+    tests/test_streaming.py's replay-dedup tests. event_id is unique
+    in the fixtures, so parity additionally proves nothing is
+    dropped."""
     e = load_table(spark, sf_dir, "events")
-    return stream_dedup(e).select("event_id", "user_id", "event_type")
+    # ONE min_by over the whole payload struct: per-column min_bys
+    # could mix columns from different rows on a ts tie
+    return (
+        e.groupBy("event_id")
+        .agg(F.min_by(F.struct("user_id", "event_type"), "ts").alias("p"))
+        .select("event_id", "p.user_id", "p.event_type")
+    )
 
 
 @register(

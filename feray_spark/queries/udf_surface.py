@@ -47,6 +47,10 @@ def f1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(returnType="int", useArrow=True)
     def priority_rank(p: str) -> int:
+        # NULL in -> NULL out, like the SQL twin (an unguarded .split
+        # would abort the whole job on one NULL row)
+        if p is None:
+            return None
         return int(p.split("-")[0])
 
     o = load_table(spark, sf_dir, "orders")
@@ -198,7 +202,7 @@ def f5_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, word string")
     class SplitWords:
         def eval(self, name: str):
-            for i, w in enumerate(name.split(" ")):
+            for i, w in enumerate((name or "").split(" ")):
                 yield i, w
 
     spark.udtf.register("split_words", SplitWords)

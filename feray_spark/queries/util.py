@@ -77,7 +77,17 @@ def scaled_long(col: str | Column, decimals: int = 2) -> Column:
     """Money-like double -> exact scaled integer (x * 10^d, rounded).
     Fixture money columns carry exactly ``decimals`` fractional
     digits, so this is lossless; products of scaled longs stay exact
-    integers (bounded per ROW, so no overflow at any table size)."""
+    integers (bounded per ROW, so no overflow at any table size).
+
+    PRECONDITION that bites past ``decimals`` fractional digits: a
+    value like 123.455 sits on a rounding half-boundary where Spark's
+    ROUND (HALF_UP over the shortest double repr) and DuckDB's
+    ``CAST(x AS DECIMAL(18,d))`` (rounds the exact binary expansion)
+    can disagree by one ulp of the last kept digit — w4/fs9 apply
+    this to o_totalprice, where every current fixture value verifies
+    equal on both engines. If money columns ever carry real sub-cent
+    precision, round to ``decimals`` digits explicitly on BOTH sides
+    first."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c * (10 ** decimals)).cast("long")
 

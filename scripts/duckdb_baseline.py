@@ -35,6 +35,7 @@ def main() -> None:
 
     osql = E.oracle_sql()
     con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")  # Spark session TZ is pinned UTC; match it
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM "

@@ -68,6 +68,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")  # Spark session TZ is pinned UTC; match it
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM "

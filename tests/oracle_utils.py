@@ -24,6 +24,7 @@ FLOAT_DECIMALS = 9
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")  # Spark session TZ is pinned UTC; match it
     for t in TABLES:
         con.sql(
             f"CREATE OR REPLACE VIEW {t} AS "
