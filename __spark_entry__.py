@@ -56,13 +56,19 @@ FLAGSHIP = "a1_groupby_q1"
 #: after r4 that is l24_semantic_dedup and l18b_incremental_neardup
 #: (added this round, outside the r4 window); (2) entries whose CODE changed after their last
 #: driver row (l3 swapped to the fold scorer; l2d/l5 output rounding;
-#: l4 gained fan_out + the shared-quality oracle after its r03 row);
+#: l4 gained fan_out + the shared-quality oracle, t5 swapped to the
+#: deterministic min_by twin, f_scalar_extras' fixed_epoch went
+#: TZ-free on both sides, t6/f1/f5 gained NULL guards, s2/s10/s11
+#: moved onto dsum — all after their r02/r03 rows);
 #: (3) the 6 entries whose latest row dates to r01 (oldest evidence);
 #: (4) fill to 50 with the remaining r01-era catalog in registry order.
 _ROUND5_PRIORITY = [
     "l24_semantic_dedup", "l18b_incremental_neardup",
     "l3_embedding_topk", "l2d_embedding_neardup",
-    "l5_token_df_idf", "l4_text_stats", "w7_first_last_value", "w8_top_k_per_group",
+    "l5_token_df_idf", "l4_text_stats", "t5_dedup",
+    "t6_stateful_running", "f1_scalar_udf", "f5_udtf",
+    "f_scalar_extras", "s2_table_store_time_travel",
+    "w7_first_last_value", "w8_top_k_per_group",
     "o1_multikey_sort", "o2_limit_offset", "o3_global_topk",
     "u1_union_all", "s1_parquet_scan_count", "s9_metadata_sink",
     "s6_csv_roundtrip", "s6b_ndjson_roundtrip", "s7_inmemory_rows",
@@ -74,9 +80,7 @@ _ROUND5_PRIORITY = [
     "j6_theta_join", "j6b_nested_loop", "j7_range_join",
     "j9_point_in_time_spine", "j10_salted_join", "j7b_interval_join",
     "a3_statistical_aggs", "a3b_native_stddev_var", "a4_count_distinct",
-    "a5_approx_count_distinct", "a6_distinct_rows", "a7_collect_list_set",
-    "a8_rollup", "a8b_cube", "a8c_grouping_sets", "a9_pivot",
-    "a10_global_agg",
+    "a5_approx_count_distinct", "a6_distinct_rows",
 ]
 
 #: The round-4 window (ACTIVE): the 37 never-checked entries above plus
