@@ -2,9 +2,11 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
 ONE JSON line with per-query wall-clock seconds.
 
-Each query is executed once as a warm-up-free timed run (the session
-itself is warmed by a trivial action first so JVM startup isn't
-attributed to the first query). ``--runs N`` takes the median of N.
+Queries run as interleaved whole-set sweeps (the session itself is
+warmed by a trivial action first so JVM startup isn't attributed to
+the first query); each query's time is the median across sweeps
+(``--runs N``, default 5). The DuckDB baseline is measured the same
+interleaved way in the same run.
 """
 
 from __future__ import annotations
@@ -59,6 +61,15 @@ def run_bench(sf_dir: str, runs: int = 1, names: list[str] | None = None) -> dic
         for n, q in registry.items()
         if n not in BENCH_SKIP and (names is None or n in names)
     }
+    if names is not None:
+        missing = [n for n in names if n not in selected]
+        if missing:
+            # a typo'd or BENCH_SKIP'd name must never produce a silent
+            # empty (or smaller-than-asked) sweep that clobbers
+            # BENCH_FULL.json's gate evidence
+            raise SystemExit(
+                f"--queries names not benchable (typo or BENCH_SKIP): {missing}"
+            )
     spark = get_spark(app_name="feray-spark-bench")
     # warm the JVM, parquet footers and OS page cache off the clock
     # (the DuckDB baseline is measured page-cache-warm too)
@@ -139,19 +150,28 @@ def run_duck(sf_dir: str, runs: int = 3, names: list[str] | None = None) -> dict
         )
     for t in TABLES:  # warm page cache
         con.sql(f"SELECT count(*) FROM {t}").fetchall()
-    timings: dict[str, float] = {}
-    for name, q in registry.items():
-        if q.oracle is None or name in BENCH_SKIP:
-            continue
-        if names is not None and name not in names:
-            continue
-        samples = []
-        for _ in range(runs):
+    bench = {
+        name: q
+        for name, q in registry.items()
+        if q.oracle is not None
+        and name not in BENCH_SKIP
+        and (names is None or name in names)
+    }
+    # interleaved sweeps, exactly like the Spark side: the box's
+    # multi-minute slow phases would otherwise cover ALL of a query's
+    # back-to-back samples (inflating its median and deflating its
+    # spark/duck ratio); interleaving taints at most one sample per
+    # query and the median survives
+    samples: dict[str, list[float]] = {n: [] for n in bench}
+    for _ in range(runs):
+        for name, q in bench.items():
             t0 = time.perf_counter()
             con.sql(q.oracle).arrow()
-            samples.append(time.perf_counter() - t0)
-        samples.sort()
-        timings[name] = round(samples[(len(samples) - 1) // 2], 4)
+            samples[name].append(time.perf_counter() - t0)
+    timings: dict[str, float] = {}
+    for name, ss in samples.items():
+        ss.sort()
+        timings[name] = round(ss[(len(ss) - 1) // 2], 4)
     return timings
 
 
@@ -230,11 +250,11 @@ def main() -> None:
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
-    # median of 3 is the BASELINE.md protocol (the DuckDB baseline is
-    # measured the same way): run 1 absorbs per-plan codegen JIT that
-    # amortizes to nothing at real scale, runs 2-3 measure the engine
-    # median of 5: this box shows stochastic multi-second spikes (VM
-    # noise / GC); 5 samples keep the median robust to two bad runs
+    # median of 5 interleaved sweeps: run 1 absorbs per-plan codegen
+    # JIT (amortizes to nothing at real scale) and this box shows
+    # stochastic multi-second slow phases (VM noise / GC) — 5 samples
+    # keep the median robust to two bad sweeps. The DuckDB baseline is
+    # measured the same interleaved way in the same run.
     ap.add_argument("--runs", type=int, default=5)
     ap.add_argument("--queries", nargs="*", default=None)
     # same-run DuckDB baseline (BASELINE.md protocol): the 2x gate is
@@ -246,9 +266,12 @@ def main() -> None:
     result = run_bench(args.sf_dir, args.runs, args.queries)
     if not args.no_duck:
         attach_baseline(result, run_duck(args.sf_dir, args.duck_runs, args.queries))
-    with open(FULL_PATH, "w") as f:
-        json.dump(result, f, indent=1)
-        f.write("\n")
+    if args.queries is None:
+        # only a FULL sweep may overwrite the gate-evidence file — a
+        # subset iteration must not clobber the 128-query record
+        with open(FULL_PATH, "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
     print(compact_line(result))
 
 

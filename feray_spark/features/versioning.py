@@ -47,12 +47,45 @@ def with_data_version(
 
 def code_version(fn: Callable) -> str:
     """FS2: fingerprint of a feature function. Source text (not
-    bytecode) so it is stable across interpreter versions; falls back
-    to qualname for builtins/lambdas without retrievable source."""
+    bytecode) so it is stable across interpreter versions.
+
+    Fallback ladder for callables without retrievable source, chosen
+    so the fingerprint is (a) deterministic across processes — a
+    repr() with a memory address would bust the memo every run — and
+    (b) sensitive to code changes where possible:
+
+    - ``functools.partial``: recurse on the wrapped function and fold
+      in the bound args (two partials of one fn with different args
+      are different code).
+    - callable instance: the CLASS's source (its ``__call__`` is the
+      code), falling back to the class qualname.
+    - source-less function (REPL lambda, exec): qualname + the
+      compiled bytecode + constants, which distinguishes two distinct
+      same-name lambdas deterministically within a Python version.
+    """
+    import functools
+
+    if isinstance(fn, functools.partial):
+        inner = code_version(fn.func)
+        bound = repr((fn.args, sorted(fn.keywords.items() if fn.keywords else [])))
+        return hashlib.sha256(f"partial:{inner}:{bound}".encode()).hexdigest()
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):
-        src = getattr(fn, "__qualname__", repr(fn))
+        code = getattr(fn, "__code__", None)
+        if code is not None:
+            src = (
+                f"{getattr(fn, '__qualname__', '?')}:"
+                f"{code.co_code.hex()}:{code.co_consts!r}:{code.co_names!r}"
+            )
+        elif not inspect.isfunction(fn) and not inspect.ismethod(fn):
+            # callable instance: the class body is the code
+            try:
+                src = inspect.getsource(type(fn))
+            except (OSError, TypeError):
+                src = f"{type(fn).__module__}.{type(fn).__qualname__}"
+        else:  # pragma: no cover - function without __code__
+            src = getattr(fn, "__qualname__", type(fn).__qualname__)
     return hashlib.sha256(src.encode()).hexdigest()
 
 

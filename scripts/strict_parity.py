@@ -34,10 +34,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
+from feray_spark.catalog import TABLES  # noqa: E402 — one fixture list
 
 
 def strict_hash(df) -> str:
@@ -75,6 +72,16 @@ def main() -> int:
             f"read_parquet('{args.sf_dir}/{t}.parquet')"
         )
     qs, osql = E.queries(), E.oracle_sql()
+    if args.names:
+        unknown = [n for n in args.names if n not in qs]
+        oracleless = [n for n in args.names if n in qs and n not in osql]
+        if unknown or oracleless:
+            # a typo'd --names must never produce a zero-query run
+            # that exits 0 — this gate's contract is "checked at ZERO
+            # mismatches", not "checked nothing"
+            print(f"unknown names: {unknown}; no-oracle names: {oracleless}")
+            spark.stop()
+            return 2
     bad = ok = 0
     for name, fn in qs.items():
         if name not in osql or (args.names and name not in args.names):

@@ -1035,3 +1035,36 @@ def test_input_version_sees_nested_file_changes(spark, tmp_root):
     os.utime(sub, (top_stat.st_atime, top_stat.st_mtime))  # freeze the dir entry
 
     assert fs._input_version("s") != v1
+
+
+def test_code_version_deterministic_without_source():
+    """FS2 fingerprints must be stable across processes even for
+    callables without retrievable source — a repr() with a memory
+    address would bust the memo every run; distinct bodies must still
+    differ."""
+    import functools
+
+    from feray_spark.features.versioning import code_version
+
+    def base(x, y=1):
+        return x + y
+
+    assert code_version(functools.partial(base, 2)) == code_version(
+        functools.partial(base, 2)
+    )
+    assert code_version(functools.partial(base, 2)) != code_version(
+        functools.partial(base, 3)
+    )
+
+    class CallableView:
+        def __call__(self):
+            return 1
+
+    assert code_version(CallableView()) == code_version(CallableView())
+    assert "0x" not in repr(code_version(CallableView()))
+
+    ns1, ns2 = {}, {}
+    exec("f = lambda: 1", ns1)  # noqa: S102 - REPL-lambda analog
+    exec("f = lambda: 2", ns2)  # noqa: S102
+    assert code_version(ns1["f"]) != code_version(ns2["f"])
+    assert code_version(ns1["f"]) == code_version(ns1["f"])
