@@ -292,7 +292,12 @@ def l3_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("vec_id").alias("c_id"), "embedding"),
         k=3,
     )
-    return topk.withColumn("cosine", F.round("cosine", 9))
+    # rank -> BIGINT: DuckDB ROW_NUMBER is int64 where Spark
+    # row_number is int32, and the driver's value hash is
+    # dtype-sensitive (the l15 discipline)
+    return topk.withColumn("cosine", F.round("cosine", 9)).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
 
 
 @register("l3b_lsh_topk", tags=("llm", "L3", "similarity"))
@@ -548,24 +553,45 @@ def l6b_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l7_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7: composable quality-filter chain (length bounds → language
     allowlist → exact dedup) with per-stage retention counts — the
-    drop accounting a production pipeline must log."""
+    drop accounting a production pipeline must log.
+
+    Scale shape: ONE scan + ONE narrow shuffle, not four scans. Each
+    stage's predicate becomes a flag in a single projection (text
+    bytes are read once), the dedup winner comes from one window over
+    (content hash, doc_id) — rows outside the lang stage get a
+    per-row key so they never co-partition — and every stage count is
+    a conditional aggregate over the ranked rows. At 100 TB the
+    four-union shape re-reads the corpus per stage; this reads it
+    once and shuffles only (hash, flags, id)."""
     d = load_table(spark, sf_dir, "documents")
-    s1 = d.filter(F.length("text").between(50, 100000))
-    s2 = s1.filter(F.col("lang").isin("en", "de"))
-    s3 = exact_dedup(s2, "text", "doc_id")
-    counts = [
-        ("raw", d),
-        ("length", s1),
-        ("lang", s2),
-        ("dedup", s3),
-    ]
-    rows = None
-    for stage, frame in counts:
-        c = frame.agg(F.count("*").alias("n_kept")).select(
-            F.lit(stage).alias("stage"), "n_kept"
-        )
-        rows = c if rows is None else rows.unionByName(c)
-    return rows
+    len_ok = F.length("text").between(50, 100000)
+    lang_ok = F.col("lang").isin("en", "de")
+    content_h = F.coalesce(
+        F.sha2(F.col("text"), 256),
+        F.concat(F.lit("__null__"), F.col("doc_id").cast("string")),
+    )
+    flags = d.select(
+        "doc_id",
+        len_ok.alias("__len"),
+        (len_ok & lang_ok).alias("__s2"),
+        F.when(len_ok & lang_ok, content_h)
+        .otherwise(F.concat(F.lit("__out__"), F.col("doc_id").cast("string")))
+        .alias("__h"),
+    )
+    w = W_llm.partitionBy("__h").orderBy("doc_id")
+    ranked = flags.withColumn("__rn", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count("*").alias("raw"),
+        F.count(F.when(F.col("__len"), 1)).alias("length"),
+        F.count(F.when(F.col("__s2"), 1)).alias("lang"),
+        F.count(
+            F.when(F.col("__s2") & (F.col("__rn") == 1), 1)
+        ).alias("dedup"),
+    )
+    return agg.selectExpr(
+        "stack(4, 'raw', raw, 'length', length, 'lang', lang, "
+        "'dedup', dedup) AS (stage, n_kept)"
+    )
 
 
 @register(
@@ -730,10 +756,13 @@ def l8_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice) exploded JVM-side: no UDF, no Python, chunk text never
     leaves codegen until the explode. One narrow stage, S = 0.
     fan_out measured: 0.38 s with vs 0.45 s without (sf0.1, local[32])."""
+    from feray_spark.functions.text import words as words_fn
+
     d = fan_out(load_table(spark, sf_dir, "documents"))
     window, stride = 32, 24
-    w = F.split(F.lower("text"), r"\s+")
-    w = F.filter(w, lambda x: x != "")
+    # the shared tokenizer, so this oracle can never desynchronize
+    # from _WORDS_SQL behind a private copy
+    w = words_fn("text")
     n_chunks = F.greatest(
         F.ceil((F.greatest(F.size("__w") - (window - stride), F.lit(1)))
                / F.lit(float(stride))).cast("int"),
@@ -1394,8 +1423,12 @@ def l17_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(doc_id % 2 AS BIGINT) AS ingest_batch
         FROM (
+            -- NULL texts are not duplicates of each other (the l1 /
+            -- exact_dedup coalesce rule): key each on its own id
             SELECT doc_id,
-                   ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                   ROW_NUMBER() OVER (
+                       PARTITION BY coalesce(sha256(text),
+                                    '__null__' || CAST(doc_id AS VARCHAR))
                        ORDER BY (doc_id % 2), doc_id) AS rn
             FROM documents) t
         WHERE rn = 1
@@ -1699,10 +1732,15 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_chunks"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
-        # NULL (not md5('')) when every span was removed, matching the
-        # oracle's string_agg-over-no-rows
+        # NULL (not md5('')) when every span was removed OR every kept
+        # chunk is NULL (a NULL-text doc): the oracle's string_agg
+        # skips NULL values, so an all-NULL kept set aggregates to
+        # NULL — array_join would silently drop them and emit md5('')
         F.when(
-            F.sum(F.when(F.col("keep"), 1).otherwise(0)) > 0,
+            F.sum(
+                F.when(F.col("keep") & F.col("chunk").isNotNull(), 1).otherwise(0)
+            )
+            > 0,
             F.md5(
                 F.array_join(
                     F.transform(
@@ -1804,7 +1842,8 @@ def l21_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "vec_id",
             F.round("cosine", 6).alias("cos_centroid"),
-            "rank",
+            # BIGINT like the oracle's ROW_NUMBER (the l15 discipline)
+            F.col("rank").cast("bigint").alias("rank"),
         )
     )
 

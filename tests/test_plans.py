@@ -476,3 +476,12 @@ def test_salted_join_rejects_small_side_outer(spark, sf_dir):
     got = salted_join(large, small, on=["l_orderkey"], how="left_semi").count()
     want = large.join(small, "l_orderkey", "left_semi").count()
     assert got == want
+
+
+def test_l7_pipeline_single_scan(spark, sf_dir):
+    """The quality-filter chain's per-stage counts come from ONE scan
+    + one window shuffle, never one scan per stage — at 100 TB the
+    four-union shape re-reads the corpus four times."""
+    q = load_all()["l7_quality_filter_pipeline"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
