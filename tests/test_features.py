@@ -396,8 +396,10 @@ def test_store_model_based_random_ops(spark, tmp_root):
     model = {i: (p, v) for i, p, v in rows}
     history.append(dict(model))
 
-    for _ in range(8):
-        op = rng.choice(["append", "merge", "replace_where", "optimize"])
+    for _ in range(10):
+        op = rng.choice(
+            ["append", "merge", "replace_where", "replace_empty", "optimize"]
+        )
         if op == "append":
             rows = fresh_rows(rng.randint(1, 4))
             ts.write(df(rows), "t", mode="append")
@@ -405,6 +407,13 @@ def test_store_model_based_random_ops(spark, tmp_root):
         elif op == "optimize":
             # layout-only rewrite: the model must NOT change
             ts.optimize(spark, "t", zorder_by=["id", "v"], n_files=2)
+        elif op == "replace_empty":
+            # delete-a-partition: empty replacement removes the matched
+            # partition and carries the rest (the backfilled-day-now-
+            # empty shape; exercises the fileless-segment commit path)
+            part = rng.choice([0, 1, 2])
+            ts.replace_where(spark, "t", df([]), f"part = {part}")
+            model = {i: pv for i, pv in model.items() if pv[0] != part}
         elif op == "merge":
             # update a sample of existing ids + insert some new
             upd = [
