@@ -720,3 +720,70 @@ def ep4_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = f"__ep4_seq_{uuid.uuid4().hex[:8]}"
     seq.createOrReplaceTempView(view)
     return spark.sql(_EP4_REC_SQL.replace("{seq}", view))
+
+
+_EP5_SQL = """
+    SELECT l1.l_orderkey, l1.l_linenumber,
+           CAST(l1.l_extendedprice AS DOUBLE) AS min_price
+    FROM lineitem l1
+    WHERE l1.l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey)
+"""
+
+
+@register(
+    "ep5_correlated_scalar_min",
+    oracle=_EP5_SQL,
+    tags=("sql", "EP5", "subquery"),
+)
+def ep5_correlated_scalar_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP5: correlated SCALAR subquery in a WHERE equality (the
+    TPC-H-Q2 shape: rows matching their group's MIN) — the other
+    classic decorrelation pattern next to ep3b's EXISTS/uncorrelated
+    scalar. Catalyst's RewriteCorrelatedScalarSubquery turns the
+    per-row subquery into ONE aggregate over the inner table joined
+    back on the correlation key — two scans + one key shuffle, never
+    a per-row re-execution (SURVEY §4.2: the optimizer does the
+    rewrite; the engine's job is to hand it the declarative form).
+    The equality compares raw parquet doubles — identical bits on
+    both engines, no arithmetic."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP5_SQL)
+
+
+_EP6_SQL = """
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+"""
+
+
+@register(
+    "ep6_having_semijoin",
+    oracle=_EP6_SQL,
+    tags=("sql", "EP6", "having"),
+)
+def ep6_having_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP6: HAVING-filtered IN-subquery joined back to its detail
+    rows (the TPC-H-Q18 large-order shape). Catalyst plans the IN as
+    a LEFT SEMI join against the grouped aggregate — the qualifying
+    key set is produced by one partial-then-final hash aggregate and
+    probes the fact scan, so the fact table is never re-aggregated
+    per key. Quantity sums ride exact DECIMAL on both engines (the
+    dsum discipline) and the HAVING threshold compares decimals, so
+    the qualifying set can never differ by a float ulp."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP6_SQL)
