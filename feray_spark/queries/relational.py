@@ -747,7 +747,15 @@ def ep5_correlated_scalar_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-row re-execution (SURVEY §4.2: the optimizer does the
     rewrite; the engine's job is to hand it the declarative form).
     The equality compares raw parquet doubles — identical bits on
-    both engines, no arithmetic."""
+    both engines, no arithmetic.
+
+    Measured (sf0.1, local[32]): 1.23 s — the decorrelated plan pays
+    a second scan plus a broadcast-build job over the per-key MIN
+    table. When the query is yours to rewrite, the window form
+    (MIN OVER (PARTITION BY key), one scan, one shuffle, no build
+    job) measures 0.52 s and is the recommended hand-written shape;
+    THIS entry deliberately keeps the subquery text because its job
+    is to prove the engine executes the form users actually write."""
     from feray_spark.catalog import register_views
 
     register_views(spark, sf_dir)
@@ -782,7 +790,14 @@ def ep6_having_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes the fact scan, so the fact table is never re-aggregated
     per key. Quantity sums ride exact DECIMAL on both engines (the
     dsum discipline) and the HAVING threshold compares decimals, so
-    the qualifying set can never differ by a float ulp."""
+    the qualifying set can never differ by a float ulp.
+
+    Measured (sf0.1, local[32]): 1.32 s, dominated by the lineitem
+    aggregate + join-back jobs, not the IN-subquery: hand-rewriting
+    to a single HAVING aggregate joined to orders/customer (valid
+    here because orderkey determines customer and date) measures the
+    same 1.28 s — the canonical Q18 text costs nothing extra, so the
+    entry keeps it."""
     from feray_spark.catalog import register_views
 
     register_views(spark, sf_dir)
