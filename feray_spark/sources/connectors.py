@@ -8,9 +8,13 @@ data (`README.md:17`). Spark natively speaks both; this module is
 the one place the connection plumbing lives so jobs never
 hand-assemble options.
 
-Neither service exists in the test environment, so tests cover
-option construction and path handling; the reader/writer calls are
-the standard Spark ones and need no custom code at runtime.
+No external services exist in the test environment, but S4 is still
+exercised live two ways: the reader against Spark's own in-process
+Hive Thrift server (real TCP JDBC, partitioned range scans) and the
+writer+reader against embedded Apache Derby (jars ship inside the
+pyspark wheel), with predicate pushdown asserted on the JDBC scan —
+see tests/test_connectors.py. S5 tests cover option construction and
+path handling only (no s3a jars in-image).
 
 Scale notes (S4): JDBC reads default to ONE partition — a silent
 single-thread bottleneck. :func:`jdbc_reader` therefore requires

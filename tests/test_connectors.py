@@ -144,6 +144,76 @@ def test_jdbc_partitioned_round_trip_live(spark):
     assert spark_sum == sum(i * 7.0 for i in range(1000))
 
 
+def test_jdbc_writer_round_trip_live_derby(spark, tmp_path):
+    """S4 WRITE path executed for real: ``jdbc_writer`` saves to an
+    embedded Apache Derby database (the derby jars ship inside the
+    pyspark wheel for the Hive metastore, so this runs with zero
+    external services), then ``jdbc_reader`` pulls the rows back —
+    partitioned — and a filtered read asserts the predicate reached
+    the database (``PushedFilters`` on the JDBC scan), i.e. the
+    registry-table path does not full-scan-then-filter.
+
+    Embedded Derby accepts many connections from ONE JVM (local mode:
+    driver and executors share it); on a real cluster S4 targets a
+    networked database, so the concurrency shape is the same."""
+    jvm = spark._jvm
+    try:
+        jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    except Exception:
+        pytest.skip("derby embedded driver not on the classpath")
+
+    url = f"jdbc:derby:{tmp_path}/s4db;create=true"
+    src = spark.range(200).selectExpr(
+        "id", "cast(id % 7 as double) as amount", "concat('s', id) as tag"
+    )
+    jdbc_writer(
+        src,
+        url,
+        "registry_features",
+        mode="overwrite",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    ).save()
+
+    got = jdbc_reader(
+        spark,
+        url,
+        "registry_features",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        num_partitions=4,
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=200,
+    ).load()
+    assert got.rdd.getNumPartitions() == 4
+    assert got.count() == 200
+    assert got.agg({"amount": "sum"}).collect()[0][0] == sum(
+        i % 7 for i in range(200)
+    )
+
+    # append mode lands on the existing table instead of recreating it
+    jdbc_writer(
+        src.filter("id >= 195"),
+        url,
+        "registry_features",
+        mode="append",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    ).save()
+
+    filtered = (
+        jdbc_reader(
+            spark,
+            url,
+            "registry_features",
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+        )
+        .load()
+        .filter("id >= 190")
+    )
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "190" in plan, plan
+    assert filtered.count() == 15  # 10 originals + 5 appended dupes
+
+
 def test_python_datasource_history(spark, tmp_path):
     """Spark 4 Python DataSource API: the commit log reads as a
     format — lazily (new commits visible at next query), one
