@@ -53,8 +53,9 @@ FLAGSHIP = "a1_groupby_q1"
 
 #: ROUND-5 ROTATION (swap in as _DRIVER_PRIORITY after CORRECTNESS_r04
 #: lands). Construction rule: (1) entries with no driver row anywhere —
-#: after r4 that is l24_semantic_dedup and l18b_incremental_neardup
-#: (added this round, outside the r4 window); (2) entries whose CODE changed after their last
+#: after r4 that is l24_semantic_dedup, l18b_incremental_neardup and
+#: l25_stratified_sample (added this round, outside the r4 window);
+#: (2) entries whose CODE changed after their last
 #: driver row (l3 swapped to the fold scorer; l2d/l5 output rounding;
 #: l4 gained fan_out + the shared-quality oracle, t5 swapped to the
 #: deterministic min_by twin, f_scalar_extras' fixed_epoch went
@@ -64,6 +65,7 @@ FLAGSHIP = "a1_groupby_q1"
 #: (4) fill to 50 with the remaining r01-era catalog in registry order.
 _ROUND5_PRIORITY = [
     "l24_semantic_dedup", "l18b_incremental_neardup",
+    "l25_stratified_sample", "l1b_canonical_dedup",
     "ep5_correlated_scalar_min", "ep6_having_semijoin",
     "l3_embedding_topk", "l2d_embedding_neardup",
     "l5_token_df_idf", "l4_text_stats", "t5_dedup",

@@ -119,6 +119,97 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source")
 
 
+_CANON_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "l1b_canonical_dedup",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id, lang, source,
+                   md5({_CANON_SQL}) AS canon_md5
+            FROM documents)
+        SELECT doc_id, lang, source, canon_md5, n_variants FROM (
+            SELECT doc_id, lang, source, canon_md5,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY coalesce(canon_md5,
+                                    '__null__' || CAST(doc_id AS VARCHAR))
+                       ORDER BY doc_id) AS rn,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY coalesce(canon_md5,
+                                    '__null__' || CAST(doc_id AS VARCHAR))
+                   ) AS BIGINT) AS n_variants
+            FROM c) t
+        WHERE rn = 1
+    """,
+    tags=("llm", "L1", "dedup"),
+)
+def l1b_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 variant: CANONICAL exact dedup — dedup after text
+    normalization (lowercase, strip non-alphanumerics, collapse
+    whitespace), the "fuzzy-exact" pass C4/Dolma-style pipelines run
+    between byte-exact dedup (L1) and shingle methods (L2): it
+    collapses re-encodings, case flips, and whitespace-only variants
+    that sha256 treats as distinct, at exact-dedup cost — no
+    shingles, no candidate pairs. Winner = lowest doc_id; output
+    carries ``n_variants`` (how many raw docs collapsed onto each
+    canonical form — the duplication-factor signal per kept doc) and
+    the canonical md5. NULL texts keep L1's rule: each is its own
+    group (NULL canon_md5, n_variants = 1). The normalization is
+    ASCII-scoped by construction (everything outside [a-z0-9\\s] is
+    stripped AFTER lowercasing), which keeps the two engines'
+    lowercase/regex semantics bit-identical; a production Unicode
+    fold (NFKC) slots into the same key expression.
+
+    Scale shape: ONE shuffle on the canonical hash, as a HASH
+    AGGREGATE, not a window — ``min(struct(doc_id, ...))`` picks the
+    winner row (doc_id leads the struct and is unique, so struct
+    ordering IS doc_id ordering) and ``count(*)`` rides the same
+    aggregate. Map-side partial aggregation collapses each scan
+    partition to one row per canonical form BEFORE the exchange, so
+    the mega-group this op exists to find (a boilerplate form
+    repeated billions of times) ships at most one partial row per
+    partition — a rank window over the same key would colocate the
+    entire group on one executor. Per-row normalization is three
+    codegen'd string expressions, zero UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    key = F.coalesce(
+        F.md5(canon),
+        F.concat(F.lit("__null__"), F.col("doc_id").cast("string")),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.md5(canon).alias("canon_md5"),
+            key.alias("k"),
+        )
+        .groupBy("k")
+        .agg(
+            F.min(F.struct("doc_id", "lang", "source", "canon_md5")).alias("w"),
+            F.count("*").cast("bigint").alias("n_variants"),
+        )
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.lang").alias("lang"),
+            F.col("w.source").alias("source"),
+            F.col("w.canon_md5").alias("canon_md5"),
+            "n_variants",
+        )
+    )
+
+
 @register(
     "l2_minhash_lsh_neardups",
     oracle=f"""
@@ -2035,3 +2126,58 @@ def l24_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(e, id_col="vec_id", vec_col="embedding", tau=0.4)
+
+
+_STRAT_N = 25  # sample size per (lang, source) stratum
+_STRAT_DRAW_SQL = (
+    "substr(md5('strat42:' || CAST(doc_id AS VARCHAR)), 1, 16)"
+)
+
+
+@register(
+    "l25_stratified_sample",
+    oracle=f"""
+        SELECT doc_id, lang, source, draw, rn FROM (
+            SELECT doc_id, lang, source,
+                   {_STRAT_DRAW_SQL} AS draw,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY {_STRAT_DRAW_SQL}, doc_id) AS BIGINT) AS rn
+            FROM documents) t
+        WHERE rn <= {_STRAT_N}
+    """,
+    tags=("llm", "L25", "sampling"),
+)
+def l25_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L25 (beyond the brief): stratified EXACT sampling — exactly
+    ``min(|stratum|, _STRAT_N)`` documents per (lang, source) stratum,
+    selected by md5-hash rank. The eval-set/ablation primitive the
+    two existing samplers don't give: L14's Bernoulli acceptance
+    yields a BINOMIAL per-stratum count (±√n noise), L15 ranks by
+    quality (a cap, not a sample); here every stratum lands the same
+    fixed budget and the draw is a uniform hash, so the sample is
+    unbiased within the stratum, reproducible across engines/runs
+    (md5 basis, same discipline as L9's split), and stable under
+    corpus re-partitioning — appending new docs only displaces rows
+    whose hash outranks an existing winner, so successive snapshots
+    share most of the sample (a low-churn eval set).
+
+    Scale shape: identical to L15's — ONE shuffle on the stratum key,
+    and the ``rn <= N`` filter triggers WindowGroupLimit (plan-
+    asserted: Partial before the exchange), so each scan partition
+    pre-cuts to N rows per stratum before anything moves; a
+    billion-row stratum ships at most N x partitions rows. The draw
+    string is 16 hex chars — lexicographic order on it is identical
+    in every engine, no numeric conversion needed."""
+    d = load_table(spark, sf_dir, "documents")
+    draw = F.substring(
+        F.md5(F.concat(F.lit("strat42:"), F.col("doc_id").cast("string"))), 1, 16
+    )
+    w = W_llm.partitionBy("lang", "source").orderBy(
+        F.col("draw").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("doc_id", "lang", "source", draw.alias("draw"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _STRAT_N)
+    )

@@ -485,3 +485,14 @@ def test_l7_pipeline_single_scan(spark, sf_dir):
     q = load_all()["l7_quality_filter_pipeline"]
     plan = plan_of(q.fn(spark, sf_dir))
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_stratified_sample_precuts_before_shuffle(spark, sf_dir):
+    """l25: same WindowGroupLimit contract as l15 — the hash-rank
+    ``rn <= N`` filter must pre-cut each scan partition to N rows per
+    stratum BEFORE the stratum-key exchange, so a billion-row stratum
+    ships at most N x partitions rows, not the stratum."""
+    q = load_all()["l25_stratified_sample"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan and "Final" in plan, plan
