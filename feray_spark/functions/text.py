@@ -196,3 +196,20 @@ def md5_bucket(salt: str, col: str | Column, mod: int) -> Column:
         ).cast("bigint")
         % mod
     )
+
+
+def canonical_text(col: str | Column) -> Column:
+    """L1b's normalization chain: lowercase, strip everything outside
+    ``[a-z0-9\\s]``, collapse whitespace runs, trim — the "fuzzy
+    exact" canonical form C4/Dolma-style pipelines dedup on between
+    byte-exact and shingle methods. ASCII-scoped by construction
+    (non-ASCII is stripped AFTER lowercasing) so Spark and DuckDB
+    produce bit-identical keys; a production Unicode fold (NFKC)
+    replaces this expression without touching the dedup shape.
+    NULL propagates (missing text is not an empty document)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )

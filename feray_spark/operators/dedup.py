@@ -41,16 +41,31 @@ from feray_spark.functions.text import (
 from feray_spark.queries.util import fan_out
 
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, *, canonical: bool = False
+) -> DataFrame:
     """L1: drop byte-identical texts, keeping the lowest id per
     content hash (deterministic winner — required for reproducible
     pipelines). NULL texts are NOT duplicates of each other (a failed
     extraction is missing data, not identical content): each NULL row
     keys on its own id and passes through — a bare sha2 partition
     would group every NULL together and silently discard all but
-    one."""
+    one.
+
+    ``canonical=True`` hashes :func:`feray_spark.functions.text.
+    canonical_text` instead of the raw bytes — L1b's "fuzzy exact"
+    pass (case/punctuation/whitespace variants collapse; NULL still
+    passes through since the normalization NULL-propagates). Prefer
+    the L1b catalog query when the per-form variant COUNT matters:
+    it uses the skew-immune hash-aggregate shape; this flag keeps the
+    operator's keep-every-column contract."""
+    content = F.col(text_col)
+    if canonical:
+        from feray_spark.functions.text import canonical_text
+
+        content = canonical_text(content)
     h = F.coalesce(
-        F.sha2(F.col(text_col), 256),
+        F.sha2(content, 256),
         F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
     )
     w = W.partitionBy(h).orderBy(F.col(id_col))

@@ -175,14 +175,10 @@ def l1b_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition — a rank window over the same key would colocate the
     entire group on one executor. Per-row normalization is three
     codegen'd string expressions, zero UDFs."""
+    from feray_spark.functions.text import canonical_text
+
     d = load_table(spark, sf_dir, "documents")
-    canon = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
-            r"\s+",
-            " ",
-        )
-    )
+    canon = canonical_text("text")
     key = F.coalesce(
         F.md5(canon),
         F.concat(F.lit("__null__"), F.col("doc_id").cast("string")),

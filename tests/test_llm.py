@@ -695,3 +695,85 @@ def test_grouped_partial_agg_validates_output_lengths(spark):
         grouped_partial_agg(
             df, "k", "v", ("count", "min", "max"), out_types=("long", "double")
         )
+
+
+def test_canonical_text_normalization_cases(spark):
+    """canonical_text collapses exactly the variants L1b claims to
+    merge (case, punctuation, whitespace runs, edge whitespace) and
+    keeps NULL as NULL — not '' — so NULL texts never form a group."""
+    from feray_spark.functions.text import canonical_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,  World!"),
+            (2, "hello world"),
+            (3, "\tHELLO\nworld  "),
+            (4, "hello, world; but different"),
+            (5, None),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.canon
+        for r in df.select(
+            "doc_id", canonical_text("text").alias("canon")
+        ).collect()
+    }
+    assert got[1] == got[2] == got[3] == "hello world"
+    assert got[4] == "hello world but different"
+    assert got[5] is None
+    assert got[6] == ""
+
+
+def test_l1b_canonical_dedup_winner_and_variant_count(spark, tmp_path):
+    """End-to-end l1b semantics on a crafted corpus: variants that
+    differ only by case/punct/whitespace collapse onto the lowest
+    doc_id with the right n_variants; NULL texts each survive as
+    their own single-variant group with NULL canon_md5."""
+    from feray_spark.queries import load_all
+
+    spark.createDataFrame(
+        [
+            (10, "The Quick! Brown fox", "en", "web"),
+            (3, "the quick  brown-fox", "en", "web"),
+            (7, "the  quick brown fox?", "de", "books"),
+            (8, "something else", "en", "web"),
+            (11, None, "en", "web"),
+            (12, None, "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    rows = {
+        r.doc_id: r
+        for r in load_all()["l1b_canonical_dedup"].fn(spark, str(tmp_path)).collect()
+    }
+    # 7 and 10 share "the quick brown fox"; 3's hyphen strips to
+    # "brownfox" (punct is REMOVED, not spaced — "don't" → "dont"),
+    # so it stays its own group
+    assert sorted(rows) == [3, 7, 8, 11, 12]
+    w = rows[7]  # lowest id of the merged group, keeps ITS lang/source
+    assert w.n_variants == 2 and w.lang == "de" and w.source == "books"
+    assert rows[3].n_variants == 1 and rows[8].n_variants == 1
+    assert rows[11].n_variants == 1 and rows[11].canon_md5 is None
+    assert rows[12].n_variants == 1 and rows[12].canon_md5 is None
+
+
+def test_exact_dedup_canonical_flag(spark):
+    """canonical=True collapses case/punct/whitespace variants that
+    byte-exact mode keeps; NULL texts still pass through untouched."""
+    df = spark.createDataFrame(
+        [(5, "Same, Text!"), (2, "same  text"), (9, None)],
+        "doc_id long, text string",
+    )
+    byte_kept = sorted(
+        r.doc_id for r in exact_dedup(df, "text", "doc_id").collect()
+    )
+    canon_kept = sorted(
+        r.doc_id
+        for r in exact_dedup(df, "text", "doc_id", canonical=True).collect()
+    )
+    assert byte_kept == [2, 5, 9]
+    assert canon_kept == [2, 9]
