@@ -9,11 +9,13 @@ the one place the connection plumbing lives so jobs never
 hand-assemble options.
 
 No external services exist in the test environment, but S4 is still
-exercised live two ways: the reader against Spark's own in-process
-Hive Thrift server (real TCP JDBC, partitioned range scans) and the
+exercised live: the reader against Spark's own in-process Hive
+Thrift server (real TCP JDBC, partitioned range scans), the
 writer+reader against embedded Apache Derby (jars ship inside the
-pyspark wheel), with predicate pushdown asserted on the JDBC scan —
-see tests/test_connectors.py. S5 tests cover option construction and
+pyspark wheel) with predicate pushdown asserted on the JDBC scan,
+and :func:`jdbc_upsert`'s stage + transactional MERGE + epoch-guard
+path end-to-end including checkpoint-replay idempotence — see
+tests/test_connectors.py. S5 tests cover option construction and
 path handling only (no s3a jars in-image).
 
 Scale notes (S4): JDBC reads default to ONE partition — a silent
@@ -23,6 +25,8 @@ partitioning info for anything but tiny registry tables
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
 
@@ -149,3 +153,196 @@ def jdbc_writer(
     if driver is not None:
         writer = writer.option("driver", driver)
     return writer
+
+
+def jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: Sequence[str],
+    *,
+    order_by: Sequence[str] | str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    epoch_id: int | None = None,
+    guard_table: str | None = None,
+    staging_table: str | None = None,
+    batch_size: int = 10_000,
+) -> bool:
+    """S4: transactional UPSERT into a JDBC table — the registry-sink
+    pattern the reference's Postgres dependency implies: Spark does
+    the DISTRIBUTED work (dedupe + parallel staging write), the
+    database does the SET-BASED work (one ANSI ``MERGE`` from the
+    staging table, inside a transaction). No row ever round-trips
+    through the driver, so the sink scales with the JDBC write path,
+    not with driver memory.
+
+    Semantics (aligned with ``TableStore.merge`` / Delta):
+
+    - one row per key must reach the MERGE: pass ``order_by`` (e.g.
+      ``["ts", "event_id"]``) and the LATEST row per key wins
+      (descending, left-to-right tie-break); without it duplicate
+      source keys raise, mirroring Delta's multiple-match error;
+    - NULL merge keys raise — ``ON t.k = s.k`` would silently turn
+      every NULL-keyed row into a fresh insert on each run;
+    - ``epoch_id`` makes the call IDEMPOTENT: a guard table (default
+      ``{table}__epochs``, primary-keyed on the epoch) is checked
+      before and inserted within the MERGE transaction, so a
+      checkpoint replay of an already-committed micro-batch is a
+      no-op (returns False) and a crash between MERGE and COMMIT
+      rolls back both — the exactly-once contract
+      :func:`feray_spark.streaming.fastlane.jdbc_upsert_sink` builds
+      on. Two writers racing the same epoch: the guard's primary key
+      makes exactly one COMMIT win.
+
+    Identifier discipline: Spark's JDBC writer CREATEs staging
+    columns quoted (case preserved) but passes table names through
+    unquoted — the generated MERGE therefore quotes COLUMN names and
+    leaves TABLE names as given, which resolves consistently on
+    Derby, Postgres and anything else with standard folding. Names
+    are trusted identifiers (this module's contract), not user data.
+
+    Returns True if the MERGE committed, False if the epoch guard
+    skipped an already-committed batch.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    if not keys:
+        raise ValueError("jdbc_upsert needs at least one merge key")
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"merge keys not in source columns: {missing}")
+    payload = [c for c in df.columns if c not in set(keys)]
+    if not payload:
+        raise ValueError("jdbc_upsert needs at least one non-key column")
+
+    null_key = df.filter(
+        " OR ".join(f"`{k}` IS NULL" for k in keys)
+    )
+    if null_key.take(1):
+        raise ValueError(
+            f"NULL merge key reached jdbc_upsert({table}): ON-equality "
+            "would re-insert such rows every run; filter or key them "
+            "explicitly upstream"
+        )
+
+    if order_by is not None:
+        order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        src = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        dup = df.groupBy(*keys).count().filter(F.col("count") > 1)
+        if dup.take(1):
+            raise ValueError(
+                f"duplicate merge keys in jdbc_upsert({table}) source and "
+                "no order_by to resolve them (Delta's multiple-match rule)"
+            )
+        src = df
+
+    spark = df.sparkSession
+    stage = staging_table or f"{table}__stage"
+    guard = guard_table or f"{table}__epochs"
+
+    def connect():
+        jvm = spark._jvm
+        if driver is not None:
+            jvm.java.lang.Class.forName(driver)
+        dm = jvm.java.sql.DriverManager
+        if user is not None:
+            return dm.getConnection(url, user, password or "")
+        return dm.getConnection(url)
+
+    def execute(conn, sql: str) -> None:
+        st = conn.createStatement()
+        try:
+            st.execute(sql)
+        finally:
+            st.close()
+
+    def scalar_exists(conn, sql: str) -> bool:
+        st = conn.createStatement()
+        try:
+            rs = st.executeQuery(sql)
+            try:
+                return bool(rs.next())
+            finally:
+                rs.close()
+        finally:
+            st.close()
+
+    if epoch_id is not None:
+        conn = connect()
+        try:
+            try:
+                execute(
+                    conn,
+                    f"CREATE TABLE {guard} ("
+                    "epoch_id BIGINT NOT NULL PRIMARY KEY, "
+                    "committed_at TIMESTAMP)",
+                )
+            except Exception:
+                # exists already (or a racing writer created it) —
+                # verified usable by the probe below either way
+                pass
+            if scalar_exists(
+                conn, f"SELECT 1 FROM {guard} WHERE epoch_id = {int(epoch_id)}"
+            ):
+                return False
+        finally:
+            conn.close()
+
+    # distributed staging write (scratch table, overwritten per call)
+    jdbc_writer(
+        src, url, stage, mode="overwrite", user=user, password=password,
+        batch_size=batch_size, driver=driver,
+    ).save()
+    # target must exist for MERGE: an EMPTY append creates it with
+    # Spark's own JDBC type mapping and is a no-op when it exists
+    jdbc_writer(
+        spark.createDataFrame([], src.schema), url, table, mode="append",
+        user=user, password=password, driver=driver,
+    ).save()
+
+    q = '"'
+    on = " AND ".join(f"t.{q}{k}{q} = s.{q}{k}{q}" for k in keys)
+    sets = ", ".join(f"{q}{c}{q} = s.{q}{c}{q}" for c in payload)
+    cols = ", ".join(f"{q}{c}{q}" for c in src.columns)
+    vals = ", ".join(f"s.{q}{c}{q}" for c in src.columns)
+    merge_sql = (
+        f"MERGE INTO {table} t USING {stage} s ON ({on}) "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+    conn = connect()
+    try:
+        conn.setAutoCommit(False)
+        try:
+            if epoch_id is not None:
+                # PK violation here = a racing/earlier commit of this
+                # epoch → abort as already-done, exactly-once holds
+                try:
+                    execute(
+                        conn,
+                        f"INSERT INTO {guard} (epoch_id, committed_at) "
+                        f"VALUES ({int(epoch_id)}, CURRENT_TIMESTAMP)",
+                    )
+                except Exception:
+                    conn.rollback()
+                    return False
+            execute(conn, merge_sql)
+            conn.commit()
+            return True
+        except Exception:
+            conn.rollback()
+            raise
+    finally:
+        conn.close()

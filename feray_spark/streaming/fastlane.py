@@ -297,6 +297,47 @@ def serve_upsert(
     )
 
 
+def jdbc_upsert_sink(
+    url: str,
+    table: str,
+    keys: Sequence[str],
+    *,
+    order_by: Sequence[str] | str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+):
+    """T9 for an EXTERNAL registry: ``foreachBatch`` callable that
+    lands each micro-batch in a JDBC table exactly once — Spark's
+    checkpoint replays a failed batch, and
+    :func:`feray_spark.sources.connectors.jdbc_upsert`'s epoch guard
+    (batch id = epoch id, primary-keyed guard table, MERGE and guard
+    insert in ONE transaction) turns the replay into a no-op instead
+    of a double-apply. The companion to :func:`serve_upsert`: same
+    latest-row-per-key contract, targeting the reference's
+    Postgres-style metadata registry instead of the versioned store.
+
+    Use::
+
+        q = (events.writeStream
+             .foreachBatch(jdbc_upsert_sink(url, "serving", ["id"],
+                                            order_by=["ts", "event_id"]))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+    """
+    from feray_spark.sources.connectors import jdbc_upsert
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.take(1):  # empty epoch: nothing to stage or guard
+            return
+        jdbc_upsert(
+            batch, url, table, keys, order_by=order_by, user=user,
+            password=password, driver=driver, epoch_id=int(epoch_id),
+        )
+
+    return sink
+
+
 # ------------------------------------------- stateful (new-gen API)
 
 
