@@ -134,11 +134,16 @@ def jdbc_writer(
     password: str | None = None,
     batch_size: int = 10_000,
     driver: str | None = None,
+    column_types: str | None = None,
 ):
     """S4: configured JDBC writer (call ``.save()`` to execute).
     ``driver`` pins the JDBC driver class for endpoints that don't
     auto-register from the URL (e.g. hive2) — the same knob
-    :func:`jdbc_reader` exposes; the pair stays symmetric."""
+    :func:`jdbc_reader` exposes; the pair stays symmetric.
+    ``column_types`` (Spark's ``createTableColumnTypes``) overrides
+    the dialect's default DDL types when THIS write creates the
+    table — e.g. ``"name VARCHAR(256)"`` where the default string
+    mapping would be a CLOB/TEXT."""
     writer = (
         df.write.format("jdbc")
         .mode(mode)
@@ -146,6 +151,8 @@ def jdbc_writer(
         .option("dbtable", table)
         .option("batchsize", str(batch_size))
     )
+    if column_types is not None:
+        writer = writer.option("createTableColumnTypes", column_types)
     if user is not None:
         writer = writer.option("user", user)
     if password is not None:
@@ -169,6 +176,7 @@ def jdbc_upsert(
     guard_table: str | None = None,
     staging_table: str | None = None,
     batch_size: int = 10_000,
+    column_types: str | None = None,
 ) -> bool:
     """S4: transactional UPSERT into a JDBC table — the registry-sink
     pattern the reference's Postgres dependency implies: Spark does
@@ -195,6 +203,12 @@ def jdbc_upsert(
       :func:`feray_spark.streaming.fastlane.jdbc_upsert_sink` builds
       on. Two writers racing the same epoch: the guard's primary key
       makes exactly one COMMIT win.
+
+    String MERGE keys need ``column_types`` (forwarded to both the
+    staging and target CREATE as ``createTableColumnTypes``, e.g.
+    ``"name VARCHAR(256)"``): several dialects map StringType to a
+    LOB DDL type by default (Derby CLOB, legacy TEXT), and LOBs are
+    not equality-comparable in a MERGE ON clause.
 
     Identifier discipline: Spark's JDBC writer CREATEs staging
     columns quoted (case preserved) but passes table names through
@@ -302,13 +316,14 @@ def jdbc_upsert(
     # distributed staging write (scratch table, overwritten per call)
     jdbc_writer(
         src, url, stage, mode="overwrite", user=user, password=password,
-        batch_size=batch_size, driver=driver,
+        batch_size=batch_size, driver=driver, column_types=column_types,
     ).save()
     # target must exist for MERGE: an EMPTY append creates it with
     # Spark's own JDBC type mapping and is a no-op when it exists
     jdbc_writer(
         spark.createDataFrame([], src.schema), url, table, mode="append",
         user=user, password=password, driver=driver,
+        column_types=column_types,
     ).save()
 
     q = '"'

@@ -405,3 +405,54 @@ def test_jdbc_upsert_sink_survives_checkpoint_replay_derby(spark, tmp_path):
     sink(replay, 0)
     rows = jdbc_reader(spark, url, "served", driver=DERBY).load().collect()
     assert len(rows) == 2
+
+
+def test_publish_registry_live_derby(spark, tmp_path):
+    """The sqlmodel/Postgres registry analog end-to-end: materialize
+    a feature view, publish its commit history into Derby, query it
+    back over JDBC; re-publishing is idempotent (MERGE no-op), and a
+    new materialization publishes as an additional version row with
+    its check verdicts both as JSON and a pre-aggregated boolean."""
+    _require_derby(spark)
+    import pyspark.sql.functions as F
+
+    from feray_spark.features.registry import publish_registry
+    from feray_spark.features.store import FeatureStore
+    from tests.conftest import SF_DIR
+
+    url = f"jdbc:derby:{tmp_path}/regdb;create=true"
+    fs = FeatureStore(
+        spark, f"{tmp_path}/store",
+        sources={"orders": f"{SF_DIR}/orders.parquet"},
+    )
+
+    @fs.feature_view(
+        name="spend", inputs=["orders"], entities=["o_custkey"],
+        checks={"nonempty": lambda df: F.count("*") > 0},
+    )
+    def spend(spark_, inputs):
+        return inputs["orders"].groupBy("o_custkey").agg(
+            F.sum("o_totalprice").alias("total")
+        )
+
+    fs.materialize("spend")
+    assert publish_registry(fs, url, driver=DERBY) == 1
+    assert publish_registry(fs, url, driver=DERBY) == 1  # idempotent
+
+    reg = jdbc_reader(spark, url, "feature_registry", driver=DERBY).load()
+    rows = reg.collect()
+    assert len(rows) == 1
+    r0 = rows[0]
+    assert r0.view_name == "spend" and r0.version == 0
+    assert r0.checks_passed is True and '"nonempty": true' in r0.checks
+    assert r0.entities == "o_custkey" and r0.inputs == "orders"
+    assert r0.fingerprint  # memo fingerprint mirrors outward
+
+    fs.materialize("spend", force=True)  # version 1
+    assert publish_registry(fs, url, driver=DERBY) == 2
+    versions = sorted(
+        r.version
+        for r in jdbc_reader(spark, url, "feature_registry", driver=DERBY)
+        .load().collect()
+    )
+    assert versions == [0, 1]
