@@ -204,6 +204,14 @@ def jdbc_upsert(
       on. Two writers racing the same epoch: the guard's primary key
       makes exactly one COMMIT win.
 
+    One writer at a time per target: the staging table defaults to
+    ``{table}__stage`` and is overwritten per call, so CONCURRENT
+    upserts into the same target must pass distinct
+    ``staging_table`` names or the loser's staged rows can merge
+    under the winner's epoch. A Structured Streaming query satisfies
+    this by construction (one active epoch per sink); the guard's
+    primary key still bounds the damage to at-most-once per epoch.
+
     String MERGE keys need ``column_types`` (forwarded to both the
     staging and target CREATE as ``createTableColumnTypes``, e.g.
     ``"name VARCHAR(256)"``): several dialects map StringType to a
