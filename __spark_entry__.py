@@ -65,7 +65,7 @@ FLAGSHIP = "a1_groupby_q1"
 #: (4) fill to 50 with the remaining r01-era catalog in registry order.
 _ROUND5_PRIORITY = [
     "l24_semantic_dedup", "l18b_incremental_neardup",
-    "l25_stratified_sample", "l1b_canonical_dedup",
+    "l25_stratified_sample", "l1b_canonical_dedup", "s6c_orc_roundtrip",
     "ep5_correlated_scalar_min", "ep6_having_semijoin",
     "l3_embedding_topk", "l2d_embedding_neardup",
     "l5_token_df_idf", "l4_text_stats", "t5_dedup",

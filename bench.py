@@ -28,6 +28,7 @@ from feray_spark.session import get_spark
 BENCH_SKIP = {
     "s6_csv_roundtrip",
     "s6b_ndjson_roundtrip",
+    "s6c_orc_roundtrip",
     "s7_inmemory_rows",
     "s2_table_store_time_travel",
     "s10_optimize_layout",

@@ -303,6 +303,31 @@ def s6b_ndjson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s6c_orc_roundtrip",
+    oracle="SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier",
+    tags=("source", "S6"),
+)
+def s6c_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: ORC ingest — the other columnar format warehouse estates
+    standardize on (Hive/Trino shops). `supplier` round-trips through
+    ORC (jars ship inside Spark itself; no schema needed — ORC files
+    carry their types exactly like parquet) and the oracle reads the
+    same rows from the parquet source, so the round trip is
+    value-checked, not just counted. Same per-(tag, sf) scratch-path
+    discipline as the CSV/NDJSON twins. Scale posture matches parquet:
+    columnar pruning + predicate pushdown on read, split-able files,
+    ≤128 MB stripes on write."""
+    from feray_spark.queries.util import scratch_dir
+
+    out = scratch_dir("orc_roundtrip", sf_dir)
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    supplier.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select("s_suppkey", "s_nationkey", "s_acctbal")
+
+
+@register(
     "s7_inmemory_rows",
     oracle="SELECT * FROM (VALUES (1), (2), (0), (3)) AS t(x)",
     tags=("source", "S7"),

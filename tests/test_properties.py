@@ -390,3 +390,34 @@ def test_interval_join_rejects_nonpositive_bin_width(spark):
             p, iv, point_ts="p_ts", interval_lo="lo", interval_hi="hi",
             bin_width_sec=0,
         )
+
+
+texts = st.text(
+    alphabet=st.characters(min_codepoint=9, max_codepoint=0x2FF),
+    max_size=80,
+)
+
+
+@given(data=st.lists(texts, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_canonical_text_idempotent_and_closed(spark, data):
+    """L1b's normalizer is a canonicalization in the algebraic sense:
+    applying it twice equals applying it once (idempotence — the
+    property that makes canonical keys stable across re-ingestion),
+    and its output alphabet is closed over [a-z0-9] + single spaces
+    with no edge whitespace, for ANY input including control chars,
+    accents and non-ASCII."""
+    from feray_spark.functions.text import canonical_text
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(data)],
+                               "i long, t string")
+    out = df.select(
+        "i",
+        canonical_text("t").alias("once"),
+        canonical_text(canonical_text("t")).alias("twice"),
+    ).collect()
+    for r in out:
+        assert r.once == r.twice
+        assert r.once == r.once.strip()
+        assert "  " not in r.once
+        assert set(r.once) <= set("abcdefghijklmnopqrstuvwxyz0123456789 "), r.once
