@@ -66,6 +66,7 @@ FLAGSHIP = "a1_groupby_q1"
 _ROUND5_PRIORITY = [
     "l24_semantic_dedup", "l18b_incremental_neardup",
     "l25_stratified_sample", "l1b_canonical_dedup", "s6c_orc_roundtrip",
+    "l26_curation_pipeline",
     "ep5_correlated_scalar_min", "ep6_having_semijoin",
     "l3_embedding_topk", "l2d_embedding_neardup",
     "l5_token_df_idf", "l4_text_stats", "t5_dedup",

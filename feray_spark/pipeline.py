@@ -1,0 +1,206 @@
+"""End-to-end corpus curation — the composition the individual LLM
+operators exist for: raw documents → quality/language gate →
+canonical exact dedup → MinHash near-dup clustering → n-gram
+decontamination → deterministic split → sharded sequence packing.
+This is the "switch your pipeline to this engine" artifact: every
+stage is one of the catalog's operators applied with its documented
+100 TB posture, chained on lazy DataFrames so Catalyst sees ONE plan
+per output and the whole flow stays unexecuted until a sink runs.
+
+Stage order follows the standard curation argument (C4/RefinedWeb/
+Dolma): cheap row-local gates first (quality, language — zero
+shuffle, prunes the corpus before anything pays a shuffle), exact
+dedup before fuzzy (sha keys are cheaper than signatures; canonical
+form collapses re-encodings so MinHash sees each surface form once),
+decontamination after dedup (fewer docs to probe), split before
+packing (packs must not straddle splits or eval leaks into train).
+
+Determinism end to end: every decision — dedup winners, cluster
+labels, the split draw, pack assignment — derives from content
+hashes or document ids, never from partitioning, timing or RNG
+state, so two runs over the same corpus (or the same run on a
+different cluster layout) curate the SAME training set. That is the
+property that makes a 100 TB curation re-run auditable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from feray_spark.functions.text import (
+    md5_bucket,
+    quality_score,
+    shingles_from_words,
+    token_count,
+    words,
+)
+from feray_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+
+
+@dataclass(frozen=True)
+class CurationResult:
+    """Lazy handles on every stage boundary (nothing has executed
+    when this returns) plus the packed output. ``counts()`` runs one
+    count job per stage — a test/report convenience; production
+    flows attach ``df.observe`` to the stages they ship."""
+
+    raw: DataFrame
+    gated: DataFrame          # quality/language gate survivors
+    deduped: DataFrame        # canonical exact-dedup winners
+    neardup_free: DataFrame   # one doc per MinHash cluster
+    clean: DataFrame          # decontaminated (== neardup_free if no probes)
+    split_docs: DataFrame     # clean + split column
+    packs: DataFrame          # (split, shard, pack_id, n_docs, pack_tokens)
+
+    def counts(self) -> dict[str, int]:
+        return {
+            "raw": self.raw.count(),
+            "gated": self.gated.count(),
+            "deduped": self.deduped.count(),
+            "neardup_free": self.neardup_free.count(),
+            "clean": self.clean.count(),
+            "packs": self.packs.count(),
+        }
+
+
+def curate_corpus(
+    documents: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.35,
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+    probe_texts: Sequence[str] | None = None,
+    probe_ngram: int = 8,
+    split_salt: str = "split42:",
+    split_pct: tuple[int, int] = (80, 90),
+    pack_ctx: int = 256,
+    pack_shards: int = 8,
+) -> CurationResult:
+    """Run the full curation flow over ``documents``. Returns lazy
+    stage handles — callers pick the sink (table store write,
+    parquet, registry publication).
+
+    - **Gate** (zero shuffle): non-NULL text and
+      ``quality_score >= quality_min`` fused into the scan filter.
+    - **Canonical exact dedup** (1 shuffle): L1b's normalize → hash,
+      lowest id wins (:func:`exact_dedup` ``canonical=True``).
+    - **Near-dup clustering** (bounded): L2 MinHash banding produces
+      candidate PAIRS from bucket collisions only; L2e connected
+      components turns pairs into clusters; the keep rule is
+      min-id-per-cluster — so the survivors are independent of how
+      pairs happened to be discovered.
+    - **Decontamination** (≤1 broadcast): benchmark ``probe_texts``
+      become a broadcast set of ``probe_ngram``-gram keys; any doc
+      sharing one n-gram is dropped (L12's posture: the corpus
+      stream is scanned once and never shuffled for this).
+    - **Split** (zero shuffle): L9's md5 draw in [0,100) against
+      ``split_pct`` fences → train/val/test, stable under appends.
+    - **Packing** (1 shuffle per split): L13's sharded running-sum —
+      packs never straddle a split boundary because the window is
+      partitioned by (split, shard).
+    """
+    d = documents
+    gated = d.filter(
+        F.col(text_col).isNotNull()
+        & (quality_score(text_col) >= F.lit(quality_min))
+    )
+
+    deduped = exact_dedup(gated, text_col, id_col, canonical=True)
+
+    pairs = minhash_lsh_pairs(
+        deduped,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    labels = connected_components(pairs)
+    losers = labels.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    neardup_free = deduped.join(losers, id_col, "left_anti")
+
+    if probe_texts:
+        spark = documents.sparkSession
+        probe = spark.createDataFrame(
+            [(t,) for t in probe_texts], f"{text_col} string"
+        )
+        probe_grams = (
+            probe.select(
+                F.explode(
+                    shingles_from_words(words(text_col), probe_ngram)
+                ).alias("gram")
+            )
+            .distinct()
+        )
+        contaminated = (
+            neardup_free.select(
+                id_col,
+                F.explode(
+                    shingles_from_words(words(text_col), probe_ngram)
+                ).alias("gram"),
+            )
+            .join(F.broadcast(probe_grams), "gram", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        clean = neardup_free.join(contaminated, id_col, "left_anti")
+    else:
+        clean = neardup_free
+
+    draw = md5_bucket(split_salt, id_col, 100)
+    split_docs = clean.withColumn(
+        "split",
+        F.when(draw < split_pct[0], "train")
+        .when(draw < split_pct[1], "val")
+        .otherwise("test"),
+    )
+
+    shard = md5_bucket("pack13:", id_col, pack_shards)
+    toks = split_docs.select(
+        id_col,
+        "split",
+        shard.alias("shard"),
+        token_count(text_col).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("split", "shard")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packs = (
+        toks.withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / pack_ctx
+            ),
+        )
+        .groupBy("split", "shard", "pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        )
+    )
+
+    return CurationResult(
+        raw=d,
+        gated=gated,
+        deduped=deduped,
+        neardup_free=neardup_free,
+        clean=clean,
+        split_docs=split_docs,
+        packs=packs,
+    )

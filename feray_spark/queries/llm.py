@@ -73,9 +73,11 @@ def _minhash_sql(j: int) -> str:
     return f"list_min(list_transform(xs, x -> (x * {a} + {b}) % {MINHASH_P}))"
 
 
-def _bands_cte_sql() -> str:
+def _bands_cte_sql(source: str = "documents") -> str:
     """CTE producing (doc_id, band_idx, band_hash) for every doc with
-    >= 3 words — the exact twin of operators.dedup.minhash_bands."""
+    >= 3 words — the exact twin of operators.dedup.minhash_bands.
+    ``source`` lets a composed oracle (l26) band over an upstream CTE
+    instead of the raw table."""
     mh = ", ".join(f"{_minhash_sql(j)} AS mh{j}" for j in range(MH_NUM_HASHES))
     band_rows = "\n            UNION ALL ".join(
         "SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {parts})) AS band_hash "
@@ -86,7 +88,7 @@ def _bands_cte_sql() -> str:
         for b in range(MH_BANDS)
     )
     return f"""
-        words AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents),
+        words AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM {source}),
         shingled AS (SELECT doc_id, {_SHINGLES_SQL} AS sh
                      FROM words WHERE len(w) >= 3),
         xs AS (SELECT doc_id, list_transform(sh, s ->
@@ -2177,3 +2179,114 @@ def l25_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= _STRAT_N)
     )
+
+
+_L26_CANON_MD5 = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')))"
+)
+
+
+@register(
+    "l26_curation_pipeline",
+    oracle=f"""
+        WITH RECURSIVE
+        gated AS (
+            SELECT doc_id, text FROM documents
+            WHERE text IS NOT NULL AND {_QUALITY_SQL} >= 0.35
+        ),
+        deduped AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY {_L26_CANON_MD5}
+                           ORDER BY doc_id) AS rn
+                FROM gated) t
+            WHERE rn = 1
+        ),
+        {_bands_cte_sql(source="deduped")},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        shsets AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
+                   FROM words WHERE len(w) >= 3),
+        verified AS (
+            SELECT id_a, id_b
+            FROM cand JOIN shsets sa ON id_a = sa.doc_id
+                      JOIN shsets sb ON id_b = sb.doc_id
+            WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                      / len(list_distinct(sa.sh || sb.sh)) >= {JACCARD_T}
+        ),
+        edges AS (SELECT id_a AS a, id_b AS b FROM verified
+                  UNION SELECT id_b, id_a FROM verified),
+        reach AS (
+            SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        ),
+        comp AS (SELECT src AS doc_id, min(dst) AS comp
+                 FROM reach GROUP BY src),
+        clean AS (
+            SELECT d.doc_id, d.text FROM deduped d LEFT JOIN comp c USING (doc_id)
+            WHERE c.doc_id IS NULL OR c.comp = d.doc_id
+        ),
+        labeled AS (
+            SELECT doc_id, text,
+                   CASE WHEN draw < 80 THEN 'train'
+                        WHEN draw < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, text,
+                         ('0x' || substr(md5('split42:'
+                             || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 100 AS draw
+                  FROM clean) t
+        ),
+        toks AS (
+            SELECT doc_id, split,
+                   ('0x' || substr(md5('pack13:'
+                       || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % {_PACK_SHARDS} AS shard,
+                   len({_WORDS_SQL}) AS n_tokens
+            FROM labeled
+        ),
+        packed AS (
+            SELECT split, shard, n_tokens,
+                   CAST(floor((SUM(n_tokens) OVER (
+                            PARTITION BY split, shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+                        - n_tokens) / {_PACK_CTX}) AS BIGINT) AS pack_id
+            FROM toks
+        )
+        SELECT split, shard, pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        FROM packed GROUP BY split, shard, pack_id
+    """,
+    tags=("llm", "L26", "pipeline"),
+)
+def l26_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L26 (beyond the brief): the END-TO-END curation pipeline —
+    quality gate → canonical exact dedup → MinHash near-dup
+    clustering (keep one per component) → deterministic split →
+    sharded sequence packing, composed from the catalog's operators
+    by :func:`feray_spark.pipeline.curate_corpus` and verified as a
+    WHOLE against one DuckDB oracle that replays every stage
+    (including the transitive closure, via a recursive CTE). The
+    single strongest correctness statement in the catalog: if any
+    stage's semantics drifted, the pack accounting downstream would
+    hash-mismatch.
+
+    Scale posture is the sum of its parts (each documented on its
+    operator): zero-shuffle gate, one hash-agg dedup, bucket-bounded
+    pair generation, O(diameter) clustering, scan-level split,
+    per-(split, shard) windowed packing. Composition adds NO new
+    shuffle — stages hand off lazy DataFrames and Catalyst plans the
+    whole flow end to end (pushing the gate INTO the dedup scan)."""
+    from feray_spark.pipeline import curate_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    return curate_corpus(d, pack_ctx=_PACK_CTX, pack_shards=_PACK_SHARDS).packs
