@@ -4,8 +4,12 @@ canonical exact dedup → MinHash near-dup clustering → n-gram
 decontamination → deterministic split → sharded sequence packing.
 This is the "switch your pipeline to this engine" artifact: every
 stage is one of the catalog's operators applied with its documented
-100 TB posture, chained on lazy DataFrames so Catalyst sees ONE plan
-per output and the whole flow stays unexecuted until a sink runs.
+100 TB posture, chained on lazy DataFrames so Catalyst plans each
+output end to end. One stage is necessarily eager: near-dup
+CLUSTERING is an iterative fixpoint whose per-round convergence
+check is an action, so building the result executes the flow up
+through pair generation; everything downstream (decontamination,
+split, packing) stays lazy until a sink runs.
 
 Stage order follows the standard curation argument (C4/RefinedWeb/
 Dolma): cheap row-local gates first (quality, language — zero
@@ -48,10 +52,13 @@ from feray_spark.operators.dedup import (
 
 @dataclass(frozen=True)
 class CurationResult:
-    """Lazy handles on every stage boundary (nothing has executed
-    when this returns) plus the packed output. ``counts()`` runs one
-    count job per stage — a test/report convenience; production
-    flows attach ``df.observe`` to the stages they ship."""
+    """Handles on every stage boundary plus the packed output. All
+    are lazy DataFrames, but constructing the result has already
+    executed up through near-dup clustering (its fixpoint check is
+    an action); stages after it run at the caller's sink.
+    ``counts()`` runs one count job per stage — a test/report
+    convenience; production flows attach ``df.observe`` to the
+    stages they ship."""
 
     raw: DataFrame
     gated: DataFrame          # quality/language gate survivors

@@ -2285,7 +2285,9 @@ def l26_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generation, O(diameter) clustering, scan-level split,
     per-(split, shard) windowed packing. Composition adds NO new
     shuffle — stages hand off lazy DataFrames and Catalyst plans the
-    whole flow end to end (pushing the gate INTO the dedup scan)."""
+    flow end to end (pushing the gate INTO the dedup scan); the one
+    eager point is the clustering fixpoint, whose per-round
+    convergence check is an action by nature."""
     from feray_spark.pipeline import curate_corpus
 
     d = load_table(spark, sf_dir, "documents")
