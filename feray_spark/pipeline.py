@@ -124,6 +124,10 @@ def curate_corpus(
         & (quality_score(text_col) >= F.lit(quality_min))
     )
 
+    # no localCheckpoint on deduped: measured 4.62 vs 4.68 s at sf0.1
+    # (noise) — the gate+dedup recompute the packs lineage pays is
+    # cheap next to clustering, and pinning corpus-sized blocks is
+    # exactly what a 100 TB flow phases through STORAGE instead
     deduped = exact_dedup(gated, text_col, id_col, canonical=True)
 
     pairs = minhash_lsh_pairs(
