@@ -21,6 +21,7 @@ Layout
 - ``features``   — FeatureStore / FeatureView / memoization (FS1-FS8)
 - ``streaming``  — fastlane Structured Streaming builders (T1-T10)
 - ``queries``    — the oracle-gated query catalog mirroring SURVEY.md §2
+- ``pipeline``   — the composed corpus→training-shards curation flow
 """
 
 __version__ = "0.1.0"
