@@ -496,3 +496,23 @@ def test_stratified_sample_precuts_before_shuffle(spark, sf_dir):
     plan = plan_of(q.fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan and "Final" in plan, plan
+
+
+def test_curation_packs_plan_pushes_gate_and_bounds_exchanges(spark, sf_dir):
+    """l26/pipeline: the quality gate must FUSE into the parquet scan
+    (isnotnull(text) reaches the scan's pushed filters, the quality
+    expression rides the same scan as a data filter — no separate
+    filter stage over a materialized corpus), and the whole curated-
+    packs lineage holds at FOUR exchanges total (dedup hash-agg,
+    anti-join build, pack window, final agg) — composition added
+    none of its own."""
+    from feray_spark.catalog import load_table
+    from feray_spark.pipeline import curate_corpus
+
+    res = curate_corpus(load_table(spark, sf_dir, "documents"))
+    plan = res.packs._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert any(
+        "isnotnull(text" in ln and "PushedFilters" in ln for ln in scan_lines
+    ), "\n".join(scan_lines)
+    assert plan.count("Exchange") == 4, plan.count("Exchange")
