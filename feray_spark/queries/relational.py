@@ -827,3 +827,87 @@ def ep6_having_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EP6_SQL)
+
+
+_EP7_SQL = """
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+"""
+
+
+@register(
+    "ep7_priority_lines",
+    oracle=_EP7_SQL,
+    tags=("sql", "EP7"),
+)
+def ep7_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP7: the TPC-H-Q12 shape — one fact-fact equi-join with the
+    classification living in CASE aggregates rather than in GROUP BY
+    (urgent/non-urgent line counts per return class over one shipped
+    year). Exercises the plan pattern none of ep3's variants do: a
+    selective date-range predicate pushed to the lineitem scan
+    feeding a join whose AGGREGATE does the pivoting. Counts are
+    integers end to end — no arithmetic portability surface at all.
+
+    Scale shape: the shipdate range prunes the probe side AT THE SCAN
+    (PushedFilters; with date-partitioned layout, partition pruning).
+    At fixture scale AQE broadcasts the pruned year (plan shows
+    BroadcastHashJoin); past the broadcast bound the join shuffles
+    both sides on orderkey once. The CASE aggregation
+    partial-aggregates map-side to 3 groups either way."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP7_SQL)
+
+
+_EP8_SQL = """
+    SELECT CAST(ROUND(100.0
+             * SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                        AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+             / SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                        AS DECIMAL(18,4))), 6) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+@register(
+    "ep8_promo_revenue",
+    oracle=_EP8_SQL,
+    tags=("sql", "EP8"),
+)
+def ep8_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP8: the TPC-H-Q14 shape — a single scalar output that is a
+    RATIO of two conditional aggregates over a dimension join
+    (promotion revenue share for one shipped month). The last classic
+    aggregate form the SQL surface lacked: global (no GROUP BY),
+    CASE-split numerator over the same rows as the denominator.
+
+    Portability: both sums ride the exact-decimal discipline
+    (ep3c's DECIMAL(18,4) product), so numerator and denominator are
+    bit-identical doubles in both engines and their quotient is too;
+    ROUND(,6) guards the printed value regardless.
+
+    Scale shape: the month predicate prunes the fact scan; part is
+    the small side (broadcast join — the same star contract as j5);
+    both conditional sums fold into ONE aggregate over the joined
+    stream, partials map-side, and only 1 row crosses the final
+    exchange."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP8_SQL)
