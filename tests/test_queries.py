@@ -87,3 +87,27 @@ def test_ep4_bounds_its_temp_views(spark, sf_dir):
         if t.isTemporary and t.name.startswith("__ep4_seq_")
     ]
     assert len(views) <= 1, views
+
+
+def test_staged_round5_rotation_names_resolve():
+    """_ROUND5_PRIORITY is hand-maintained; a typo'd name would
+    silently fall out of _ordered() and the intended query would miss
+    its driver window next round. Every staged name must exist in the
+    registry, exactly once."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry_r5",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__spark_entry__.py"),
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    registry = set(load_all())
+    staged = entry._ROUND5_PRIORITY
+    unknown = [n for n in staged if n not in registry]
+    assert not unknown, unknown
+    assert len(staged) == len(set(staged)), "duplicate staged names"
+    # the driver window is 50 slots; the staged list must fill it
+    assert len(staged) >= 50
