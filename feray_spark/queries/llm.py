@@ -2292,3 +2292,83 @@ def l26_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return curate_corpus(d, pack_ctx=_PACK_CTX, pack_shards=_PACK_SHARDS).packs
+
+
+@register(
+    "l27_embedding_quantize",
+    oracle="""
+        SELECT vec_id,
+               scale,
+               array_to_string(list_transform(embedding, x ->
+                   CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5)
+                        AS INT) AS VARCHAR)), ',') AS q_csv,
+               CASE WHEN scale = 0.0 THEN 0.0
+                    ELSE ROUND(list_max(list_transform(embedding, x ->
+                        abs(CAST(x AS DOUBLE)
+                            - floor(CAST(x AS DOUBLE) * scale + 0.5)
+                              / scale))), 9)
+               END AS max_abs_err
+        FROM (
+            SELECT vec_id, embedding,
+                   CASE WHEN amax = 0.0 THEN 0.0 ELSE 127.0 / amax END AS scale
+            FROM (
+                SELECT vec_id, embedding,
+                       list_max(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE)))) AS amax
+                FROM embeddings) a) s
+    """,
+    tags=("llm", "L27", "similarity", "storage"),
+)
+def l27_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27 (beyond the brief): symmetric int8 QUANTIZATION of the
+    embedding column — per-vector max-abs scaling to [-127, 127],
+    the 4x storage/bandwidth lever every 100 TB embedding estate
+    pulls before building ANN indexes (and the input format IVF/PQ
+    engines expect). Emits the scale, the quantized codes and the
+    per-vector max reconstruction error, so a curation run can gate
+    on quantization loss the same way FS5 gates on null rates.
+
+    Portability: rounding is floor(x*scale + 0.5) — written out
+    explicitly because engines disagree on round()'s half-away vs
+    banker's tie rule, while floor over IEEE doubles is bit-identical
+    everywhere; the scale itself is one double division (identical),
+    and the error metric re-derives the code from x instead of
+    zipping two arrays (same value, no zip_with portability
+    surface). All-zero vectors take scale 0.0 / zero codes / zero
+    error rather than dividing by zero. Codes leave as a CSV string:
+    the driver canonicalizer cannot hash raw array cells (the
+    round-1 a7 lesson recorded on f_array_strings).
+
+    Scale shape: a pure zero-shuffle projection — three higher-order
+    folds per row, all JVM codegen, no UDF, no state. Pairs with
+    L3c/L24: quantized codes feed the IVF scan at a quarter of the
+    IO."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    scale = F.when(amax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / amax)
+    with_scale = e.select("vec_id", "embedding", scale.alias("scale"))
+    code = lambda x: F.floor(xd(x) * F.col("scale") + F.lit(0.5))  # noqa: E731
+    return with_scale.select(
+        "vec_id",
+        "scale",
+        F.array_join(
+            F.transform(
+                "embedding", lambda x: code(x).cast("int").cast("string")
+            ),
+            ",",
+        ).alias("q_csv"),
+        F.when(F.col("scale") == 0.0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.array_max(
+                    F.transform(
+                        "embedding",
+                        lambda x: F.abs(xd(x) - code(x) / F.col("scale")),
+                    )
+                ),
+                9,
+            )
+        )
+        .alias("max_abs_err"),
+    )
