@@ -68,7 +68,8 @@ _ROUND5_PRIORITY = [
     "l25_stratified_sample", "l1b_canonical_dedup", "s6c_orc_roundtrip",
     "l26_curation_pipeline",
     "ep5_correlated_scalar_min", "ep6_having_semijoin",
-    "ep7_priority_lines", "ep8_promo_revenue", "l27_embedding_quantize",
+    "ep7_priority_lines", "ep8_promo_revenue", "ep9_disjunctive_join",
+    "ep10_sole_late_supplier", "l27_embedding_quantize",
     "l3_embedding_topk", "l2d_embedding_neardup",
     "l5_token_df_idf", "l4_text_stats", "t5_dedup",
     "t6_stateful_running", "f1_scalar_udf", "f5_udtf",

@@ -911,3 +911,98 @@ def ep8_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EP8_SQL)
+
+
+_EP9_SQL = """
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(18,4)))
+           AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register(
+    "ep9_disjunctive_join",
+    oracle=_EP9_SQL,
+    tags=("sql", "EP9", "pushdown"),
+)
+def ep9_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP9: the TPC-H-Q19 shape — a join whose WHERE is an OR of
+    conjunct groups, each mixing columns from BOTH sides (brand/size
+    from part, quantity from lineitem). The one classic predicate
+    form the surface lacked: nothing here is a plain conjunct, so
+    naive pushdown gets zero filters to the scans and the join
+    degrades to filter-after-join on the full tables.
+
+    Scale shape: Catalyst's CNF conversion extracts the side-local
+    implications — (brand11 OR brand22 OR brand33) AND the size-range
+    union to the part scan, the quantity-range union to the lineitem
+    scan (both visible as PushedFilters) — so each scan prunes before
+    the join and the original OR runs as the residual predicate on
+    the survivors. Part stays the broadcast side; one conditional
+    aggregate, 1 row over the final exchange. Revenue rides the exact
+    DECIMAL(18,4) discipline (ep3c), so the engines agree bit-for-bit."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP9_SQL)
+
+
+_EP10_SQL = """
+    WITH flagged AS (
+        SELECT l_orderkey, l_suppkey,
+               CASE WHEN l_shipdate > o_orderdate + INTERVAL '365' DAY
+                    THEN 1 ELSE 0 END AS is_late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F')
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM flagged f1 JOIN supplier ON s_suppkey = f1.l_suppkey
+    WHERE f1.is_late = 1
+      AND EXISTS (SELECT 1 FROM flagged f2
+                  WHERE f2.l_orderkey = f1.l_orderkey
+                    AND f2.l_suppkey <> f1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM flagged f3
+                      WHERE f3.l_orderkey = f1.l_orderkey
+                        AND f3.l_suppkey <> f1.l_suppkey
+                        AND f3.is_late = 1)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+"""
+
+
+@register(
+    "ep10_sole_late_supplier",
+    oracle=_EP10_SQL,
+    tags=("sql", "EP10", "subquery"),
+)
+def ep10_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP10: the TPC-H-Q21 shape — the EXISTS / NOT-EXISTS pair over
+    the SAME derived relation with a non-key inequality in the
+    correlation (suppliers who were the SOLE late supplier on a
+    multi-supplier finalized order; "late" adapted to ship > order
+    date + 365d because the fixture has no commit/receipt dates).
+    The last classic subquery form the catalog lacked: ep3b covers
+    one correlated EXISTS, ep5 the correlated scalar — this is the
+    paired semi + anti join against a shared subplan, where the
+    `suppkey <>` residual rides on an orderkey equi-correlation.
+
+    Scale shape: both EXISTS legs decorrelate into LEFT SEMI / LEFT
+    ANTI hash joins on l_orderkey with the `<>` as residual — never a
+    per-row re-execution. All three `flagged` uses shuffle on the
+    same key, so the exchanges line up; the supplier dim broadcasts;
+    the final (numwait DESC, s_name) top-25 is TakeOrderedAndProject
+    — partial top-k per partition, 25 rows to the driver. The count
+    is an integer and the tie-break is total, so no arithmetic or
+    ordering ambiguity crosses engines."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP10_SQL)

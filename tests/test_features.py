@@ -1077,3 +1077,28 @@ def test_code_version_deterministic_without_source():
     exec("f = lambda: 2", ns2)  # noqa: S102
     assert code_version(ns1["f"]) != code_version(ns2["f"])
     assert code_version(ns1["f"]) == code_version(ns1["f"])
+
+
+def test_drift_report_is_lazy_single_aggregate(spark):
+    """The drift report must be ONE unevaluated lineage: building it
+    runs no job (the eager version collected summaries on the
+    driver, paying a second job launch per report), and the plan is
+    a single global aggregate — exactly one exchange feeds the
+    per-column explode."""
+    from feray_spark.features.drift import drift_report
+
+    sc = spark.sparkContext
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    group = "drift-laziness-probe"
+    sc.setJobGroup(group, "probe")
+    try:
+        rep = drift_report(df.filter("k % 3 != 0"), df, ["v"])
+        assert sc.statusTracker().getJobIdsForGroup(group) == []
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+        assert rep.count() == 1
+        assert sc.statusTracker().getJobIdsForGroup(group) != []
+    finally:
+        sc.setJobGroup("", "")

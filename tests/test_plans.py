@@ -516,3 +516,32 @@ def test_curation_packs_plan_pushes_gate_and_bounds_exchanges(spark, sf_dir):
         "isnotnull(text" in ln and "PushedFilters" in ln for ln in scan_lines
     ), "\n".join(scan_lines)
     assert plan.count("Exchange") == 4, plan.count("Exchange")
+
+
+def test_ep9_disjunctive_predicates_push_to_both_scans(spark, sf_dir):
+    """ep9 (Q19 shape): the OR-of-conjuncts predicate mixes columns
+    from both join sides, so neither disjunct is pushable whole —
+    Catalyst must extract each side's implied union instead: the
+    quantity-range OR onto the lineitem scan and the brand+size OR
+    onto the part scan. Without CNF extraction both scans read
+    everything and the join filters after the fact — the shape that
+    dies first at 100 TB."""
+    q = load_all()["ep9_disjunctive_join"]
+    plan = formatted(q.fn(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_quantity" in l and "Or(" in l for l in pushed), pushed
+    assert any("p_brand" in l and "Or(" in l for l in pushed), pushed
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ep10_exists_pair_plans_semi_and_anti(spark, sf_dir):
+    """ep10 (Q21 shape): the EXISTS / NOT-EXISTS pair must
+    decorrelate into LEFT SEMI and LEFT ANTI hash joins on the
+    orderkey equi-correlation (the suppkey `<>` as residual), never
+    a per-row subquery re-execution; the final top-25 must be
+    TakeOrderedAndProject, not a global sort."""
+    q = load_all()["ep10_sole_late_supplier"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
