@@ -33,6 +33,7 @@ BENCH_SKIP = {
     "s2_table_store_time_travel",
     "s10_optimize_layout",
     "s11_change_feed",
+    "s12_restore_clone",
     "s9_metadata_sink",
     "fs3_memoization",
     "fs6_feature_flags",

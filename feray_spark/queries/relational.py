@@ -257,6 +257,74 @@ def s11_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s12_restore_clone",
+    oracle="""
+        SELECT 'restored_head' AS snapshot, count(*) AS n_rows,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT 'pre_restore', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderpriority = '2-HIGH'
+        UNION ALL
+        SELECT 'clone', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("source", "S2", "S3", "restore", "clone"),
+)
+def s12_restore_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 rollback + zero-copy branching: build v0 (urgent
+    orders), overwrite with v1 (high orders), RESTORE back to v0
+    (→ v2, the Delta ``RESTORE TABLE`` analog), then SHALLOW CLONE
+    the restored head into a second table (zero data copied — the
+    clone's commit references the same immutable segments). Aggregate
+    the restored head, the still-time-travelable pre-restore v1, and
+    the clone. The oracle recomputes each snapshot from the source
+    table, so a hash match proves restore re-referenced exactly the
+    v0 segment set without touching v1's, and the clone serves the
+    same bytes through its own log.
+
+    Scale shape: restore and clone are single metadata writes —
+    rolling back or branching a 100 TB table moves zero data; reads
+    stay one multi-path vectorized scan. Contract parity with real
+    Delta is locked by tests/test_store_contract.py (restore/clone
+    legs); vacuum-scoping and stream-detach edges in
+    tests/test_features.py."""
+    from feray_spark.queries.util import scratch_store
+
+    store, root = scratch_store("s12_store", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    store.write(
+        orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+        "orders_rc",
+        mode="overwrite",
+    )
+    store.write(
+        orders.filter(F.col("o_orderpriority") == "2-HIGH"),
+        "orders_rc",
+        mode="overwrite",
+    )
+    store.restore("orders_rc", 0)
+    store.clone("orders_rc", "orders_rc_branch")
+
+    def snap(tag: str, table: str, version: int | None) -> DataFrame:
+        df = store.read(spark, table, version=version)
+        return df.agg(
+            F.lit(tag).alias("snapshot"),
+            F.count("*").alias("n_rows"),
+            dsum("o_totalprice").alias("total_price"),
+        ).select("snapshot", "n_rows", "total_price")
+
+    return (
+        snap("restored_head", "orders_rc", None)
+        .unionByName(snap("pre_restore", "orders_rc", 1))
+        .unionByName(snap("clone", "orders_rc_branch", None))
+    )
+
+
+@register(
     "s6_csv_roundtrip",
     oracle="SELECT r_regionkey, r_name FROM region",
     tags=("source", "S6"),

@@ -290,3 +290,31 @@ class DeltaTableStore:
             opt.executeZOrderBy(*zorder_by)
         else:
             opt.executeCompaction()
+
+    # ------------------------------------------------ restore / clone
+
+    def restore(self, spark: SparkSession, table: str, version: int) -> None:
+        """Delta's native ``RESTORE TABLE … TO VERSION AS OF`` — the
+        twin of ``TableStore.restore`` (a new commit re-referencing
+        the target version's files; history retained)."""
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, self._path(table)).restoreToVersion(version)
+
+    def clone(
+        self,
+        spark: SparkSession,
+        src_table: str,
+        dst_table: str,
+        version: int | None = None,
+    ) -> None:
+        """Delta's ``CREATE TABLE … SHALLOW CLONE`` — the twin of
+        ``TableStore.clone`` (version-0 metadata referencing the
+        source snapshot's files, zero data copied; vacuuming the
+        source can break the clone, exactly as documented there)."""
+        src = f"delta.`{self._path(src_table)}`"
+        as_of = f" VERSION AS OF {int(version)}" if version is not None else ""
+        spark.sql(
+            f"CREATE TABLE delta.`{self._path(dst_table)}` "
+            f"SHALLOW CLONE {src}{as_of}"
+        )

@@ -511,6 +511,23 @@ class TableStore:
                 f"{table} is hive-partitioned; stream the unpartitioned "
                 "ingest tail instead (see read_stream docstring)"
             )
+        table_prefix = os.path.realpath(os.path.join(self.root, table)) + os.sep
+        foreign = sorted(
+            os.path.basename(base)
+            for base in {
+                os.path.realpath(self._seg_base(e)[1]) for e in commit.segments
+            }
+            if not base.startswith(table_prefix)
+        )
+        if foreign:
+            # a shallow clone's shared segments live under the SOURCE
+            # table, outside this table's glob — the stream would
+            # silently miss them. Detach (overwrite/optimize) first.
+            raise ValueError(
+                f"{table}: segments {foreign} are shared clone references "
+                "outside the table directory; OPTIMIZE the clone to "
+                "detach it before streaming"
+            )
         rewrites = [
             c.version
             for c in self._commits(table)
@@ -720,12 +737,22 @@ class TableStore:
             for entry in c.segments:
                 _, base = self._seg_base(entry)
                 live_roots.add(os.path.realpath(base))
+        # deletion scope = THIS table's directory: a shallow clone's
+        # commit references segments under the SOURCE table, and
+        # vacuuming the clone must never reach across and delete
+        # shared data the source (or sibling clones) still serves —
+        # the same scoping Delta's VACUUM applies to shallow clones
+        table_prefix = os.path.realpath(os.path.join(self.root, table)) + os.sep
         deleted = []
         for c in dropped:
             for entry in c.segments:
                 _, base = self._seg_base(entry)
                 base = os.path.realpath(base)
-                if base not in live_roots and os.path.isdir(base):
+                if (
+                    base.startswith(table_prefix)
+                    and base not in live_roots
+                    and os.path.isdir(base)
+                ):
                     shutil.rmtree(base)
                     deleted.append(base)
                     live_roots.add(base)  # only delete once
@@ -889,6 +916,105 @@ class TableStore:
                 stats={seg: _segment_stats(seg)},
             ),
             new_segment=seg,
+        )
+
+    # ------------------------------------------------- restore / clone
+
+    def restore(
+        self,
+        table: str,
+        version: int,
+        user_metadata: dict[str, Any] | None = None,
+    ) -> Commit:
+        """Roll the table's HEAD back to an earlier version as a NEW
+        commit (the Delta ``RESTORE TABLE … TO VERSION AS OF`` analog):
+        version latest+1 re-references the target version's segment
+        set verbatim. Zero data movement — segments are immutable and
+        the log IS the table — and nothing is lost: the rolled-back
+        versions stay time-travelable, the change feed reports the
+        restore as the rewrite it is (snapshot diff back to the old
+        rows), and a stream sees it as a rewrite commit (rejected
+        without ``ignore_changes``, same as Delta).
+
+        Like Delta, a restore whose target data files were already
+        vacuumed fails up front rather than committing a HEAD that
+        cannot be read."""
+        target = self.commit_info(table, version)
+        if target is None:
+            raise KeyError(f"{table}: no version {version}")
+        missing = sorted(
+            os.path.basename(base)
+            for base in {self._seg_base(e)[1] for e in target.segments}
+            if not os.path.isdir(base)
+        )
+        if missing:
+            raise ValueError(
+                f"{table}: cannot restore to version {version}; segments "
+                f"{missing} were vacuumed"
+            )
+        head = self.commit_info(table)
+        return self._commit(
+            table,
+            Commit(
+                version=head.version + 1,
+                mode="restore",
+                segments=list(target.segments),
+                schema=target.schema,
+                row_count=target.row_count,
+                timestamp=time.time(),
+                user_metadata={
+                    **(user_metadata or {}),
+                    "restored_from": version,
+                },
+                partition_by=target.partition_by,
+                stats=dict(target.stats),
+            ),
+        )
+
+    def clone(
+        self,
+        src_table: str,
+        dst_table: str,
+        version: int | None = None,
+        user_metadata: dict[str, Any] | None = None,
+    ) -> Commit:
+        """Zero-copy SHALLOW CLONE (the Delta ``CREATE TABLE … SHALLOW
+        CLONE`` analog): ``dst_table`` is born at version 0 referencing
+        the source snapshot's segment directories — no data is copied,
+        so cloning a 100 TB table is one metadata write. The clone
+        then lives its own life: appends add clone-local segments next
+        to the shared references, an overwrite/OPTIMIZE fully detaches
+        it, and its own ``vacuum`` only ever sweeps clone-local
+        directories (shared segments live under the source and are out
+        of its scope by construction).
+
+        Delta-identical caveat: the clone shares data files with the
+        source, so a ``vacuum`` ON THE SOURCE that collects segments
+        the clone still references breaks the clone. Detach first
+        (overwrite or OPTIMIZE the clone) if the source's retention
+        will outpace the clone's lifetime."""
+        if self.commit_info(dst_table) is not None:
+            raise ValueError(f"clone target {dst_table!r} already exists")
+        src = self.commit_info(src_table, version)
+        if src is None:
+            raise KeyError(f"unknown table {src_table!r}")
+        return self._commit(
+            dst_table,
+            Commit(
+                version=0,
+                mode="clone",
+                segments=list(src.segments),
+                schema=src.schema,
+                row_count=src.row_count,
+                timestamp=time.time(),
+                user_metadata={
+                    **(user_metadata or {}),
+                    "cloned_from": src_table,
+                    "source_version": src.version,
+                },
+                partition_by=src.partition_by,
+                stats=dict(src.stats),
+            ),
         )
 
     # ---------------------------------------------------------- merge

@@ -1102,3 +1102,73 @@ def test_drift_report_is_lazy_single_aggregate(spark):
         assert sc.statusTracker().getJobIdsForGroup(group) != []
     finally:
         sc.setJobGroup("", "")
+
+
+def test_restore_after_vacuum_fails_loudly(spark, tmp_root):
+    """Restoring to a version whose data is gone must fail up front
+    (Delta's behavior) — never commit an unreadable HEAD. Two gone
+    flavors: vacuum drops the commit record itself (KeyError), and a
+    record that survives with its segments missing (crash mid-vacuum,
+    manual deletion) is caught by the segment check (ValueError)."""
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    ts = TableStore(tmp_root)
+    ts.write(spark.createDataFrame([(1,)], "id int"), "t", mode="overwrite")
+    ts.write(spark.createDataFrame([(2,)], "id int"), "t", mode="overwrite")
+    ts.vacuum("t", keep_versions=1, orphan_grace_sec=0)
+    with _pytest.raises(KeyError, match="no version"):
+        ts.restore("t", 0)
+
+    ts.write(spark.createDataFrame([(3,)], "id int"), "t", mode="overwrite")
+    # version 1's record survives but its segment is manually gone
+    for seg in ts.commit_info("t", 1).segments:
+        _shutil.rmtree(seg)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        ts.restore("t", 1)
+    # head unchanged, still readable
+    assert ts.latest_version("t") == 2
+    assert ts.read(spark, "t").count() == 1
+
+
+def test_clone_vacuum_never_reaches_into_source(spark, tmp_root):
+    """A shallow clone's vacuum sweeps only clone-local segments: the
+    clone overwrites (detaching from the shared segments), then
+    vacuums away its history — the SOURCE's segment directories must
+    survive and the source must still read."""
+    ts = TableStore(tmp_root)
+    ts.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+        "src", mode="overwrite",
+    )
+    ts.clone("src", "dst")
+    ts.write(
+        spark.createDataFrame([(9, "z")], "id int, v string"),
+        "dst", mode="overwrite",
+    )
+    deleted = ts.vacuum("dst", keep_versions=1, orphan_grace_sec=0)
+    assert all("/src/" not in p for p in deleted), deleted
+    assert {(r.id, r.v) for r in ts.read(spark, "src").collect()} == {
+        (1, "a"), (2, "b"),
+    }
+    assert ts.read(spark, "dst").count() == 1
+
+
+def test_clone_stream_requires_detach(spark, tmp_root):
+    """read_stream on an undetached clone would glob the clone's own
+    directory and silently miss every shared segment — it must be
+    rejected with the detach instruction instead."""
+    ts = TableStore(tmp_root)
+    ts.write(spark.createDataFrame([(1,)], "id int"), "src", mode="overwrite")
+    ts.clone("src", "dst")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="detach"):
+        ts.read_stream(spark, "dst")
+    # detaching via optimize makes it streamable... modulo the
+    # rewrite-commit rule, which ignore_changes + vacuum satisfies
+    ts.optimize(spark, "dst")
+    ts.vacuum("dst", keep_versions=1, orphan_grace_sec=0)
+    stream = ts.read_stream(spark, "dst", ignore_changes=True)
+    assert stream.isStreaming

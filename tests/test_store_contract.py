@@ -56,6 +56,12 @@ class _SegmentAdapter:
             self.spark, table, from_version, to_version=to_version, keys=keys
         )
 
+    def restore(self, table, version):
+        self.ts.restore(table, version)
+
+    def clone(self, src_table, dst_table, version=None):
+        self.ts.clone(src_table, dst_table, version=version)
+
 
 class _DeltaAdapter:
     def __init__(self, spark, root):
@@ -97,6 +103,12 @@ class _DeltaAdapter:
         return self.ds.changes(
             self.spark, table, from_version, to_version=to_version, keys=keys
         )
+
+    def restore(self, table, version):
+        self.ds.restore(self.spark, table, version)
+
+    def clone(self, src_table, dst_table, version=None):
+        self.ds.clone(self.spark, src_table, dst_table, version=version)
 
 
 @pytest.fixture(params=BACKENDS)
@@ -254,3 +266,41 @@ def test_contract_partitioned_write_roundtrip(store, spark):
     got = store.read("t").filter("yr = 1995")
     assert got.count() == 2
     assert {r.id for r in got.collect()} == {1, 2}
+
+
+def test_contract_restore_rolls_head_back_keeping_history(store, spark):
+    """RESTORE semantics both backends share: restoring to an earlier
+    version is a NEW commit whose content equals that version; the
+    rolled-back snapshots stay time-travelable."""
+    v0 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    store.write(v0, "t", mode="overwrite")
+    store.write(
+        spark.createDataFrame([(3, "c")], "id int, v string"), "t", mode="append"
+    )
+    store.write(
+        spark.createDataFrame([(9, "z")], "id int, v string"), "t", mode="overwrite"
+    )
+
+    store.restore("t", 1)
+    assert store.latest_version("t") == 3  # restore IS a commit
+    got = {(r.id, r.v) for r in store.read("t").collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # the overwritten middle state is still readable
+    assert {(r.id, r.v) for r in store.read("t", version=2).collect()} == {(9, "z")}
+
+
+def test_contract_shallow_clone_is_independent(store, spark):
+    """SHALLOW CLONE semantics both backends share: the clone is born
+    with the source snapshot's content and then lives independently —
+    writes to the clone never touch the source."""
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    store.write(src, "src", mode="overwrite")
+    store.clone("src", "dst")
+
+    assert {(r.id, r.v) for r in store.read("dst").collect()} == {(1, "a"), (2, "b")}
+    store.write(
+        spark.createDataFrame([(3, "c")], "id int, v string"), "dst", mode="append"
+    )
+    assert store.read("dst").count() == 3
+    assert store.read("src").count() == 2
+    assert store.latest_version("src") == 0
