@@ -70,7 +70,7 @@ _ROUND5_PRIORITY = [
     "ep5_correlated_scalar_min", "ep6_having_semijoin",
     "ep7_priority_lines", "ep8_promo_revenue", "ep9_disjunctive_join",
     "ep10_sole_late_supplier", "l27_embedding_quantize",
-    "s12_restore_clone",
+    "s12_restore_clone", "l28_epoch_shuffle",
     "l3_embedding_topk", "l2d_embedding_neardup",
     "l5_token_df_idf", "l4_text_stats", "t5_dedup",
     "t6_stateful_running", "f1_scalar_udf", "f5_udtf",

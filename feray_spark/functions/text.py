@@ -178,6 +178,20 @@ def doc_fingerprint(col: str | Column, gram: int = 8) -> Column:
     return F.array_min(F.transform(grams, lambda g: hash64(g, 0)))
 
 
+def md5_rank(salt: str, col: str | Column) -> Column:
+    """Engine-portable deterministic pseudorandom rank: the first 8
+    hex chars of md5(salt ‖ value) as a bigint (no mod). Ordering by
+    it IS the reproducible shuffle primitive — change the salt,
+    change the permutation — with the same SQL twin rendering as
+    :func:`md5_bucket` minus the ``% mod``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def md5_bucket(salt: str, col: str | Column, mod: int) -> Column:
     """Engine-portable deterministic bucket draw in [0, mod):
     first 8 hex chars of md5(salt ‖ value) as a bigint, mod the

@@ -22,6 +22,7 @@ from feray_spark.functions.text import (
     doc_fingerprint,
     lang_id,
     md5_bucket,
+    md5_rank,
     quality_score,
     token_count,
 )
@@ -2371,4 +2372,58 @@ def l27_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("max_abs_err"),
+    )
+
+
+_EPOCH_SHARDS = 16  # training shard count (files written per epoch)
+
+
+@register(
+    "l28_epoch_shuffle",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('epoch7|' || CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT AS hk
+            FROM documents)
+        SELECT doc_id,
+               CAST(hk % {_EPOCH_SHARDS} AS BIGINT) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY hk % {_EPOCH_SHARDS}
+                    ORDER BY hk, doc_id) AS BIGINT) AS pos
+        FROM h
+    """,
+    tags=("llm", "L28", "sampling"),
+)
+def l28_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline staple: the reproducible EPOCH SHUFFLE —
+    every document gets a (shard, pos) slot for the epoch, fully
+    determined by (salt, doc_id): shard = md5-bucket, pos = rank of
+    the raw md5 draw within the shard (doc_id tie-break makes the
+    order total). Changing the epoch salt re-permutes everything;
+    re-running, re-partitioning or changing cluster width changes
+    NOTHING — the property torch-style seeded shuffles lose the
+    moment topology shifts, and the md5 basis makes the oracle
+    reproduce every slot bit-for-bit (functions/text.py md5_rank /
+    md5_bucket).
+
+    Scale shape: a true uniform permutation needs a global sort on
+    random keys — rangepartitioning + total sort, the most expensive
+    shape there is. This runs as ONE hash exchange on the shard id
+    + an in-partition sort (plan-asserted: no rangepartitioning):
+    shard files write independently, stragglers don't serialize, and
+    at 100 TB the epoch order costs exactly one shuffle of the
+    (doc_id, hk) pairs — the text itself can stay columnar-pruned
+    until the shard writer joins it back by doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    hk = md5_rank("epoch7|", "doc_id")
+    keyed = d.select(
+        "doc_id",
+        hk.alias("__hk"),
+        (hk % _EPOCH_SHARDS).cast("bigint").alias("shard"),
+    )
+    w = W_llm.partitionBy("shard").orderBy("__hk", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
     )

@@ -1064,8 +1064,12 @@ def ep10_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both EXISTS legs decorrelate into LEFT SEMI / LEFT
     ANTI hash joins on l_orderkey with the `<>` as residual — never a
-    per-row re-execution. All three `flagged` uses shuffle on the
-    same key, so the exchanges line up; the supplier dim broadcasts;
+    per-row re-execution. Each leg plans its own scan of `flagged`,
+    column-pruned to what it probes (the semi leg reads only
+    orderkey/suppkey) — the honest decorrelated cost of the canonical
+    Q21 text; when the query is yours to rewrite, one grouped
+    aggregate per order (count-distinct suppliers / late suppliers)
+    joined back computes `flagged` once. The supplier dim broadcasts;
     the final (numwait DESC, s_name) top-25 is TakeOrderedAndProject
     — partial top-k per partition, 25 rows to the driver. The count
     is an integer and the tie-break is total, so no arithmetic or

@@ -545,3 +545,15 @@ def test_ep10_exists_pair_plans_semi_and_anti(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_epoch_shuffle_never_plans_a_global_sort(spark, sf_dir):
+    """l28: the reproducible epoch shuffle must run as ONE hash
+    exchange on the shard id + in-partition sort — never the
+    rangepartition + total sort a naive ORDER BY random() permutation
+    costs. That single property is why it survives 100 TB."""
+    q = load_all()["l28_epoch_shuffle"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(shard" in plan, plan
