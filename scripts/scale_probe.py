@@ -1,0 +1,195 @@
+"""Scale-up probe: measure how query wall-clock GROWS with data size.
+
+The bench gate (bench.py / BENCH_FULL.json) compares absolute times
+at sf0.1, where most catalog queries sit on Spark's fixed per-job
+floor — the standing argument (docs/BENCH_NOTES.md) is that the
+floor AMORTIZES as data grows while DuckDB's runtime grows linearly.
+This script measures that claim directly instead of asserting it:
+it replicates the sf0.1 fixtures K times (join keys shifted by a
+replica offset so every join/group cardinality scales honestly;
+document text salted per replica so content stays unique and dedup
+ops scale linearly by construction, not quadratically through
+artificial duplicates) and times the SAME catalog queries — and
+their DuckDB oracle twins — at factor 1 and factor K through the
+same writer path (identical layout at both factors, so the ratio
+isolates data volume).
+
+The replicated data is DERIVED measurement scaffolding only: every
+correctness oracle and test in the repo runs on the driver-provided
+fixtures, never on this.
+
+Usage:
+    python scripts/scale_probe.py [--factor 8] [--runs 3]
+        [--sf-dir /root/testdata/sf0.1] [--queries a1_groupby_q1 ...]
+
+Prints one JSON line: per query, spark/duck medians at both factors
+and the growth ratios (t_K / t_1; K is the slope a perfectly linear
+engine shows, 1.0 is a pure-floor query).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from feray_spark.catalog import TABLES  # noqa: E402
+from feray_spark.queries import load_all  # noqa: E402
+from feray_spark.session import get_spark  # noqa: E402
+
+#: replica key offset — far above any fixture key, far below bigint
+KEYSPACE = 1 << 33
+
+#: key columns shifted per replica (join semantics scale honestly:
+#: each replica joins only within itself, so per-key group sizes stay
+#: fixture-sized while the number of keys grows K×)
+SHIFT_COLS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+#: default probe set: scan/agg (a1), join chains (ep3c, ep7), the
+#: two-sided summary (fs10), per-row text folds (l4), the broadcast
+#: tf table (l16) and the shuffle+window (l28) — one per plan family
+DEFAULT_QUERIES = [
+    "a1_groupby_q1",
+    "ep3c_tpch_q3",
+    "ep7_priority_lines",
+    "fs10_drift_report",
+    "l4_text_stats",
+    "l16_unigram_logprob",
+    "l28_epoch_shuffle",
+]
+
+
+def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
+    """Write a factor-K replication of the fixtures to ``out_dir``
+    through one deterministic writer path (both factors get the same
+    layout). Untouched dimension tables are file-copied."""
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(src_dir, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        if t not in SHIFT_COLS:
+            shutil.copy(src, dst)
+            continue
+        df = spark.read.parquet(src)
+        reps = spark.range(factor).withColumnRenamed("id", "__r")
+        wide = df.crossJoin(F.broadcast(reps))
+        for c in SHIFT_COLS[t]:
+            wide = wide.withColumn(c, F.col(c) + F.col("__r") * F.lit(KEYSPACE))
+        if t == "documents":
+            # unique content per replica: dedup/df ops scale linearly
+            # instead of manufacturing K-cliques of duplicates
+            wide = wide.withColumn(
+                "text", F.concat(F.col("text"), F.lit(" r"), F.col("__r"))
+            )
+        (
+            wide.drop("__r")
+            .coalesce(max(1, factor // 2))
+            .write.mode("overwrite")
+            .parquet(dst + ".dir")
+        )
+        # single-file layout like the fixtures is unnecessary; the
+        # catalog reads a directory path the same as a file path
+        os.rename(dst + ".dir", dst)
+
+
+def time_spark(spark, names, sf_dir, runs):
+    registry = load_all()
+    samples = {n: [] for n in names}
+    for _ in range(runs):
+        for n in names:
+            t0 = time.perf_counter()
+            registry[n].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples[n].append(time.perf_counter() - t0)
+    return {n: round(sorted(s)[(len(s) - 1) // 2], 4) for n, s in samples.items()}
+
+
+def time_duck(names, sf_dir, runs):
+    import duckdb
+
+    registry = load_all()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet/*.parquet') "
+            if os.path.isdir(os.path.join(sf_dir, f"{t}.parquet"))
+            else f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    samples = {n: [] for n in names}
+    for _ in range(runs):
+        for n in names:
+            t0 = time.perf_counter()
+            con.sql(registry[n].oracle).fetchall()
+            samples[n].append(time.perf_counter() - t0)
+    return {n: round(sorted(s)[(len(s) - 1) // 2], 4) for n, s in samples.items()}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--factor", type=int, default=8)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+    names = args.queries or DEFAULT_QUERIES
+    registry = load_all()
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
+    spark = get_spark(app_name="feray-scale-probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    base = os.path.join(tempfile.gettempdir(), "feray_scale_probe")
+    d1 = os.path.join(base, "f1")
+    dk = os.path.join(base, f"f{args.factor}")
+    build_scaled(spark, args.sf_dir, d1, 1)
+    build_scaled(spark, args.sf_dir, dk, args.factor)
+
+    # warm page cache for both factors off the clock
+    for d in (d1, dk):
+        for t in TABLES:
+            spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
+
+    s1 = time_spark(spark, names, d1, args.runs)
+    sk = time_spark(spark, names, dk, args.runs)
+    k1 = time_duck(names, d1, args.runs)
+    kk = time_duck(names, dk, args.runs)
+
+    out = {"factor": args.factor, "runs": args.runs, "queries": {}}
+    for n in names:
+        out["queries"][n] = {
+            "spark_t1": s1[n],
+            "spark_tk": sk[n],
+            "spark_growth": round(sk[n] / s1[n], 2) if s1[n] else None,
+            "duck_t1": k1[n],
+            "duck_tk": kk[n],
+            "duck_growth": round(kk[n] / k1[n], 2) if k1[n] else None,
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
