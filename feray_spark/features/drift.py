@@ -53,6 +53,18 @@ def drift_report(
     aggregates over the tagged union — identical arithmetic to two
     separate per-side aggregates) followed by a driverless explode
     of the summary row into per-column rows."""
+    if not cols:
+        # zero columns profiled (e.g. an empty schema intersection):
+        # an empty, correctly-typed report — F.array() of zero structs
+        # would fail analysis instead
+        return baseline.sparkSession.createDataFrame(
+            [],
+            "col_name string, n_baseline bigint, n_current bigint, "
+            "null_rate_baseline double, null_rate_current double, "
+            "mean_baseline double, mean_current double, mean_shift double, "
+            "min_baseline double, min_current double, "
+            "max_baseline double, max_current double, range_expanded boolean",
+        )
     tagged = baseline.select(F.lit("b").alias("__side"), *cols).unionByName(
         current.select(F.lit("c").alias("__side"), *cols)
     )

@@ -201,15 +201,7 @@ def md5_bucket(salt: str, col: str | Column, mod: int) -> Column:
     % mod`` reproduces the draw bit-for-bit. Shared by the split /
     packing / sampling / mixture queries (one definition, four
     oracles)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % mod
-    )
+    return md5_rank(salt, col) % mod
 
 
 def canonical_text(col: str | Column) -> Column:

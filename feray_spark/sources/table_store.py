@@ -998,6 +998,18 @@ class TableStore:
         src = self.commit_info(src_table, version)
         if src is None:
             raise KeyError(f"unknown table {src_table!r}")
+        missing = sorted(
+            os.path.basename(base)
+            for base in {self._seg_base(e)[1] for e in src.segments}
+            if not os.path.isdir(base)
+        )
+        if missing:
+            # same up-front refusal as restore: never commit a HEAD
+            # (here: a newborn table) that cannot be read
+            raise ValueError(
+                f"{src_table}: cannot clone version {src.version}; segments "
+                f"{missing} were vacuumed"
+            )
         return self._commit(
             dst_table,
             Commit(

@@ -7,9 +7,10 @@ floor AMORTIZES as data grows while DuckDB's runtime grows linearly.
 This script measures that claim directly instead of asserting it:
 it replicates the sf0.1 fixtures K times (join keys shifted by a
 replica offset so every join/group cardinality scales honestly;
-document text salted per replica so content stays unique and dedup
-ops scale linearly by construction, not quadratically through
-artificial duplicates) and times the SAME catalog queries — and
+document text salted per replica so exact-hash content stays unique
+and exact dedup scales linearly — NEAR-dup ops still see replicas
+as K-cliques of candidates and are refused rather than measured,
+see ``NEARDUP_UNSAFE``) and times the SAME catalog queries — and
 their DuckDB oracle twins — at factor 1 and factor K through the
 same writer path (identical layout at both factors, so the ratio
 isolates data volume).
@@ -84,7 +85,14 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
         src = os.path.join(src_dir, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
         if os.path.exists(dst):
-            continue
+            # cache is per-(sf_dir, factor) by path; still guard
+            # against regenerated fixtures: stale scaled data would
+            # publish growth ratios for the wrong dataset
+            if os.path.getmtime(dst) >= os.path.getmtime(src):
+                continue
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.exists(dst):
+                os.remove(dst)
         if t not in SHIFT_COLS:
             shutil.copy(src, dst)
             continue
@@ -158,11 +166,32 @@ def main() -> None:
     unknown = [n for n in names if n not in registry]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
+    # the per-replica text salt keeps EXACT-hash work linear, but
+    # near-dup ops would see each document's K replicas (differing in
+    # one trailing shingle / identical vectors) as a K-clique of
+    # candidate pairs — quadratic growth manufactured by the probe
+    # data, not the engine. Refuse rather than publish that artifact.
+    NEARDUP_UNSAFE = {
+        n
+        for n in registry
+        if any(
+            tag in n
+            for tag in ("minhash", "simhash", "neardup", "jaccard",
+                        "semantic_dedup", "fuzzy", "span_dedup")
+        )
+    }
+    bad = [n for n in names if n in NEARDUP_UNSAFE]
+    if bad:
+        raise SystemExit(
+            f"near-dup queries are not meaningful on replicated data "
+            f"(replicas form artificial K-cliques of candidates): {bad}"
+        )
 
     spark = get_spark(app_name="feray-scale-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    base = os.path.join(tempfile.gettempdir(), "feray_scale_probe")
+    sf_slug = args.sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), f"feray_scale_probe_{sf_slug}")
     d1 = os.path.join(base, "f1")
     dk = os.path.join(base, f"f{args.factor}")
     build_scaled(spark, args.sf_dir, d1, 1)

@@ -1172,3 +1172,32 @@ def test_clone_stream_requires_detach(spark, tmp_root):
     ts.vacuum("dst", keep_versions=1, orphan_grace_sec=0)
     stream = ts.read_stream(spark, "dst", ignore_changes=True)
     assert stream.isStreaming
+
+
+def test_drift_report_empty_cols_is_empty_typed(spark):
+    """Zero profiled columns (an empty schema intersection) returns
+    an empty report with the full 13-column schema, not an analysis
+    error from star-expanding an empty struct array."""
+    from feray_spark.features.drift import drift_report
+
+    df = spark.createDataFrame([(1,)], "k int")
+    rep = drift_report(df, df, [])
+    assert rep.count() == 0
+    assert rep.columns[:3] == ["col_name", "n_baseline", "n_current"]
+    assert len(rep.columns) == 13
+
+
+def test_clone_refuses_vacuumed_source_segments(spark, tmp_root):
+    """Like restore, clone must never commit an unreadable table: a
+    source version whose segment dirs are gone is refused up front."""
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    ts = TableStore(tmp_root)
+    ts.write(spark.createDataFrame([(1,)], "id int"), "src", mode="overwrite")
+    for seg in ts.commit_info("src", 0).segments:
+        _shutil.rmtree(seg)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        ts.clone("src", "dst")
+    assert ts.commit_info("dst") is None
