@@ -7,10 +7,12 @@ floor AMORTIZES as data grows while DuckDB's runtime grows linearly.
 This script measures that claim directly instead of asserting it:
 it replicates the sf0.1 fixtures K times (join keys shifted by a
 replica offset so every join/group cardinality scales honestly;
-document text salted per replica so exact-hash content stays unique
-and exact dedup scales linearly — NEAR-dup ops still see replicas
-as K-cliques of candidates and are refused rather than measured,
-see ``NEARDUP_UNSAFE``) and times the SAME catalog queries — and
+every document TOKEN suffixed per replica, which preserves each
+replica's internal near-dup structure while zeroing cross-replica
+shingle overlap — text dedup work scales exactly K×; embedding-
+based similarity ops are refused instead, since identically
+replicated vectors would form exact-match K-cliques, see
+``EMBEDDING_UNSAFE``) and times the SAME catalog queries — and
 their DuckDB oracle twins — at factor 1 and factor K through the
 same writer path (identical layout at both factors, so the ratio
 isolates data volume).
@@ -49,6 +51,12 @@ from feray_spark.session import get_spark  # noqa: E402
 #: replica key offset — far above any fixture key, far below bigint
 KEYSPACE = 1 << 33
 
+#: bump when build_scaled's TRANSFORM changes (key shift, text
+#: decorrelation): cached scaled data carries this in a marker file,
+#: and a mismatch forces a rebuild — the per-table mtime guard only
+#: sees fixture regeneration, not probe-logic changes
+FORMAT_VERSION = 2
+
 #: key columns shifted per replica (join semantics scale honestly:
 #: each replica joins only within itself, so per-key group sizes stay
 #: fixture-sized while the number of keys grows K×)
@@ -80,7 +88,18 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
     """Write a factor-K replication of the fixtures to ``out_dir``
     through one deterministic writer path (both factors get the same
     layout). Untouched dimension tables are file-copied."""
+    marker = os.path.join(out_dir, ".format_version")
+    if os.path.isdir(out_dir):
+        try:
+            with open(marker) as fh:
+                cached = fh.read().strip()
+        except OSError:
+            cached = None
+        if cached != str(FORMAT_VERSION):
+            shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write(str(FORMAT_VERSION))
     for t in TABLES:
         src = os.path.join(src_dir, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
@@ -102,10 +121,20 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
         for c in SHIFT_COLS[t]:
             wide = wide.withColumn(c, F.col(c) + F.col("__r") * F.lit(KEYSPACE))
         if t == "documents":
-            # unique content per replica: dedup/df ops scale linearly
-            # instead of manufacturing K-cliques of duplicates
+            # decorrelate content per replica at the TOKEN level:
+            # suffixing every token keeps each replica's internal
+            # near-dup structure identical to the fixture's (all docs
+            # in a replica transform alike, so Jaccard within a
+            # replica is unchanged) while making cross-replica
+            # shingle overlap zero — near-dup work scales exactly K×
+            # instead of manufacturing K-cliques of candidates
             wide = wide.withColumn(
-                "text", F.concat(F.col("text"), F.lit(" r"), F.col("__r"))
+                "text",
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1"), F.col("__r").cast("string")),
+                ),
             )
         (
             wide.drop("__r")
@@ -166,25 +195,26 @@ def main() -> None:
     unknown = [n for n in names if n not in registry]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
-    # the per-replica text salt keeps EXACT-hash work linear, but
-    # near-dup ops would see each document's K replicas (differing in
-    # one trailing shingle / identical vectors) as a K-clique of
-    # candidate pairs — quadratic growth manufactured by the probe
-    # data, not the engine. Refuse rather than publish that artifact.
-    NEARDUP_UNSAFE = {
-        n
-        for n in registry
-        if any(
-            tag in n
-            for tag in ("minhash", "simhash", "neardup", "jaccard",
-                        "semantic_dedup", "fuzzy", "span_dedup")
-        )
+    # TEXT near-dup ops are safe: the per-token replica suffix keeps
+    # within-replica dup structure and zeroes cross-replica shingle
+    # overlap, so their work scales K× honestly. EMBEDDING-based ops
+    # are NOT: vectors replicate identically, so each vector's K
+    # copies form a K-clique of exact cosine matches — quadratic
+    # growth manufactured by the probe data, not the engine. Refuse
+    # rather than publish that artifact.
+    EMBEDDING_UNSAFE = {
+        "l2d_embedding_neardup",
+        "l24_semantic_dedup",
+        "l3_embedding_topk",
+        "l3b_lsh_topk",
+        "l3c_ivf_topk",
+        "l21_embedding_outliers",
     }
-    bad = [n for n in names if n in NEARDUP_UNSAFE]
+    bad = [n for n in names if n in EMBEDDING_UNSAFE]
     if bad:
         raise SystemExit(
-            f"near-dup queries are not meaningful on replicated data "
-            f"(replicas form artificial K-cliques of candidates): {bad}"
+            f"embedding-based queries are not meaningful on replicated "
+            f"vectors (replicas form exact-match K-cliques): {bad}"
         )
 
     spark = get_spark(app_name="feray-scale-probe")
