@@ -1078,3 +1078,212 @@ def ep10_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EP10_SQL)
+
+
+_EP11_SQL = """
+    SELECT p_brand, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part
+    JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+@register(
+    "ep11_excluded_suppliers",
+    oracle=_EP11_SQL,
+    tags=("sql", "EP11", "subquery"),
+)
+def ep11_excluded_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP11: the TPC-H-Q16 shape — a NOT IN subquery excluding a key
+    set, then COUNT(DISTINCT) per group (supplier variety per
+    part-brand/size band, minus "complaint" suppliers, adapted to
+    ``s_acctbal < 0`` and the lineitem part-supplier association
+    because the fixture set has no partsupp table). The one subquery
+    form the ep family still lacked: ep3b/ep10 cover EXISTS and NOT
+    EXISTS, ep6 covers IN — NOT IN is semantically distinct because
+    a single NULL in the subquery annihilates every row. Catalyst
+    rewrites it to a null-aware anti join in general, but here it
+    PROVES both key sides non-null (parquet stats + the pushed
+    IsNotNull filters) and degenerates to the plain broadcast
+    LeftAnti fast path — `BroadcastHashJoin LeftAnti, condition
+    None` in the plan, which the plan test locks in.
+
+    Scale shape: the supplier exclusion set (a filtered 10k-row dim
+    even at 100 TB fact scale) broadcasts; part prunes on
+    brand/size at the scan (PushedFilters) and broadcasts into the
+    fact scan, so lineitem is filtered before the only wide
+    exchange — the partial-distinct aggregate on (brand, size,
+    suppkey). COUNT(DISTINCT key) shuffles each group's distinct
+    suppliers once, never the raw rows. On a NULLABLE exclusion
+    column, null-aware anti join degrades to a nested-loop check at
+    scale: prefer an explicit `IS NOT NULL` guard in the subquery
+    (free here — s_suppkey is a non-null key)."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP11_SQL)
+
+
+_EP12_SQL = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+    FROM customer
+    WHERE CAST(c_acctbal AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+             FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "ep12_dormant_rich_customers",
+    oracle=_EP12_SQL,
+    tags=("sql", "EP12", "subquery"),
+)
+def ep12_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP12: the TPC-H-Q22 shape — an uncorrelated GLOBAL aggregate
+    threshold in the WHERE plus a correlated NOT EXISTS anti-join,
+    grouped into segment counts (above-average-balance customers
+    with no urgent order; the fixture's customers all have SOME
+    order, so the anti condition is priority-scoped, and segment
+    stands in for Q22's phone country code). Combines the two
+    decorrelations no other ep entry pairs: a one-row broadcast of a
+    global aggregate AND a LEFT ANTI hash join against the fact.
+
+    Arithmetic portability: the "above average" comparison is
+    cross-multiplied (`balance * count > sum`) so both engines
+    compare exact DECIMAL products — an AVG() threshold would hang
+    the qualifying set on an order-dependent double division and a
+    boundary row could flip between engines. The anti join probes
+    only the two pruned orders columns (custkey, priority), so the
+    fact never rescans for the subquery.
+
+    Scale shape: scalar subqueries collapse to one-row broadcasts
+    (two tiny jobs); the anti join shuffles customer against a
+    priority-filtered orders projection on custkey — the only wide
+    exchange — then a 5-group hash aggregate. At 100 TB the orders
+    side prunes at the scan (priority pushdown) before the join."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP12_SQL)
+
+
+_EP13_SQL = """
+    SELECT l_partkey,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                AS DECIMAL(18,4))) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                AS DECIMAL(18,4)))
+           > 0.0006 * (SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                            AS DECIMAL(18,4)))
+                       FROM lineitem)
+    ORDER BY part_value DESC, l_partkey
+"""
+
+
+@register(
+    "ep13_value_share",
+    oracle=_EP13_SQL,
+    tags=("sql", "EP13", "subquery"),
+)
+def ep13_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP13: the TPC-H-Q11 shape — groups whose aggregate exceeds a
+    FRACTION of the same aggregate over the whole table (parts
+    carrying > 0.06% of total discounted value; fraction-based so
+    the predicate is scale-free — the qualifying-share semantics
+    hold at any SF). The HAVING references a scalar subquery over
+    the SAME fact the outer query aggregates — the "aggregate
+    compared to global aggregate" decorrelation, distinct from
+    ep12's WHERE-level threshold because the comparison happens
+    post-aggregation.
+
+    Arithmetic portability: both sides of the HAVING are exact
+    DECIMAL sums (the ep3c revenue discipline) and the 0.0006
+    literal is exact decimal in both engines, so the qualifying set
+    is bit-stable; only the final display value casts to DOUBLE.
+
+    Scale shape: two scans of lineitem (group sums + global sum) —
+    Catalyst broadcasts the one-row global as a literal into the
+    HAVING filter, so qualification is a scan-local predicate on the
+    aggregate output, never a join. Both aggregations partial
+    map-side; the per-part sums shuffle once on l_partkey. When the
+    fact is bucketed by partkey (sources/bucketing), the wide
+    exchange disappears entirely."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP13_SQL)
+
+
+_EP14_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                    AS DECIMAL(18,4))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+@register(
+    "ep14_top_supplier",
+    oracle=_EP14_SQL,
+    tags=("sql", "EP14", "subquery"),
+)
+def ep14_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP14: the TPC-H-Q15 shape — a derived view (quarterly revenue
+    per supplier) consumed TWICE: once as the join input and once
+    under a MAX scalar subquery that selects the argmax row(s) by
+    exact equality. The last classic view-reuse pattern: ep10 reuses
+    a CTE across EXISTS legs; this reuses one across a scalar
+    aggregate and the main join.
+
+    Arithmetic portability: the revenue view keeps exact DECIMAL all
+    the way through the MAX comparison — equality on DECIMAL is
+    bit-stable across engines, where a DOUBLE max-equality could
+    drop or duplicate the argmax row on a ulp; only the displayed
+    column casts to DOUBLE.
+
+    Scale shape: each consumption of `revenue` plans its own pruned
+    lineitem scan (shipdate pushdown cuts the quarter first) — the
+    honest cost of the canonical Q15 text; Catalyst collapses the
+    MAX side to a one-row broadcast, the supplier dim broadcasts
+    into the filtered view, and the only wide exchange is the
+    per-suppkey partial aggregate. When the view is yours to
+    rewrite, a single-scan window form
+    (MAX(total_rev) OVER () with one extra tiny exchange) computes
+    it once — the W8/o3 top-k pattern — but the entry keeps the
+    subquery text because its job is proving the engine runs the
+    form users write."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP14_SQL)

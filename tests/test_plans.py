@@ -557,3 +557,57 @@ def test_epoch_shuffle_never_plans_a_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "hashpartitioning(shard" in plan, plan
+
+
+def test_ep11_not_in_plans_broadcast_anti_with_pruned_scans(spark, sf_dir):
+    """ep11 (Q16 shape): the NOT IN exclusion must run as a broadcast
+    LEFT ANTI hash join (Catalyst proves the keys non-null, so the
+    null-aware degenerate case never costs a nested loop), the
+    brand/size predicates must reach the part scan, and the
+    acctbal filter the supplier scan."""
+    q = load_all()["ep11_excluded_suppliers"]
+    plan = formatted(q.fn(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("p_size" in l and "In(" in l for l in pushed), pushed
+    assert any("s_acctbal" in l and "LessThan" in l for l in pushed), pushed
+
+
+def test_ep12_threshold_broadcasts_and_anti_join_prunes(spark, sf_dir):
+    """ep12 (Q22 shape): the two global-aggregate scalar subqueries
+    must collapse to one-row plans (no join for the threshold), the
+    NOT EXISTS must plan as a broadcast LEFT ANTI join, and the
+    orders scan feeding it must carry the priority filter —
+    at 100 TB the anti probe reads only urgent orders' keys."""
+    q = load_all()["ep12_dormant_rich_customers"]
+    plan = formatted(q.fn(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderpriority" in l and "EqualTo" in l for l in pushed), pushed
+
+
+def test_ep13_share_filter_is_scan_local_not_a_join(spark, sf_dir):
+    """ep13 (Q11 shape): the HAVING-vs-global-share comparison must
+    run as a Filter over the grouped aggregate with the global sum
+    injected as a scalar-subquery literal — the plan may contain NO
+    join at all, and exactly one wide exchange per aggregation."""
+    q = load_all()["ep13_value_share"]
+    plan = formatted(q.fn(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Subquery" in plan or "subquery" in plan, plan
+
+
+def test_ep14_argmax_keeps_decimal_and_broadcasts_dim(spark, sf_dir):
+    """ep14 (Q15 shape): the supplier dim must broadcast into the
+    revenue view (never shuffle the aggregated fact), the quarter
+    predicate must push to every lineitem scan the view reuse plans,
+    and the MAX comparison stays on exact decimal (the displayed
+    DOUBLE appears only in the final Project)."""
+    q = load_all()["ep14_top_supplier"]
+    plan = formatted(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    shipdate_scans = [l for l in pushed if "l_shipdate" in l]
+    assert len(shipdate_scans) >= 2, pushed
+    assert all("GreaterThanOrEqual" in l for l in shipdate_scans), pushed
