@@ -9,10 +9,11 @@ it replicates the sf0.1 fixtures K times (join keys shifted by a
 replica offset so every join/group cardinality scales honestly;
 every document TOKEN suffixed per replica, which preserves each
 replica's internal near-dup structure while zeroing cross-replica
-shingle overlap — text dedup work scales exactly K×; embedding-
-based similarity ops are refused instead, since identically
-replicated vectors would form exact-match K-cliques, see
-``EMBEDDING_UNSAFE``) and times the SAME catalog queries — and
+shingle overlap — text dedup work scales exactly K×;
+similarity-tagged and edit-distance ops are refused instead, since
+identically replicated vectors / barely-shifted levenshtein pairs
+would form match K-cliques, see ``UNSAFE`` in ``main``) and times
+the SAME catalog queries — and
 their DuckDB oracle twins — at factor 1 and factor K through the
 same writer path (identical layout at both factors, so the ratio
 isolates data volume).
@@ -55,7 +56,7 @@ KEYSPACE = 1 << 33
 #: decorrelation): cached scaled data carries this in a marker file,
 #: and a mismatch forces a rebuild — the per-table mtime guard only
 #: sees fixture regeneration, not probe-logic changes
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 #: key columns shifted per replica (join semantics scale honestly:
 #: each replica joins only within itself, so per-key group sizes stay
@@ -70,9 +71,12 @@ SHIFT_COLS = {
     "embeddings": ["vec_id"],
 }
 
-#: default probe set: scan/agg (a1), join chains (ep3c, ep7), the
-#: two-sided summary (fs10), per-row text folds (l4), the broadcast
-#: tf table (l16) and the shuffle+window (l28) — one per plan family
+#: default probe set — the twelve plan families whose growth curves
+#: docs/BENCH_NOTES.md publishes (the default invocation reproduces
+#: that table): scan/agg (a1), join chains (ep3c, ep7), the two-sided
+#: summary (fs10), per-row text folds (l4), the broadcast tf table
+#: (l16), the shuffle+window (l28), and the text-dedup family the
+#: token-level decorrelation makes measurable (l1, l1b, l2, l2c, l20)
 DEFAULT_QUERIES = [
     "a1_groupby_q1",
     "ep3c_tpch_q3",
@@ -81,6 +85,11 @@ DEFAULT_QUERIES = [
     "l4_text_stats",
     "l16_unigram_logprob",
     "l28_epoch_shuffle",
+    "l1_exact_dedup",
+    "l1b_canonical_dedup",
+    "l2_minhash_lsh_neardups",
+    "l2c_ngram_jaccard",
+    "l20_span_dedup",
 ]
 
 
@@ -128,12 +137,19 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
             # replica is unchanged) while making cross-replica
             # shingle overlap zero — near-dup work scales exactly K×
             # instead of manufacturing K-cliques of candidates
+            # fixed-width suffix: equal-length suffixes make collisions
+            # impossible across replicas (t1+s1 == t2+s2 with |s1|=|s2|
+            # forces t1=t2, s1=s2), where bare ids would alias e.g.
+            # fixture token 'foo1'+replica 0 with 'foo'+replica 10
             wide = wide.withColumn(
                 "text",
                 F.regexp_replace(
                     F.col("text"),
                     F.lit(r"(\S+)"),
-                    F.concat(F.lit("$1"), F.col("__r").cast("string")),
+                    F.concat(
+                        F.lit("$1"),
+                        F.lpad(F.col("__r").cast("string"), 2, "0"),
+                    ),
                 ),
             )
         (
@@ -186,7 +202,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--factor", type=int, default=8)
+    ap.add_argument("--factor", type=int, default=8,
+                    choices=range(1, 100), metavar="1-99")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--queries", nargs="*", default=None)
     args = ap.parse_args()
@@ -195,26 +212,23 @@ def main() -> None:
     unknown = [n for n in names if n not in registry]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
-    # TEXT near-dup ops are safe: the per-token replica suffix keeps
-    # within-replica dup structure and zeroes cross-replica shingle
-    # overlap, so their work scales K× honestly. EMBEDDING-based ops
-    # are NOT: vectors replicate identically, so each vector's K
-    # copies form a K-clique of exact cosine matches — quadratic
-    # growth manufactured by the probe data, not the engine. Refuse
-    # rather than publish that artifact.
-    EMBEDDING_UNSAFE = {
-        "l2d_embedding_neardup",
-        "l24_semantic_dedup",
-        "l3_embedding_topk",
-        "l3b_lsh_topk",
-        "l3c_ivf_topk",
-        "l21_embedding_outliers",
-    }
-    bad = [n for n in names if n in EMBEDDING_UNSAFE]
+    # TEXT shingle-based near-dup ops are safe: the per-token replica
+    # suffix keeps within-replica dup structure and zeroes
+    # cross-replica shingle overlap, so their work scales K× honestly.
+    # NOT safe: (a) every "similarity"-tagged op — embeddings
+    # replicate identically, so each vector's K copies form a
+    # K-clique of exact cosine matches; (b) EDIT-DISTANCE matching
+    # (l19) — the suffix shifts levenshtein by only ~1 char per
+    # token, far below match thresholds, so replicas still pair up.
+    # Both are quadratic growth manufactured by the probe data, not
+    # the engine: refuse rather than publish that artifact.
+    UNSAFE = {n for n, q in registry.items() if "similarity" in q.tags}
+    UNSAFE.add("l19_fuzzy_blocked_pairs")
+    bad = [n for n in names if n in UNSAFE]
     if bad:
         raise SystemExit(
-            f"embedding-based queries are not meaningful on replicated "
-            f"vectors (replicas form exact-match K-cliques): {bad}"
+            f"similarity/edit-distance queries are not meaningful on "
+            f"replicated data (replicas form match K-cliques): {bad}"
         )
 
     spark = get_spark(app_name="feray-scale-probe")
