@@ -587,15 +587,21 @@ def test_ep12_threshold_broadcasts_and_anti_join_prunes(spark, sf_dir):
     assert any("o_orderpriority" in l and "EqualTo" in l for l in pushed), pushed
 
 
-def test_ep13_share_filter_is_scan_local_not_a_join(spark, sf_dir):
-    """ep13 (Q11 shape): the HAVING-vs-global-share comparison must
-    run as a Filter over the grouped aggregate with the global sum
-    injected as a scalar-subquery literal — the plan may contain NO
-    join at all, and exactly one wide exchange per aggregation."""
+def test_ep13_share_filter_is_one_scan_no_join(spark, sf_dir):
+    """ep13 (Q11 shape): share-of-total ships as an analytic over the
+    grouped aggregate — exactly ONE lineitem scan (the canonical
+    HAVING-subquery text would replan the fact per scalar subquery),
+    a Window for the count/total, and NO join anywhere."""
+    import re
+
     q = load_all()["ep13_value_share"]
     plan = formatted(q.fn(spark, sf_dir))
     assert "Join" not in plan, plan
-    assert "Subquery" in plan or "subquery" in plan, plan
+    # formatted() prints each node twice (tree + detail); count the
+    # numbered detail entries to count actual scan NODES
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, plan
+    assert "Window" in plan, plan
 
 
 def test_ep14_argmax_keeps_decimal_and_broadcasts_dim(spark, sf_dir):
