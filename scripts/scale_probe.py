@@ -56,7 +56,7 @@ KEYSPACE = 1 << 33
 #: decorrelation): cached scaled data carries this in a marker file,
 #: and a mismatch forces a rebuild — the per-table mtime guard only
 #: sees fixture regeneration, not probe-logic changes
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 #: key columns shifted per replica (join semantics scale honestly:
 #: each replica joins only within itself, so per-key group sizes stay
@@ -69,6 +69,11 @@ SHIFT_COLS = {
     "supplier": ["s_suppkey"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+    # events replicates too (its ts normalizes to micros through the
+    # one writer path, identically at both factors) — without this,
+    # every events-backed query shows FLAT DuckDB growth and the
+    # probe ratio is an artifact of unreplicated input
+    "events": ["event_id", "user_id"],
 }
 
 #: default probe set — the twelve plan families whose growth curves
@@ -125,6 +130,10 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
             shutil.copy(src, dst)
             continue
         df = spark.read.parquet(src)
+        if t == "events":
+            from feray_spark.catalog import normalize_events_ts
+
+            df = normalize_events_ts(df)
         reps = spark.range(factor).withColumnRenamed("id", "__r")
         wide = df.crossJoin(F.broadcast(reps))
         for c in SHIFT_COLS[t]:
