@@ -1309,3 +1309,93 @@ def ep14_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EP14_SQL)
+
+
+_EP15_SQL = """
+    WITH c_orders AS (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "ep15_order_count_distribution",
+    oracle=_EP15_SQL,
+    tags=("sql", "EP15"),
+)
+def ep15_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP15: the TPC-H-Q13 shape — TWO-LEVEL aggregation over an
+    outer join: count orders per customer (with a non-trivial
+    predicate inside the JOIN's ON clause, so match-less customers
+    survive as zero counts — a WHERE would wrongly drop them), then
+    aggregate the distribution of those counts. The one aggregation
+    shape the ep family lacked: the second GROUP BY keys on the
+    FIRST aggregation's output, the classic histogram-of-group-sizes
+    query behind engagement/skew dashboards.
+
+    Scale shape: the ON-clause filter pushes to the orders scan
+    (PushedFilters — only non-LOW orders are scanned), the outer
+    join shuffles on custkey, the per-customer count partials
+    map-side, and the second aggregate runs over one row per
+    customer — at 100 TB the histogram input is dim-sized, and its
+    own exchange moves at most one row per distinct count value.
+    COUNT(column) vs COUNT(*) semantics carry the null-preserving
+    zero rows; both engines CAST to BIGINT so the distribution keys
+    hash identically."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP15_SQL)
+
+
+_EP16_SQL = """
+    WITH pq AS (
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY l_partkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS small_revenue
+    FROM lineitem
+    JOIN pq ON lineitem.l_partkey = pq.l_partkey
+    WHERE CAST(l_quantity AS DECIMAL(18,2)) * CAST(2 AS BIGINT) * n
+          < qty_sum
+"""
+
+
+@register(
+    "ep16_small_quantity_revenue",
+    oracle=_EP16_SQL,
+    tags=("sql", "EP16"),
+)
+def ep16_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP16: the TPC-H-Q17 shape — fact rows qualified against a
+    PER-GROUP aggregate of the same fact (lines below half their
+    part's average quantity; the "small-order revenue" query). Q17's
+    canonical text is a correlated scalar AVG in the WHERE; AVG's
+    division would hang the qualifying set on float rounding at the
+    boundary, so this entry ships the decorrelated join form with
+    the comparison CROSS-MULTIPLIED (qty * 2 * n < sum — all exact
+    DECIMAL/BIGINT products, bit-stable across engines), which is
+    also precisely the plan Catalyst's RewriteCorrelatedScalarSubquery
+    would produce: one aggregate over the inner fact joined back on
+    the correlation key.
+
+    Scale shape: two scans of lineitem — the per-part (sum, count)
+    aggregate (partial map-side, one shuffle on partkey) joins back
+    to the fact on the same key; with the fact bucketed by partkey
+    (sources/bucketing) both sides co-locate and the join shuffle
+    disappears. The final aggregate is global: one row crosses the
+    last exchange."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP16_SQL)

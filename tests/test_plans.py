@@ -617,3 +617,32 @@ def test_ep14_argmax_keeps_decimal_and_broadcasts_dim(spark, sf_dir):
     shipdate_scans = [l for l in pushed if "l_shipdate" in l]
     assert len(shipdate_scans) >= 2, pushed
     assert all("GreaterThanOrEqual" in l for l in shipdate_scans), pushed
+
+
+def test_ep15_on_clause_filter_pushes_to_orders_scan(spark, sf_dir):
+    """ep15 (Q13 shape): the <> predicate lives in the OUTER JOIN's
+    ON clause, and it must still reach the orders SCAN as a pushed
+    filter (only non-LOW orders are read) while the join stays
+    LeftOuter so match-less customers survive as zero counts."""
+    q = load_all()["ep15_order_count_distribution"]
+    plan = formatted(q.fn(spark, sf_dir))
+    assert "LeftOuter" in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any(
+        "o_orderpriority" in l and "Not(EqualTo" in l for l in pushed
+    ), pushed
+
+
+def test_ep16_correlation_is_an_equi_join_back(spark, sf_dir):
+    """ep16 (Q17 shape): the per-part qualification must run as ONE
+    aggregate joined back on the correlation key — an equi hash join,
+    never a nested loop — with the cross-multiplied comparison as a
+    post-join filter."""
+    import re
+
+    q = load_all()["ep16_small_quantity_revenue"]
+    plan = formatted(q.fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join type: Inner" in plan, plan
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 2, plan
