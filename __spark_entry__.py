@@ -72,7 +72,8 @@ _ROUND5_PRIORITY = [
     "ep10_sole_late_supplier", "ep11_excluded_suppliers",
     "ep12_dormant_rich_customers", "ep13_value_share",
     "ep14_top_supplier", "ep15_order_count_distribution",
-    "ep16_small_quantity_revenue", "l27_embedding_quantize",
+    "ep16_small_quantity_revenue", "ep17_majority_supplier",
+    "l27_embedding_quantize",
     "s12_restore_clone", "l28_epoch_shuffle",
     "l3_embedding_topk", "l2d_embedding_neardup",
     "l5_token_df_idf", "l4_text_stats", "t5_dedup",

@@ -1399,3 +1399,53 @@ def ep16_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EP16_SQL)
+
+
+_EP17_SQL = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+        WHERE p_type = 'PROMO'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) * CAST(2 AS BIGINT)
+               > (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                  FROM lineitem l2
+                  WHERE l2.l_partkey = l.l_partkey
+                    AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+                    AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+    ORDER BY s_suppkey
+"""
+
+
+@register(
+    "ep17_majority_supplier",
+    oracle=_EP17_SQL,
+    tags=("sql", "EP17", "subquery"),
+)
+def ep17_majority_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP17: the TPC-H-Q20 shape — the DEEPEST classic nesting: a
+    correlated scalar aggregate inside a HAVING inside an IN
+    subquery (suppliers who shipped the MAJORITY of some PROMO
+    part's quantity in 1996; "majority of availability" adapted to
+    majority-of-shipments because the fixture set has no partsupp).
+    ep5 covers one correlated scalar, ep6 one HAVING-IN — this
+    composes them two levels deep, the form that breaks naive
+    per-row subquery execution hardest.
+
+    Scale shape: Catalyst decorrelates inside-out — the scalar
+    becomes ONE window-free aggregate of the 1996 window joined back
+    on l_partkey (Inner), the HAVING filters the joined aggregates,
+    and the IN becomes a LEFT SEMI probe into the supplier dim
+    (plan-asserted: Inner + Inner + LeftSemi, no nested loop, no
+    per-group re-execution). The shipdate/p_type predicates push to
+    every scan. The majority test is cross-multiplied
+    (``sum * 2 > part_total``) — exact DECIMAL on both engines, no
+    division at the qualifying boundary."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP17_SQL)

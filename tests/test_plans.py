@@ -646,3 +646,19 @@ def test_ep16_correlation_is_an_equi_join_back(spark, sf_dir):
     assert "Join type: Inner" in plan, plan
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(scans) == 2, plan
+
+
+def test_ep17_nested_subqueries_decorrelate_fully(spark, sf_dir):
+    """ep17 (Q20 shape): the correlated-scalar-inside-HAVING-inside-IN
+    nesting must decorrelate completely — the scalar as an Inner
+    aggregate join-back on partkey, the IN as a LeftSemi probe —
+    with no nested loop and the window predicates pushed to every
+    lineitem scan."""
+    q = load_all()["ep17_majority_supplier"]
+    plan = formatted(q.fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    shipdate = [l for l in pushed if "l_shipdate" in l]
+    assert len(shipdate) >= 2, pushed
