@@ -84,9 +84,15 @@ _ROUND5_PRIORITY = [
     "u1_union_all", "s1_parquet_scan_count", "s9_metadata_sink",
     "s6_csv_roundtrip", "s6b_ndjson_roundtrip", "s7_inmemory_rows",
     "p1_project_compute", "p2_rename_drop_cast", "p3_filter_comparison",
-    "p4_boolean_logic", "p5_in_between_like", "p5b_regex_predicate",
-    "p6_null_predicates", "p7_case_banding", "ep3_sql_surface",
-    "ep3b_subquery_decorrelation", "j1_inner_join", "j2_left_outer",
+    "p4_boolean_logic", "ep3_sql_surface", "ep3b_subquery_decorrelation",
+    "p5b_regex_predicate",
+    # --- 50-slot window edge: ep11-ep17 additions pushed the fill
+    # tail out; ep3/ep3b (subquery surface, code-adjacent to the new
+    # ep family) are deliberately kept IN the window over the
+    # p5/p6/p7 predicate fills (trivial, r01-green, semantics
+    # covered by p3/p4/p5b above) ---
+    "p5_in_between_like", "p6_null_predicates",
+    "p7_case_banding", "j1_inner_join", "j2_left_outer",
     "j2b_full_outer", "j3_cross_join", "j4_left_semi", "j4b_left_anti",
     "j6_theta_join", "j6b_nested_loop", "j7_range_join",
     "j9_point_in_time_spine", "j10_salted_join", "j7b_interval_join",

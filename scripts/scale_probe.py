@@ -45,7 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from feray_spark.catalog import TABLES  # noqa: E402
+from feray_spark.catalog import TABLES, load_table  # noqa: E402
 from feray_spark.queries import load_all  # noqa: E402
 from feray_spark.session import get_spark  # noqa: E402
 
@@ -129,11 +129,10 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
         if t not in SHIFT_COLS:
             shutil.copy(src, dst)
             continue
-        df = spark.read.parquet(src)
-        if t == "events":
-            from feray_spark.catalog import normalize_events_ts
-
-            df = normalize_events_ts(df)
+        # load_table, not a raw read: it owns the events.ts
+        # nanosAsLong normalization (CLAUDE.md rule), so the probe's
+        # writer path can never diverge from what the queries read
+        df = load_table(spark, src_dir, t)
         reps = spark.range(factor).withColumnRenamed("id", "__r")
         wide = df.crossJoin(F.broadcast(reps))
         for c in SHIFT_COLS[t]:
