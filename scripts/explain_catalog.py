@@ -37,6 +37,8 @@ HEADLINERS = [
     ("ep3d_tpch_q5", "six-table join: dim chain broadcasts, only the fact keys shuffle"),
     ("ep11_excluded_suppliers", "Q16 NOT IN: exclusion set broadcast as a plain LeftAnti (keys proven non-null, the null-aware nested-loop case never planned); brand/size pushed to the part scan"),
     ("ep13_value_share", "Q11 share-of-total: analytic window over the grouped aggregate — ONE lineitem scan, no join (the canonical HAVING-subquery text replans the fact per scalar subquery)"),
+    ("ep15_order_count_distribution", "Q13 histogram-of-group-sizes: the exclusion predicate lives in the outer join's ON clause yet still pushes to the orders scan; match-less customers survive as zero counts"),
+    ("ep17_majority_supplier", "Q20 correlated-scalar-in-HAVING-in-IN: fully decorrelated to Inner + Inner + LeftSemi — never a per-group re-execution"),
     ("a14_exact_quantiles", "exact quantiles: rank windows + pick-aggregate all reuse ONE hash partitioning"),
     ("l19_fuzzy_blocked_pairs", "fuzzy pairs: equi join on the (lang, prefix) block key — never a nested loop"),
     ("l20_span_dedup", "span dedup: one rank window on the span key marks first occurrences; two keyed shuffles total"),
