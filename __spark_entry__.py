@@ -53,8 +53,10 @@ FLAGSHIP = "a1_groupby_q1"
 
 #: ROUND-5 ROTATION (swap in as _DRIVER_PRIORITY after CORRECTNESS_r04
 #: lands). Construction rule: (1) entries with no driver row anywhere —
-#: after r4 that is l24_semantic_dedup, l18b_incremental_neardup and
-#: l25_stratified_sample (added this round, outside the r4 window);
+#: after r4 that is the round-4 additions outside the r4 window
+#: (l24_semantic_dedup, l18b_incremental_neardup, l25_stratified_sample,
+#: l26_curation_pipeline + its l26b attrition twin, l29/l30 sampling/
+#: batching, l1b, s6c, s12, l27, l28, the ep5-ep17 SQL surface);
 #: (2) entries whose CODE changed after their last
 #: driver row (l3 swapped to the fold scorer; l2d/l5 output rounding;
 #: l4 gained fan_out + the shared-quality oracle, t5 swapped to the
@@ -66,7 +68,8 @@ FLAGSHIP = "a1_groupby_q1"
 _ROUND5_PRIORITY = [
     "l24_semantic_dedup", "l18b_incremental_neardup",
     "l25_stratified_sample", "l1b_canonical_dedup", "s6c_orc_roundtrip",
-    "l26_curation_pipeline",
+    "l26_curation_pipeline", "l26b_curation_attrition",
+    "l29_temperature_mixture", "l30_length_bucket_batches",
     "ep5_correlated_scalar_min", "ep6_having_semijoin",
     "ep7_priority_lines", "ep8_promo_revenue", "ep9_disjunctive_join",
     "ep10_sole_late_supplier", "ep11_excluded_suppliers",

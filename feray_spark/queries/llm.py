@@ -2188,10 +2188,11 @@ _L26_CANON_MD5 = (
 )
 
 
-@register(
-    "l26_curation_pipeline",
-    oracle=f"""
-        WITH RECURSIVE
+# The curation pipeline's stage CTEs (gate → canonical exact dedup →
+# MinHash banding → candidate verify → transitive closure → per-
+# cluster keep), shared verbatim by the l26 end-to-end oracle and the
+# l26b attrition oracle so both replay the SAME stage semantics.
+_L26_STAGES_CTE_SQL = f"""
         gated AS (
             SELECT doc_id, text FROM documents
             WHERE text IS NOT NULL AND {_QUALITY_SQL} >= 0.35
@@ -2233,7 +2234,14 @@ _L26_CANON_MD5 = (
         clean AS (
             SELECT d.doc_id, d.text FROM deduped d LEFT JOIN comp c USING (doc_id)
             WHERE c.doc_id IS NULL OR c.comp = d.doc_id
-        ),
+        )"""
+
+
+@register(
+    "l26_curation_pipeline",
+    oracle=f"""
+        WITH RECURSIVE
+        {_L26_STAGES_CTE_SQL},
         labeled AS (
             SELECT doc_id, text,
                    CASE WHEN draw < 80 THEN 'train'
@@ -2293,6 +2301,69 @@ def l26_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return curate_corpus(d, pack_ctx=_PACK_CTX, pack_shards=_PACK_SHARDS).packs
+
+
+def _stage_attrition_row(df: DataFrame, stage: str) -> DataFrame:
+    """One (stage, n_docs, n_tokens) row for a pipeline stage handle."""
+    return df.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
+    ).select(F.lit(stage).alias("stage"), "n_docs", "n_tokens")
+
+
+@register(
+    "l26b_curation_attrition",
+    oracle=f"""
+        WITH RECURSIVE
+        {_L26_STAGES_CTE_SQL}
+        SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+               CAST(SUM(len({_WORDS_SQL})) AS BIGINT) AS n_tokens
+        FROM documents
+        UNION ALL
+        SELECT '1_gated', COUNT(*),
+               CAST(SUM(len({_WORDS_SQL})) AS BIGINT) FROM gated
+        UNION ALL
+        SELECT '2_exact_dedup', COUNT(*),
+               CAST(SUM(len({_WORDS_SQL})) AS BIGINT) FROM deduped
+        UNION ALL
+        SELECT '3_neardup_free', COUNT(*),
+               CAST(SUM(len({_WORDS_SQL})) AS BIGINT) FROM clean
+    """,
+    tags=("llm", "L26", "pipeline"),
+)
+def l26b_curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L26b (beyond the brief): the curation ATTRITION report — the
+    per-stage funnel (documents and tokens surviving raw → quality
+    gate → canonical exact dedup → near-dup clustering) every
+    production curation run publishes next to its output, because
+    "the gate dropped 40%" vs "dedup dropped 40%" call for opposite
+    fixes. The stage frames come from the SAME
+    :func:`feray_spark.pipeline.curate_corpus` handles l26 packs, and
+    the oracle replays the SAME stage CTEs (shared SQL constant), so
+    the two entries gate each other: l26 proves the survivors'
+    downstream accounting, l26b proves each stage's exact drop size.
+
+    Scale shape: each stage row is one global aggregate of a
+    two-column projection — partial counts combine map-side, one
+    #stages-row union ships to the driver's sink. The upstream cost
+    IS the pipeline (documented on l26); the report adds one
+    scan-and-count per stage handle over lineages Catalyst has
+    already planned, with `observe()` on the shipped stages as the
+    zero-extra-job production variant (see pipeline.CurationResult)."""
+    from feray_spark.pipeline import curate_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    res = curate_corpus(d, pack_ctx=_PACK_CTX, pack_shards=_PACK_SHARDS)
+    rows = [
+        _stage_attrition_row(d, "0_raw"),
+        _stage_attrition_row(res.gated, "1_gated"),
+        _stage_attrition_row(res.deduped, "2_exact_dedup"),
+        _stage_attrition_row(res.neardup_free, "3_neardup_free"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 @register(
@@ -2426,4 +2497,203 @@ def l28_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+@register(
+    "l29_temperature_mixture",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5('temp29:' || CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT % 1000000 AS u,
+                   len({_WORDS_SQL}) AS n_tok
+            FROM documents
+        ), per_src AS (
+            SELECT source,
+                   CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
+                   CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT)
+                       AS w
+            FROM tok GROUP BY source
+        ), tot AS (
+            SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(w) AS BIGINT) AS total_w
+            FROM per_src
+        ), rates AS (
+            SELECT source, src_tokens,
+                   ((CAST(w AS DOUBLE) / total_w) * total_tokens)
+                       / src_tokens AS rate
+            FROM per_src CROSS JOIN tot
+        )
+        SELECT t.source,
+               COUNT(*) AS n_docs_in,
+               CAST(SUM(CAST(floor(r.rate) AS BIGINT)
+                    + CASE WHEN t.u < (r.rate - floor(r.rate)) * 1000000.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_out,
+               CAST(SUM((CAST(floor(r.rate) AS BIGINT)
+                    + CASE WHEN t.u < (r.rate - floor(r.rate)) * 1000000.0
+                           THEN 1 ELSE 0 END) * t.n_tok) AS BIGINT)
+                   AS tokens_out,
+               ROUND(MIN(r.rate), 9) AS rate
+        FROM tok t JOIN rates r USING (source)
+        GROUP BY t.source
+    """,
+    tags=("llm", "L29", "sampling"),
+)
+def l29_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L29 (beyond the brief): TEMPERATURE rebalancing — resample
+    every source toward w_s ∝ sqrt(n_s) (alpha = 0.5, the XLM-R /
+    mT5 multilingual recipe) under the SAME total token budget. The
+    op L17 deliberately is not: L17 downsamples toward externally
+    declared ratios (rate capped at 1), while temperature balancing
+    derives the weights FROM the corpus and UPSAMPLES the tail —
+    a low-resource source gets rate > 1, realized as whole-corpus
+    repeats (floor(rate)) plus a reproducible md5 draw for the
+    fractional epoch, so expected output tokens = rate x n_s per
+    source with zero RNG state. The summary reports per-source
+    in/out document and token counts plus the rate; the row-level
+    variant is one extra line (explode(sequence(1, n_copies)))
+    noted below.
+
+    Exactness across engines, by construction: the weight is an
+    INTEGER (floor(sqrt(bigint)) — IEEE sqrt is correctly rounded,
+    so both engines floor the same double), the totals are BIGINT
+    sums, and the rate is derived with one fixed operation order
+    ((w / total_w) * total_tokens) / n_s — bit-equal doubles on both
+    sides, so even boundary documents (u within 1 of the fractional
+    cut) agree. Same discipline as L17/L9.
+
+    Scale shape (same as L17's two-pass broadcast): pass 1 is one
+    hash agg of #sources rows; the #sources-row rate table
+    broadcasts onto pass 2's scan; copies are computed scan-side and
+    the summary shuffles #sources rows. Nothing document-sized ever
+    exchanges. The materializing variant stays shuffle-free too:
+    ``explode(sequence(1, n_copies))`` fans each row out in place,
+    so an epoch-balanced 100 TB corpus writes straight from the scan
+    stage."""
+    d = load_table(spark, sf_dir, "documents")
+    u = md5_bucket("temp29:", "doc_id", 1_000_000)
+    tok = d.select(
+        "doc_id", "source", u.alias("u"), token_count("text").alias("n_tok")
+    )
+    per_src = tok.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("src_tokens")
+    ).withColumn(
+        "w", F.floor(F.sqrt(F.col("src_tokens").cast("double"))).cast("bigint")
+    )
+    tot = per_src.agg(
+        F.sum("src_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("w").cast("bigint").alias("total_w"),
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (
+            (F.col("w").cast("double") / F.col("total_w"))
+            * F.col("total_tokens")
+            / F.col("src_tokens")
+        ).alias("rate"),
+    )
+    copies = (
+        F.floor(F.col("rate")).cast("bigint")
+        + F.when(
+            F.col("u") < (F.col("rate") - F.floor(F.col("rate"))) * 1_000_000.0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    out = tok.join(F.broadcast(rates), "source").withColumn("n_copies", copies)
+    return out.groupBy("source").agg(
+        F.count("*").alias("n_docs_in"),
+        F.sum("n_copies").cast("bigint").alias("n_docs_out"),
+        F.sum(F.col("n_copies") * F.col("n_tok")).cast("bigint").alias(
+            "tokens_out"
+        ),
+        F.round(F.min("rate"), 9).alias("rate"),
+    )
+
+
+_LB_WIDTH = 16  # token-length bucket width
+_LB_CAP = 7  # highest bucket id (everything >= cap*width lands here)
+_LB_BATCH = 8  # documents per batch
+_LB_SHARDS = 8  # md5 shards bounding each window partition
+
+
+@register(
+    "l30_length_bucket_batches",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   least(CAST(floor(len({_WORDS_SQL}) / {_LB_WIDTH})
+                              AS BIGINT),
+                         {_LB_CAP}) AS bucket,
+                   ('0x' || substr(md5('lbb30:' || CAST(doc_id AS VARCHAR)),
+                        1, 8))::BIGINT % {_LB_SHARDS} AS shard,
+                   len({_WORDS_SQL}) AS n_tok
+            FROM documents WHERE text IS NOT NULL
+        ), batched AS (
+            SELECT bucket, shard, n_tok,
+                   CAST(floor((ROW_NUMBER() OVER (
+                            PARTITION BY bucket, shard
+                            ORDER BY n_tok, doc_id) - 1)
+                        / {_LB_BATCH}) AS BIGINT) AS batch_id
+            FROM tok
+        )
+        SELECT bucket, shard, batch_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS batch_tokens,
+               CAST(MAX(n_tok) AS BIGINT) AS max_len,
+               CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT)
+                   AS pad_waste
+        FROM batched GROUP BY bucket, shard, batch_id
+    """,
+    tags=("llm", "L30", "packing", "sampling"),
+)
+def l30_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L30 (beyond the brief): LENGTH-GROUPED BATCHING — the
+    padding-side twin of L13's packing. Packing concatenates
+    documents into fixed token windows (pretraining); fine-tuning /
+    inference batches instead PAD every sequence in a batch to its
+    longest member, so batching similar lengths together is what
+    bounds the waste (fairseq/HF ``group_by_length``). Each document
+    gets an integer length bucket (width {_LB_WIDTH}, capped at
+    {_LB_CAP} — production picks boundaries from the corpus's length
+    profile), an md5 shard, and a batch of {_LB_BATCH} docs formed
+    in (n_tok, doc_id) order WITHIN (bucket, shard) — the sort packs
+    near-equal lengths adjacently, so per-batch padding waste
+    (max_len x n_docs - tokens) is near-minimal while the output
+    stays deterministic: every assignment derives from token counts
+    and ids, never partitioning or RNG. The report grain is one row
+    per batch with its padding accounting — the thing you audit
+    before burning GPU-hours on a padded fine-tune.
+
+    Scale shape (same skeleton as L13, plan-asserted): bucket and
+    shard are scan-side integer arithmetic (zero shuffle); the ONE
+    exchange hashes (bucket, shard) — bounded-width partitions by
+    construction, since {_LB_SHARDS} shards split every bucket — and
+    the batch window sorts in-partition, never range-partitioning.
+    The final per-batch aggregate groups on a SUPERSET of the window
+    key, so it reuses the window's partitioning with no second
+    exchange; at 100 TB the whole report costs one shuffle of
+    (doc_id, two ints)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_tok = token_count("text")
+    tok = d.select(
+        "doc_id",
+        F.least(
+            (n_tok / _LB_WIDTH).cast("bigint"), F.lit(_LB_CAP).cast("bigint")
+        ).alias("bucket"),
+        md5_bucket("lbb30:", "doc_id", _LB_SHARDS).alias("shard"),
+        n_tok.alias("n_tok"),
+    )
+    w = W_llm.partitionBy("bucket", "shard").orderBy("n_tok", "doc_id")
+    batched = tok.withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / _LB_BATCH).cast("bigint"),
+    )
+    return batched.groupBy("bucket", "shard", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("batch_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_len"),
+        (F.max("n_tok") * F.count("*") - F.sum("n_tok"))
+        .cast("bigint")
+        .alias("pad_waste"),
     )

@@ -662,3 +662,28 @@ def test_ep17_nested_subqueries_decorrelate_fully(spark, sf_dir):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     shipdate = [l for l in pushed if "l_shipdate" in l]
     assert len(shipdate) >= 2, pushed
+
+
+def test_temperature_mixture_broadcasts_rate_table(spark, sf_dir):
+    """l29: the #sources-row rate table must BROADCAST onto the
+    corpus scan (like l17's ratio table) — a SortMergeJoin would
+    shuffle every document row on the source key twice; nothing
+    document-sized may exchange."""
+    q = load_all()["l29_temperature_mixture"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_length_batches_one_bounded_exchange(spark, sf_dir):
+    """l30: bucket + shard are scan-side integer arithmetic, so the
+    whole report must cost exactly ONE exchange — hashed on
+    (bucket, shard), never a range partition (global sort) or a
+    single-partition window — and the per-batch aggregate must reuse
+    that partitioning (its keys are a superset)."""
+    q = load_all()["l30_length_bucket_batches"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "Exchange hashpartitioning(bucket" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
