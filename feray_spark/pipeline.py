@@ -215,3 +215,91 @@ def curate_corpus(
         split_docs=split_docs,
         packs=packs,
     )
+
+
+def attrition_report(
+    documents: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.35,
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """The per-stage attrition FUNNEL for :func:`curate_corpus`'s
+    gate → canonical exact dedup → near-dup clustering prefix: one
+    ``(stage, n_docs, n_tokens)`` row per stage, counts identical to
+    the stage handles' (regression-tested against ``counts()``).
+
+    Shape: rather than counting each stage handle separately (which
+    replays the gate/dedup lineage once PER stage), every stage
+    membership is computed as a FLAG in one pass — the gate is a
+    scan-side predicate, the exact-dedup winner is ``rn = 1`` over
+    the canonical-hash window (ungated rows ride along under their
+    own unique keys, so they never contend), and the near-dup
+    survivor is a left-anti flag against the cluster losers — then
+    ONE conditional global aggregate + ``stack`` unpivots the funnel
+    to rows. Costs one corpus scan + the dedup window per consumer
+    (two lineages: the pair generator and the final aggregate) +
+    the clustering fixpoint the pipeline pays anyway; nothing is
+    counted corpus-scan-per-stage."""
+    from feray_spark.functions.text import canonical_text
+
+    gate = F.col(text_col).isNotNull() & (
+        quality_score(text_col) >= F.lit(quality_min)
+    )
+    content_hash = F.sha2(canonical_text(F.col(text_col)), 256)
+    # ungated rows get unique window keys: they pass through the
+    # winner window without contending with any canonical group
+    key = F.when(gate, content_hash).otherwise(
+        F.concat(F.lit("__ungated__"), F.col(id_col).cast("string"))
+    )
+    w = W.partitionBy(key).orderBy(F.col(id_col))
+    flagged = documents.select(
+        F.col(id_col),
+        F.col(text_col),
+        token_count(text_col).alias("__n_tok"),
+        gate.alias("__gated"),
+        (gate & (F.row_number().over(w) == 1)).alias("__winner"),
+    )
+
+    ded = flagged.filter(F.col("__winner")).select(id_col, text_col)
+    pairs = minhash_lsh_pairs(
+        ded,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    labels = connected_components(pairs)
+    losers = labels.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col), F.lit(True).alias("__loser")
+    )
+    rep = flagged.join(losers, id_col, "left")
+
+    def _docs(flag):
+        return F.sum(F.when(flag, 1).otherwise(0)).cast("bigint")
+
+    def _toks(flag):
+        return F.sum(F.when(flag, F.col("__n_tok"))).cast("bigint")
+
+    survivor = F.col("__winner") & F.col("__loser").isNull()
+    agg = rep.agg(
+        F.count("*").cast("bigint").alias("d0"),
+        F.sum("__n_tok").cast("bigint").alias("t0"),
+        _docs(F.col("__gated")).alias("d1"),
+        _toks(F.col("__gated")).alias("t1"),
+        _docs(F.col("__winner")).alias("d2"),
+        _toks(F.col("__winner")).alias("t2"),
+        _docs(survivor).alias("d3"),
+        _toks(survivor).alias("t3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, '0_raw', d0, t0, '1_gated', d1, t1,"
+            " '2_exact_dedup', d2, t2, '3_neardup_free', d3, t3)"
+            " AS (stage, n_docs, n_tokens)"
+        )
+    )

@@ -2303,14 +2303,6 @@ def l26_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(d, pack_ctx=_PACK_CTX, pack_shards=_PACK_SHARDS).packs
 
 
-def _stage_attrition_row(df: DataFrame, stage: str) -> DataFrame:
-    """One (stage, n_docs, n_tokens) row for a pipeline stage handle."""
-    return df.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(token_count("text")).cast("bigint").alias("n_tokens"),
-    ).select(F.lit(stage).alias("stage"), "n_docs", "n_tokens")
-
-
 @register(
     "l26b_curation_attrition",
     oracle=f"""
@@ -2337,33 +2329,25 @@ def l26b_curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate → canonical exact dedup → near-dup clustering) every
     production curation run publishes next to its output, because
     "the gate dropped 40%" vs "dedup dropped 40%" call for opposite
-    fixes. The stage frames come from the SAME
-    :func:`feray_spark.pipeline.curate_corpus` handles l26 packs, and
-    the oracle replays the SAME stage CTEs (shared SQL constant), so
-    the two entries gate each other: l26 proves the survivors'
-    downstream accounting, l26b proves each stage's exact drop size.
+    fixes. Stage rules are :func:`feray_spark.pipeline.curate_corpus`'s
+    own (counts regression-tested identical to its handles), and the
+    oracle replays the SAME stage CTEs l26 is gated on (shared SQL
+    constant), so the two entries gate each other: l26 proves the
+    survivors' downstream accounting, l26b proves each stage's exact
+    drop size.
 
-    Scale shape: each stage row is one global aggregate of a
-    two-column projection — partial counts combine map-side, one
-    #stages-row union ships to the driver's sink. The upstream cost
-    IS the pipeline (documented on l26); the report adds one
-    scan-and-count per stage handle over lineages Catalyst has
-    already planned, with `observe()` on the shipped stages as the
-    zero-extra-job production variant (see pipeline.CurationResult)."""
-    from feray_spark.pipeline import curate_corpus
+    Scale shape (:func:`feray_spark.pipeline.attrition_report`):
+    stage memberships are FLAGS computed in one pass — gate
+    predicate scan-side, dedup winner from the canonical-hash
+    window, near-dup survivor from a left-anti flag — folded by ONE
+    conditional global aggregate and unpivoted with ``stack``; a
+    stage never costs its own corpus scan. Production flows attach
+    `observe()` to the stages they ship for a zero-extra-job funnel
+    (see pipeline.CurationResult)."""
+    from feray_spark.pipeline import attrition_report
 
     d = load_table(spark, sf_dir, "documents")
-    res = curate_corpus(d, pack_ctx=_PACK_CTX, pack_shards=_PACK_SHARDS)
-    rows = [
-        _stage_attrition_row(d, "0_raw"),
-        _stage_attrition_row(res.gated, "1_gated"),
-        _stage_attrition_row(res.deduped, "2_exact_dedup"),
-        _stage_attrition_row(res.neardup_free, "3_neardup_free"),
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return attrition_report(d)
 
 
 @register(

@@ -109,3 +109,24 @@ def test_packs_respect_context_and_split_boundaries(spark):
         for r in packs:
             assert r.pack_id * ctx <= cum < (r.pack_id + 1) * ctx, r
             cum += r.pack_tokens
+
+
+def test_attrition_report_matches_stage_handles(spark):
+    """The one-pass flagged funnel must report EXACTLY the counts the
+    curate_corpus stage handles produce — the flag rewrite (shared
+    window, left-anti flag) may change the plan, never a number."""
+    from feray_spark.pipeline import attrition_report
+
+    d = _docs(spark)
+    res = curate_corpus(d)
+    rows = {r.stage: r for r in attrition_report(d).collect()}
+    assert set(rows) == {"0_raw", "1_gated", "2_exact_dedup", "3_neardup_free"}
+    c = res.counts()
+    assert rows["0_raw"].n_docs == c["raw"]
+    assert rows["1_gated"].n_docs == c["gated"]
+    assert rows["2_exact_dedup"].n_docs == c["deduped"]
+    assert rows["3_neardup_free"].n_docs == c["neardup_free"]
+    # token accounting: monotone non-increasing down the funnel
+    toks = [rows[s].n_tokens for s in
+            ["0_raw", "1_gated", "2_exact_dedup", "3_neardup_free"]]
+    assert toks[0] >= toks[1] >= toks[2] >= toks[3] > 0
