@@ -25,6 +25,7 @@ from feray_spark.functions.text import (
     md5_rank,
     quality_score,
     token_count,
+    words,
 )
 from feray_spark.operators.dedup import (
     exact_dedup,
@@ -248,11 +249,49 @@ def l2_minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l2b_simhash", tags=("llm", "L2", "dedup"))
+@register(
+    "l2b_simhash",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_distinct({_WORDS_SQL}) AS ws
+            FROM documents WHERE text IS NOT NULL
+        ), h AS (
+            SELECT doc_id, len(ws) AS n,
+                   list_transform(ws, s ->
+                       ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+            FROM w WHERE len(ws) > 0
+        )
+        SELECT doc_id,
+               CAST(list_aggregate(list_transform(generate_series(0, 59), b ->
+                   CASE WHEN 2 * len(list_filter(hs,
+                                x -> (x >> b) & 1 = 1)) > n
+                        THEN (1::BIGINT << b) ELSE 0::BIGINT END),
+                   'sum') AS BIGINT) AS simhash
+        FROM h
+    """,
+    tags=("llm", "L2", "dedup"),
+)
 def l2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 variant: 64-bit SimHash sketch per document (rows-only;
-    near-dup Hamming behavior is unit-tested in test_llm.py)."""
-    d = load_table(spark, sf_dir, "documents")
+    """L2 variant: 60-bit SimHash sketch per document — per-bit
+    majority vote over md5-prefix word hashes (operators/dedup.py
+    ``simhash``), near-dup Hamming behavior unit-tested in
+    test_llm.py. Promoted from rows-only to a FULL value oracle: the
+    md5 basis means DuckDB can replay every bit (distinct word set →
+    15-hex-prefix hash per word → per-bit majority → bit sum), so
+    the sketch itself is hash-gated, not just its row count. Docs
+    with no words carry no sketch (both sides filter them — the
+    NULL-vs-0 CASE semantics of an empty vote differ between engines
+    by design, so the contract is explicit: a sketch exists iff the
+    doc has at least one word).
+
+    Scale shape: zero shuffle — the sketch is one projection with a
+    single aggregate fold over the per-row word-hash array
+    (``fan_out`` justified by measurement: 0.59 s vs 1.60 s at
+    sf0.1, the 60-bit per-word fold is hot)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.size(F.array_distinct(words("text"))) > 0)
+    )
     return simhash(d, "text", "doc_id")
 
 
