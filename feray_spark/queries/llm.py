@@ -2720,3 +2720,127 @@ def l30_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pad_waste"),
     )
+
+
+_LEAK_N = 8  # leakage-audit n-gram width (L12's probe width)
+_LEAK_SPLIT_SQL = (
+    "CASE WHEN ('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 8))::BIGINT % 100 < 80 THEN 'train'"
+    " WHEN ('0x' || substr(md5('split42:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 8))::BIGINT % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+_LEAK_GRAMS_SQL = (
+    f"list_transform(generate_series(1, len(w) - {_LEAK_N - 1}), "
+    "i -> concat_ws(' ', "
+    + ", ".join(f"w[i+{k}]" for k in range(_LEAK_N))
+    + "))"
+)
+
+
+@register(
+    "l31_split_leakage",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, {_LEAK_SPLIT_SQL} AS split, {_WORDS_SQL} AS w
+            FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+            SELECT DISTINCT doc_id, split,
+                   ('0x' || substr(md5(gram), 1, 15))::BIGINT AS g
+            FROM (SELECT doc_id, split, unnest({_LEAK_GRAMS_SQL}) AS gram
+                  FROM w WHERE len(w) >= {_LEAK_N})
+        ), train_grams AS (
+            SELECT DISTINCT g FROM grams WHERE split = 'train'
+        ), flagged AS (
+            SELECT gr.split, gr.doc_id, gr.g,
+                   (t.g IS NOT NULL) AS leaked
+            FROM grams gr LEFT JOIN train_grams t USING (g)
+            WHERE gr.split <> 'train'
+        )
+        SELECT split,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_with_grams,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS gram_types,
+               CAST(COUNT(DISTINCT CASE WHEN leaked THEN g END)
+                    AS BIGINT) AS leaked_gram_types,
+               CAST(COUNT(DISTINCT CASE WHEN leaked THEN doc_id END)
+                    AS BIGINT) AS leaked_docs
+        FROM flagged GROUP BY split
+    """,
+    tags=("llm", "L31", "contamination"),
+)
+def l31_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L31 (beyond the brief): SPLIT-LEAKAGE audit — after L9's
+    deterministic split, measure how much eval-set content the
+    training split already contains: for each eval split, the
+    distinct {_LEAK_N}-gram types shared with train and the eval
+    documents carrying at least one shared gram. L12 checks the
+    corpus against an EXTERNAL benchmark probe set; this audits the
+    corpus against ITSELF — the number that tells you whether your
+    held-out perplexity is measuring generalization or memorized
+    near-duplicates (the reason C4/Dolma dedup BEFORE splitting).
+    Same md5 split basis as L9/L26, so the audit covers exactly the
+    split the pipeline ships.
+
+    Scale shape: explode to (split, doc_id, gram) → per-side
+    DISTINCT hash aggs (map-side partials collapse repeated grams
+    before the exchange; the gram key space is vocabulary-like, not
+    corpus-sized) → ONE equi-join on the gram key (train side is
+    types-only, deduped) → per-split conditional distinct agg.
+    Nothing joins on a skewed key wider than a gram's document
+    frequency, and the {_LEAK_N}-gram width makes stop-gram hot keys
+    rare by construction (same argument as L12's probe width)."""
+    from feray_spark.functions.text import shingles_from_words
+
+    # fan_out + a materialized word array: shingling + per-gram md5
+    # is CPU-heavy per-row work (Catalyst re-inlines the regex split
+    # into every element_at without the projection barrier — the
+    # minhash_bands lesson), and a single-file local input must not
+    # pin it to one core
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+    ).withColumn("__w", words("text"))
+
+    draw = md5_bucket("split42:", "doc_id", 100)
+    split = (
+        F.when(draw < 80, "train").when(draw < 90, "val").otherwise("test")
+    )
+    gram = F.explode(shingles_from_words(F.col("__w"), _LEAK_N)).alias(
+        "gram"
+    )
+    # grams shuffle as 60-bit md5-prefix longs, never as strings —
+    # identical hashing on the oracle side keeps the counts exact
+    # (collision-free at vocabulary scale by the birthday bound)
+    gram_h = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    # the pair-level distinct looks redundant next to the final
+    # countDistincts, but its Exchange is the plan's REUSE point:
+    # both consumers (train types, eval flags) read the same shuffle
+    # files instead of re-running the explode lineage (measured 2.1 s
+    # with vs 10.4 s without at sf0.1)
+    grams = (
+        d.select("doc_id", split.alias("split"), gram)
+        .select("doc_id", "split", gram_h.alias("g"))
+        .distinct()
+    )
+    train_grams = (
+        grams.filter(F.col("split") == "train").select("g").distinct()
+    )
+    flagged = (
+        grams.filter(F.col("split") != "train")
+        .join(train_grams.withColumn("leaked", F.lit(True)), "g", "left")
+        .select(
+            "split", "doc_id", "g", F.col("leaked").isNotNull().alias("leaked")
+        )
+    )
+    return flagged.groupBy("split").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("docs_with_grams"),
+        F.countDistinct("g").cast("bigint").alias("gram_types"),
+        F.countDistinct(F.when(F.col("leaked"), F.col("g")))
+        .cast("bigint")
+        .alias("leaked_gram_types"),
+        F.countDistinct(F.when(F.col("leaked"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("leaked_docs"),
+    )

@@ -687,3 +687,19 @@ def test_length_batches_one_bounded_exchange(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_split_leakage_joins_on_gram_types(spark, sf_dir):
+    """l31: the leak check must be an equi-join on the HASHED gram
+    key (grams shuffle as md5-prefix longs, never strings) over
+    per-side DISTINCT aggregates — never a nested loop over
+    eval x train documents — and the pair-level distinct exchange
+    must exist as the explode lineage's reuse point."""
+    q = load_all()["l31_split_leakage"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the train-types side shuffles on the hashed gram key alone
+    assert "Exchange hashpartitioning(g#" in plan, plan
+    # the shared pair-level distinct (the reuse point) is present
+    assert "Exchange hashpartitioning(doc_id" in plan, plan
