@@ -29,6 +29,7 @@ BENCH_SKIP = {
     "s6_csv_roundtrip",
     "s6b_ndjson_roundtrip",
     "s6c_orc_roundtrip",
+    "s6d_binaryfile_scan",  # write-dominated, like the other s6 legs
     "s7_inmemory_rows",
     "s2_table_store_time_travel",
     "s10_optimize_layout",

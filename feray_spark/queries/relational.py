@@ -396,6 +396,58 @@ def s6c_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s6d_binaryfile_scan",
+    oracle="""
+        SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS name,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest
+        FROM documents WHERE doc_id < 64 AND text IS NOT NULL
+    """,
+    tags=("source", "S6"),
+)
+def s6d_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: whole-file BINARY ingestion — Spark's ``binaryFile``
+    format, the entry point that turns a directory of image/audio/
+    video payloads into the L6/L23 multimodal column (one row per
+    file: path, length, content bytes). The fixture writes a
+    deterministic set of payload files (the first 64 documents'
+    UTF-8 bytes) and scans them back; the oracle is the closed-form
+    twin over the same parquet rows (name/byte-length/md5 recomputed
+    from the text column — l23's construction-oracle style), so the
+    scan's content bytes are value-checked end to end.
+
+    Scale posture: ``binaryFile`` reads are partition-parallel (one
+    file = one task unit, no splitting — right for payloads, which
+    decode whole), ``pathGlobFilter`` prunes by extension at listing
+    time, and the 2 GB-per-file format cap matches the JVM array
+    bound. At 100 TB the directory listing itself is the hot spot —
+    production layouts shard payload dirs by content-hash prefix so
+    no single list call sees the corpus (the same discipline the
+    table store's segment layout applies)."""
+    import os
+
+    from feray_spark.queries.util import scratch_dir
+
+    root = scratch_dir("binaryfile_scan", sf_dir)
+    os.makedirs(root, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 64) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()  # bounded: 64 rows by construction
+    )
+    for r in docs:
+        with open(os.path.join(root, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    scanned = spark.read.format("binaryFile").load(root)
+    return scanned.select(
+        F.substring_index(F.col("path"), "/", -1).alias("name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
+
+
+@register(
     "s7_inmemory_rows",
     oracle="SELECT * FROM (VALUES (1), (2), (0), (3)) AS t(x)",
     tags=("source", "S7"),
