@@ -71,6 +71,7 @@ _ROUND5_PRIORITY = [
     "l26_curation_pipeline", "l26b_curation_attrition",
     "l29_temperature_mixture", "l30_length_bucket_batches",
     "l31_split_leakage", "l2b_simhash", "s6d_binaryfile_scan",
+    "s6e_xml_roundtrip",
     "ep5_correlated_scalar_min", "ep6_having_semijoin",
     "ep7_priority_lines", "ep8_promo_revenue", "ep9_disjunctive_join",
     "ep10_sole_late_supplier", "ep11_excluded_suppliers",

@@ -30,6 +30,7 @@ BENCH_SKIP = {
     "s6b_ndjson_roundtrip",
     "s6c_orc_roundtrip",
     "s6d_binaryfile_scan",  # write-dominated, like the other s6 legs
+    "s6e_xml_roundtrip",
     "s7_inmemory_rows",
     "s2_table_store_time_travel",
     "s10_optimize_layout",

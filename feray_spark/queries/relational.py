@@ -396,6 +396,51 @@ def s6c_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s6e_xml_roundtrip",
+    oracle="""
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation
+    """,
+    tags=("source", "S6"),
+)
+def s6e_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: XML ingest — Spark 4's NATIVE xml source (the spark-xml
+    package folded into core; no extra jars), the format enterprise
+    feeds and legal/patent/pubmed corpora still arrive in. `nation`
+    round-trips through `rowTag`-delimited XML and the oracle reads
+    the same rows from the parquet source, so escaping/unescaping is
+    value-checked, not just counted. Keys re-cast explicitly: XML
+    carries no type metadata, so the reader's schema inference lands
+    on BIGINT — pinned on both sides.
+
+    Scale posture: XML files split per rowTag boundary (multiLine
+    parsing is per-record, not per-file), so a corpus of large XML
+    dumps parallelizes by input split like CSV; schema inference is
+    one extra pass — production pins an explicit schema to skip it
+    (as the L6 metadata structs do)."""
+    from feray_spark.queries.util import scratch_dir
+
+    out = scratch_dir("xml_roundtrip", sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").format("xml").option(
+        "rowTag", "nation"
+    ).save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .load(out)
+        .select(
+            F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+            F.col("n_name").cast("string").alias("n_name"),
+            F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
+        )
+    )
+
+
+@register(
     "s6d_binaryfile_scan",
     oracle="""
         SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS name,
