@@ -47,6 +47,9 @@ HEADLINERS = [
     ("l24_semantic_dedup", "semantic dedup: ONE bucket-keyed self-join bounds all cosine work to same-bucket pairs; left-anti keep-list — no all-pairs"),
     ("l1b_canonical_dedup", "canonical dedup: partial_min(struct)/partial_count before the only exchange — the boilerplate mega-group never colocates"),
     ("l25_stratified_sample", "stratified sample: WindowGroupLimit pre-cut on the stratum key — N rows per stratum per partition reach the exchange"),
+    ("l29_temperature_mixture", "temperature rebalance: #sources rate table BroadcastHashJoin'd onto the scan — nothing document-sized exchanges"),
+    ("l30_length_bucket_batches", "length-grouped batching: ONE hash exchange on (bucket, shard); the per-batch aggregate reuses the window partitioning"),
+    ("l31_split_leakage", "split-leakage audit: grams exchange as md5-prefix longs; the shared pair-distinct exchange is both consumers' reuse point"),
 ]
 
 
