@@ -52,57 +52,48 @@ FLAGSHIP = "a1_groupby_q1"
 #:     l2b_simhash, l3b_lsh_topk, l3c_ivf_topk, l5b_ml_tfidf
 
 #: ROUND-5 ROTATION (swap in as _DRIVER_PRIORITY after CORRECTNESS_r04
-#: lands). Construction rule: (1) entries with no driver row anywhere —
-#: after r4 that is the round-4 additions outside the r4 window
-#: (l24_semantic_dedup, l18b_incremental_neardup, l25_stratified_sample,
-#: l26_curation_pipeline + its l26b attrition twin, l29/l30 sampling/
-#: batching, l1b, s6c, s12, l27, l28, the ep5-ep17 SQL surface);
-#: (2) entries whose CODE changed after their last
-#: driver row (l3 swapped to the fold scorer; l2d/l5 output rounding;
-#: l4 gained fan_out + the shared-quality oracle, t5 swapped to the
-#: deterministic min_by twin, f_scalar_extras' fixed_epoch went
-#: TZ-free on both sides, t6/f1/f5 gained NULL guards, s2/s10/s11
-#: moved onto dsum — all after their r02/r03 rows);
-#: (3) the 6 entries whose latest row dates to r01 (oldest evidence);
-#: (4) fill to 50 with the remaining r01-era catalog in registry order.
+#: lands). Construction rule (EXACTLY 50 names — the driver verifies
+#: the FIRST 50 of queries(); a longer list silently drops its tail
+#: out of the window):
+#: (1) entries with no driver row anywhere — the round-4 additions
+#: outside the r4 window (l24, l18b, l25, l26 + its l26b attrition
+#: twin, l29/l30/l31 sampling/batching/leakage, l1b, s6c, s6d, s6e,
+#: s12, l27, l28, the ep5-ep17 SQL surface) — 28 entries;
+#: (2) entries whose CODE or ORACLE changed after their last driver
+#: row (l2b promoted rows-only → full value oracle after its r4
+#: rows-only slot; l3 swapped to the fold scorer; l2d/l5 output
+#: rounding; l4 gained fan_out + the shared-quality oracle; l13/l17
+#: ride on the NULL-safe token_count; t5 swapped to the
+#: deterministic min_by twin; f_scalar_extras' fixed_epoch went
+#: TZ-free; t6/f1/f5 gained NULL guards; s2/s10/s11 moved onto
+#: dsum) — 15 entries;
+#: (3) fill to 50 with the oldest-evidence r01-era entries
+#: (w7/w8/o1/o2/o3/u1/s1).
 _ROUND5_PRIORITY = [
+    # (1) never driver-checked (28)
     "l24_semantic_dedup", "l18b_incremental_neardup",
     "l25_stratified_sample", "l1b_canonical_dedup", "s6c_orc_roundtrip",
     "l26_curation_pipeline", "l26b_curation_attrition",
     "l29_temperature_mixture", "l30_length_bucket_batches",
-    "l31_split_leakage", "l2b_simhash", "s6d_binaryfile_scan",
-    "s6e_xml_roundtrip",
+    "l31_split_leakage", "s6d_binaryfile_scan", "s6e_xml_roundtrip",
     "ep5_correlated_scalar_min", "ep6_having_semijoin",
     "ep7_priority_lines", "ep8_promo_revenue", "ep9_disjunctive_join",
     "ep10_sole_late_supplier", "ep11_excluded_suppliers",
     "ep12_dormant_rich_customers", "ep13_value_share",
     "ep14_top_supplier", "ep15_order_count_distribution",
     "ep16_small_quantity_revenue", "ep17_majority_supplier",
-    "l27_embedding_quantize",
-    "s12_restore_clone", "l28_epoch_shuffle",
-    "l3_embedding_topk", "l2d_embedding_neardup",
-    "l5_token_df_idf", "l4_text_stats", "t5_dedup",
-    "t6_stateful_running", "f1_scalar_udf", "f5_udtf",
-    "f_scalar_extras", "s2_table_store_time_travel",
-    "w7_first_last_value", "w8_top_k_per_group",
-    "o1_multikey_sort", "o2_limit_offset", "o3_global_topk",
-    "u1_union_all", "s1_parquet_scan_count", "s9_metadata_sink",
-    "s6_csv_roundtrip", "s6b_ndjson_roundtrip", "s7_inmemory_rows",
-    "p1_project_compute", "p2_rename_drop_cast", "p3_filter_comparison",
-    "p4_boolean_logic", "ep3_sql_surface", "ep3b_subquery_decorrelation",
-    "p5b_regex_predicate",
-    # --- 50-slot window edge: ep11-ep17 additions pushed the fill
-    # tail out; ep3/ep3b (subquery surface, code-adjacent to the new
-    # ep family) are deliberately kept IN the window over the
-    # p5/p6/p7 predicate fills (trivial, r01-green, semantics
-    # covered by p3/p4/p5b above) ---
-    "p5_in_between_like", "p6_null_predicates",
-    "p7_case_banding", "j1_inner_join", "j2_left_outer",
-    "j2b_full_outer", "j3_cross_join", "j4_left_semi", "j4b_left_anti",
-    "j6_theta_join", "j6b_nested_loop", "j7_range_join",
-    "j9_point_in_time_spine", "j10_salted_join", "j7b_interval_join",
-    "a3_statistical_aggs", "a3b_native_stddev_var", "a4_count_distinct",
-    "a5_approx_count_distinct", "a6_distinct_rows",
+    "l27_embedding_quantize", "s12_restore_clone", "l28_epoch_shuffle",
+    # (2) code/oracle changed after last row (15)
+    "l2b_simhash", "l3_embedding_topk", "l2d_embedding_neardup",
+    "l5_token_df_idf", "l4_text_stats", "l13_sequence_packing",
+    "l17_mixture_sampling", "t5_dedup", "t6_stateful_running",
+    "f1_scalar_udf", "f5_udtf", "f_scalar_extras",
+    "s2_table_store_time_travel", "s10_optimize_layout",
+    "s11_change_feed",
+    # (3) oldest-evidence r01 fills (7) — window edge is HERE
+    "w7_first_last_value", "w8_top_k_per_group", "o1_multikey_sort",
+    "o2_limit_offset", "o3_global_topk", "u1_union_all",
+    "s1_parquet_scan_count",
 ]
 
 #: The round-4 window (ACTIVE): the 37 never-checked entries above plus

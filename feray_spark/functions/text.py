@@ -28,15 +28,26 @@ def words(col: str | Column) -> Column:
     return F.filter(F.split(F.lower(c), "\\s+"), lambda w: w != "")
 
 
+def _null_safe_size(arr: Column) -> Column:
+    """``size`` that NULL-propagates. The catalog session runs
+    non-ANSI, where Spark's legacy ``size(NULL)`` is -1 — a sentinel
+    that silently DECREMENTS any SUM it reaches, while every DuckDB
+    oracle twin's ``len(NULL)`` is NULL and skipped by aggregates.
+    Counting helpers must agree with the twins (and with sanity) on
+    missing text: no tokens is not negative-one token."""
+    return F.when(arr.isNotNull(), F.size(arr))
+
+
 def token_count(col: str | Column) -> Column:
-    """L4: whitespace token count."""
-    return F.size(words(col))
+    """L4: whitespace token count (NULL text → NULL, never -1)."""
+    return _null_safe_size(words(col))
 
 
 def bpe_ish_token_count(col: str | Column) -> Column:
-    """L4: sub-word-ish token count via the BPE-flavored regex."""
+    """L4: sub-word-ish token count via the BPE-flavored regex
+    (NULL text → NULL, never -1)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
+    return _null_safe_size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
 
 
 def word_shingles(col: str | Column, n: int = 3) -> Column:

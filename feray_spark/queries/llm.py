@@ -260,7 +260,7 @@ def l2_minhash_lsh_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, len(ws) AS n,
                    list_transform(ws, s ->
                        ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
-            FROM w WHERE len(ws) > 0
+            FROM w
         )
         SELECT doc_id,
                CAST(list_aggregate(list_transform(generate_series(0, 59), b ->
@@ -279,18 +279,21 @@ def l2b_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_llm.py. Promoted from rows-only to a FULL value oracle: the
     md5 basis means DuckDB can replay every bit (distinct word set →
     15-hex-prefix hash per word → per-bit majority → bit sum), so
-    the sketch itself is hash-gated, not just its row count. Docs
-    with no words carry no sketch (both sides filter them — the
-    NULL-vs-0 CASE semantics of an empty vote differ between engines
-    by design, so the contract is explicit: a sketch exists iff the
-    doc has at least one word).
+    the sketch itself is hash-gated, not just its row count. NULL
+    texts drop on both sides (a missing extraction has no sketch);
+    zero-word texts keep sketch 0 identically in both engines (an
+    empty majority vote sets no bits — the fold's initial state).
 
     Scale shape: zero shuffle — the sketch is one projection with a
     single aggregate fold over the per-row word-hash array
     (``fan_out`` justified by measurement: 0.59 s vs 1.60 s at
-    sf0.1, the 60-bit per-word fold is hot)."""
+    sf0.1, the 60-bit per-word fold is hot). The NULL gate is a
+    scan-pushed predicate, deliberately NOT a word-array emptiness
+    check — that would pay the regex split + array_distinct a second
+    time outside the operator's materialized ``__w`` (Catalyst does
+    not CSE across the filter/project boundary)."""
     d = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.size(F.array_distinct(words("text"))) > 0)
+        F.col("text").isNotNull()
     )
     return simhash(d, "text", "doc_id")
 
@@ -2531,7 +2534,7 @@ def l28_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ('0x' || substr(md5('temp29:' || CAST(doc_id AS VARCHAR)),
                         1, 8))::BIGINT % 1000000 AS u,
                    len({_WORDS_SQL}) AS n_tok
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         ), per_src AS (
             SELECT source,
                    CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
@@ -2594,7 +2597,12 @@ def l29_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``explode(sequence(1, n_copies))`` fans each row out in place,
     so an epoch-balanced 100 TB corpus writes straight from the scan
     stage."""
-    d = load_table(spark, sf_dir, "documents")
+    # text IS NOT NULL on BOTH sides: under the repo's non-ANSI
+    # session size(NULL array) is -1, which would silently decrement
+    # src_tokens per missing-text doc (the oracle's SUM skips NULLs)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     u = md5_bucket("temp29:", "doc_id", 1_000_000)
     tok = d.select(
         "doc_id", "source", u.alias("u"), token_count("text").alias("n_tok")
@@ -2677,9 +2685,10 @@ def l30_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference batches instead PAD every sequence in a batch to its
     longest member, so batching similar lengths together is what
     bounds the waste (fairseq/HF ``group_by_length``). Each document
-    gets an integer length bucket (width {_LB_WIDTH}, capped at
-    {_LB_CAP} — production picks boundaries from the corpus's length
-    profile), an md5 shard, and a batch of {_LB_BATCH} docs formed
+    gets an integer length bucket (width ``_LB_WIDTH`` = 16, capped
+    at ``_LB_CAP`` = 7 — production picks boundaries from the
+    corpus's length profile), an md5 shard, and a batch of
+    ``_LB_BATCH`` = 8 docs formed
     in (n_tok, doc_id) order WITHIN (bucket, shard) — the sort packs
     near-equal lengths adjacently, so per-batch padding waste
     (max_len x n_docs - tokens) is near-minimal while the output
@@ -2691,7 +2700,8 @@ def l30_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (same skeleton as L13, plan-asserted): bucket and
     shard are scan-side integer arithmetic (zero shuffle); the ONE
     exchange hashes (bucket, shard) — bounded-width partitions by
-    construction, since {_LB_SHARDS} shards split every bucket — and
+    construction, since ``_LB_SHARDS`` = 8 shards split every
+    bucket — and
     the batch window sorts in-partition, never range-partitioning.
     The final per-batch aggregate groups on a SUPERSET of the window
     key, so it reuses the window's partitioning with no second
@@ -2771,7 +2781,7 @@ def l31_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L31 (beyond the brief): SPLIT-LEAKAGE audit — after L9's
     deterministic split, measure how much eval-set content the
     training split already contains: for each eval split, the
-    distinct {_LEAK_N}-gram types shared with train and the eval
+    distinct ``_LEAK_N``-gram (8-gram) types shared with train and the eval
     documents carrying at least one shared gram. L12 checks the
     corpus against an EXTERNAL benchmark probe set; this audits the
     corpus against ITSELF — the number that tells you whether your
@@ -2786,7 +2796,7 @@ def l31_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized) → ONE equi-join on the gram key (train side is
     types-only, deduped) → per-split conditional distinct agg.
     Nothing joins on a skewed key wider than a gram's document
-    frequency, and the {_LEAK_N}-gram width makes stop-gram hot keys
+    frequency, and the 8-gram width makes stop-gram hot keys
     rare by construction (same argument as L12's probe width)."""
     from feray_spark.functions.text import shingles_from_words
 

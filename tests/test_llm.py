@@ -777,3 +777,36 @@ def test_exact_dedup_canonical_flag(spark):
     )
     assert byte_kept == [2, 5, 9]
     assert canon_kept == [2, 9]
+
+
+def test_token_count_null_text_propagates(spark):
+    """token_count/bpe_ish_token_count on NULL text must be NULL —
+    never the non-ANSI legacy size() sentinel of -1, which silently
+    DECREMENTS any sum it reaches while every DuckDB oracle twin
+    skips the NULL. Locks the _null_safe_size contract."""
+    from pyspark.sql import functions as F
+
+    from feray_spark.functions.text import bpe_ish_token_count, token_count
+
+    df = spark.createDataFrame([(None,), ("a b",)], "text string")
+    assert [
+        r.n for r in df.select(token_count("text").alias("n")).collect()
+    ] == [None, 2]
+    assert df.agg(F.sum(token_count("text"))).first()[0] == 2
+    assert df.agg(F.sum(bpe_ish_token_count("text"))).first()[0] == 2
+
+
+def test_simhash_empty_and_null_text_contract(spark):
+    """l2b's oracle contract: zero-word text sketches to 0 (an empty
+    majority vote sets no bits — both engines' fold initial state);
+    NULL text yields NULL (dropped by the catalog query's gate)."""
+    from feray_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, " . "), (3, None), (4, "a b a")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+    assert out[1] == 0
+    assert out[3] is None
+    assert out[4] not in (0, None)

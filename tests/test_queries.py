@@ -110,4 +110,7 @@ def test_staged_round5_rotation_names_resolve():
     assert not unknown, unknown
     assert len(staged) == len(set(staged)), "duplicate staged names"
     # the driver window is 50 slots; the staged list must fill it
-    assert len(staged) >= 50
+    # EXACTLY — a longer list silently drops its tail out of the
+    # window (round-4 lesson: 7 appended names pushed entries the
+    # comment claimed were "kept IN the window" to positions 51+)
+    assert len(staged) == 50, len(staged)
