@@ -161,6 +161,14 @@ class FeatureStore:
         digest = hashlib.sha256(json.dumps(entries).encode()).hexdigest()
         return f"src:{digest}"
 
+    def _stamp_versions(self, df: DataFrame, view: FeatureView) -> DataFrame:
+        """FS1+FS2 stamping shared by every write path: the row-level
+        data-version columns and the view fn's code version."""
+        df = with_data_version(df, view.version_cols)
+        return df.withColumn(
+            CODE_VERSION_COL, F.lit(code_version(view.fn))
+        )
+
     def fingerprint(self, view: FeatureView) -> str:
         """FS3 cache key: code ‖ exact upstream versions ‖ the
         semantic config (a config flip that changes results must bust
@@ -170,22 +178,39 @@ class FeatureStore:
             "inputs": {i: self._input_version(i) for i in view.inputs},
             "conf": SEMANTIC_CONF,
             "version_cols": list(view.version_cols or []),
+            # the check SET is part of the cache key: a newly added
+            # (or edited) asset check must bust the memo, or it would
+            # never run against data cached under the old gate — the
+            # hit condition only verifies recorded verdicts PASS, not
+            # that they COVER today's checks
+            "checks": {n: code_version(c) for n, c in sorted(view.checks.items())},
         }
         return hashlib.sha256(json.dumps(parts, sort_keys=True).encode()).hexdigest()
 
     # --------------------------------------------------- materialize
 
     def materialize(
-        self, name: str, force: bool = False, raise_on_check_failure: bool = True
+        self,
+        name: str,
+        force: bool = False,
+        raise_on_check_failure: bool = True,
+        _visiting: frozenset[str] = frozenset(),
     ) -> tuple[DataFrame, bool]:
         """Materialize a view (and, recursively, its upstream views).
         Returns ``(table, recomputed)`` — ``recomputed=False`` is an
         FS3 memoization hit served straight from the table store."""
+        if name in _visiting:
+            # same contract as _topo_order: a clear error, not a
+            # RecursionError after a thousand frames
+            raise ValueError(f"feature view cycle at {name!r}")
         view = self.views[name]
         for upstream in view.inputs:
             if upstream in self.views:
                 self.materialize(
-                    upstream, force=force, raise_on_check_failure=raise_on_check_failure
+                    upstream,
+                    force=force,
+                    raise_on_check_failure=raise_on_check_failure,
+                    _visiting=_visiting | {name},
                 )
         fp = self.fingerprint(view)
         latest = self.store.commit_info(name)
@@ -213,8 +238,7 @@ class FeatureStore:
 
         inputs = {i: self._load_input(i) for i in view.inputs}
         result = view.fn(self.spark, inputs)
-        result = with_data_version(result, view.version_cols)
-        result = result.withColumn(CODE_VERSION_COL, F.lit(code_version(view.fn)))
+        result = self._stamp_versions(result, view)
 
         # Asset checks ride the WRITE job as observed metrics
         # (df.observe): the boolean aggregates are folded into the
@@ -342,6 +366,12 @@ class FeatureStore:
                     "inputs": {i: self._input_version(i) for i in view.inputs},
                     "partition": str(partition),
                     "conf": SEMANTIC_CONF,
+                    # same rule as fingerprint(): an added/edited check
+                    # busts the partition memo so it actually runs
+                    "checks": {
+                        n: code_version(c)
+                        for n, c in sorted(view.checks.items())
+                    },
                 },
                 sort_keys=True,
             ).encode()
@@ -373,10 +403,7 @@ class FeatureStore:
         # compute still costs one partition, and replace_where's
         # replacement contract holds by construction
         result = view.fn(self.spark, inputs).filter(predicate)
-        result = with_data_version(result, view.version_cols)
-        result = result.withColumn(
-            CODE_VERSION_COL, F.lit(code_version(view.fn))
-        )
+        result = self._stamp_versions(result, view)
         # declared asset checks (FS5) gate the partition exactly as
         # materialize() gates the table — and like materialize() they
         # ride the WRITE job as observed metrics (df.observe) instead
@@ -546,7 +573,15 @@ class FeatureStore:
         and every batch lands in the SAME versioned table batch
         ``materialize()`` writes. Checkpointed ``availableNow``:
         each call drains exactly the input appended since the last
-        call (T10 exactly-once). Returns the StreamingQuery.
+        call (T10 exactly-once: the sink skips an epoch whose id the
+        target's last commit already records, so the at-least-once
+        crash-window redelivery between store commit and checkpoint
+        commit never duplicates rows — regression-tested). One writer
+        per target, and the checkpoint directory must live as long as
+        the target table: pointing a FRESH checkpoint at an existing
+        target restarts epoch numbering at 0, which the guard would
+        read as a replay of the recorded epoch 0. Returns the
+        StreamingQuery.
 
         Two sink modes, because streaming cannot give both histories
         and latest-state from one shape:
@@ -592,10 +627,7 @@ class FeatureStore:
             )
         stream = self._stream_input(view.inputs[0])
         result = view.fn(self.spark, {view.inputs[0]: stream})
-        result = with_data_version(result, view.version_cols)
-        result = result.withColumn(
-            CODE_VERSION_COL, F.lit(code_version(view.fn))
-        )
+        result = self._stamp_versions(result, view)
         keys = list(view.entities)
         cv = code_version(view.fn)
         checks = dict(view.checks)
@@ -603,6 +635,22 @@ class FeatureStore:
 
         def sink(batch: DataFrame, epoch_id: int) -> None:
             if not batch.take(1):
+                return
+            # exactly-once replay guard (T10): foreachBatch is
+            # at-least-once — a crash BETWEEN the store commit and the
+            # checkpoint commit re-delivers this epoch on restart, and
+            # in append mode a blind re-write would duplicate every
+            # row. The last commit records its epoch; an identical
+            # epoch means the work is already durable — skip, let the
+            # checkpoint commit, done. (Same guard jdbc_upsert_sink
+            # implements with its epoch table; one writer per target,
+            # as documented there.)
+            last = self.store.commit_info(name)
+            if (
+                last is not None
+                and last.user_metadata.get("mode") == "fastlane"
+                and last.user_metadata.get("epoch") == epoch_id
+            ):
                 return
             # checks gate the epoch BEFORE any commit — and on the RAW
             # batch, before upsert dedup, so the gate's strength does
@@ -731,11 +779,27 @@ class FeatureStore:
         view = self.views[name]
         inputs = {i: self._load_input(i) for i in view.inputs}
         result = view.fn(self.spark, inputs).filter(predicate)
-        result = with_data_version(result, view.version_cols)
-        result = result.withColumn(CODE_VERSION_COL, F.lit(code_version(view.fn)))
+        result = self._stamp_versions(result, view)
         prev = self.store.commit_info(name)
         meta = dict(prev.user_metadata) if prev else {}
         meta["backfill"] = predicate
+        if view.checks:
+            # declared checks gate THIS slice before anything commits
+            # (every other write path gates; backfill must not be the
+            # hole that serves check-violating rows under carried-
+            # forward passing verdicts). One combined aggregation job
+            # over the slice — bounded by the backfill, not the table.
+            row = result.agg(
+                *[c(result).alias(n) for n, c in view.checks.items()]
+            ).collect()[0]
+            check_results = {n: bool(row[n]) for n in view.checks}
+            if not all(check_results.values()):
+                failed = [n for n, ok in check_results.items() if not ok]
+                raise CheckFailure(
+                    f"{name}: backfill slice failed checks: {failed}"
+                )
+            # slice verdicts land next to the carried full-table ones
+            meta["checks"] = {**meta.get("checks", {}), **check_results}
         self.store.replace_where(
             self.spark, name, result, predicate, user_metadata=meta
         )

@@ -654,14 +654,31 @@ class TableStore:
             if c is None:
                 continue
             if c.mode == "append":
-                seg = c.segments[-1]
-                path, base = self._seg_base(seg)
-                new = (
-                    spark.read.option("basePath", base).parquet(path)
-                    if c.partition_by
-                    else spark.read.parquet(path)
+                # the appended data = segments NEW in this commit, not
+                # segments[-1]: a zero-row append commits no segment
+                # (write()'s _has_data_files guard), so [-1] would
+                # replay the PREVIOUS commit's segment as inserts
+                prev_c = commits.get(v - 1)
+                # key on the resolved (path, base) pair: a segment
+                # entry may be a dict (replace_where carry-over),
+                # which is unhashable as-is
+                prev_segs = (
+                    {self._seg_base(s) for s in prev_c.segments}
+                    if prev_c
+                    else set()
                 )
-                pieces.append(tagged(new, "insert", v))
+                new_segs = [
+                    s for s in c.segments
+                    if self._seg_base(s) not in prev_segs
+                ]
+                for seg in new_segs:
+                    path, base = self._seg_base(seg)
+                    new = (
+                        spark.read.option("basePath", base).parquet(path)
+                        if c.partition_by
+                        else spark.read.parquet(path)
+                    )
+                    pieces.append(tagged(new, "insert", v))
                 continue
             if c.mode == "optimize":
                 continue
@@ -899,6 +916,13 @@ class TableStore:
         if prev.partition_by:
             writer = writer.partitionBy(*prev.partition_by)
         writer.parquet(seg)
+        if not _has_data_files(seg):
+            # empty table: a zero-row partitionBy write emits only
+            # _SUCCESS; committing it would poison later partitioned
+            # reads (same guard as write/replace_where). OPTIMIZE of
+            # nothing is a no-op — the head stays where it was.
+            shutil.rmtree(seg, ignore_errors=True)
+            return prev
         return self._commit(
             table,
             Commit(
@@ -1093,10 +1117,13 @@ class TableStore:
         # DeltaTableStore twin raises at runtime for the matched
         # subset): callers own the latest-wins pre-dedup, exactly as
         # materialize_stream and serve_upsert already do.
+        # the probe count is aliased: .count() would emit a column
+        # literally named "count", ambiguous when a merge KEY is
+        # named "count"
         dup = (
             source.groupBy(*keys)
-            .count()
-            .filter(F.col("count") > 1)
+            .agg(F.count(F.lit(1)).alias("__merge_dup_n"))
+            .filter(F.col("__merge_dup_n") > 1)
             .take(1)
         )
         if dup:

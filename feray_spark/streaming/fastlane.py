@@ -285,6 +285,12 @@ def serve_upsert(
                 )
                 .drop("__cur_ts", "__cur_eid")
             )
+            # pin the dedup-window + snapshot-join plan: without it
+            # the same batch-source + table read is re-executed three
+            # times (the emptiness probe, merge()'s duplicate-key
+            # check, merge()'s anti-join+union write) — 3x the join
+            # work per epoch on the serving hot path
+            fresh = fresh.localCheckpoint(eager=True)
             if fresh.take(1):  # all-stale batch: skip the rewrite
                 store.merge(spark, table, fresh, keys=keys,
                             user_metadata={"epoch": epoch_id})

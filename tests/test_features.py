@@ -1201,3 +1201,181 @@ def test_clone_refuses_vacuumed_source_segments(spark, tmp_root):
     with _pytest.raises(ValueError, match="vacuumed"):
         ts.clone("src", "dst")
     assert ts.commit_info("dst") is None
+
+
+# ------------------------------------- review-sweep regression tests
+
+
+def test_change_feed_zero_row_append_emits_nothing(spark, tmp_root):
+    """A zero-row partitioned append commits no segment; the change
+    feed's append fast path must emit NOTHING for that version —
+    never replay the previous commit's segment as inserts."""
+    ts = TableStore(tmp_root)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, day string")
+    ts.write(df, "t", mode="overwrite", partition_by=["day"])
+    empty = spark.createDataFrame([], "id int, day string")
+    ts.write(empty, "t", mode="append")  # v1: zero-row, no new segment
+    ts.write(
+        spark.createDataFrame([(3, "c")], "id int, day string"),
+        "t",
+        mode="append",
+    )  # v2: one real row
+    feed = ts.changes(spark, "t", from_version=0).collect()
+    by_version = {}
+    for r in feed:
+        by_version.setdefault(r._commit_version, []).append(r)
+    assert 1 not in by_version, by_version.get(1)
+    assert [r.id for r in by_version[2]] == [3]
+
+
+def test_optimize_empty_partitioned_table_is_noop(spark, tmp_root):
+    """OPTIMIZE of an emptied partitioned table must not commit a
+    file-less segment (which would break every later read)."""
+    ts = TableStore(tmp_root)
+    df = spark.createDataFrame([(1, "a")], "id int, day string")
+    ts.write(df, "t", mode="overwrite", partition_by=["day"])
+    ts.replace_where(
+        spark,
+        "t",
+        spark.createDataFrame([], "id int, day string"),
+        "day = 'a'",
+    )
+    v_before = ts.latest_version("t")
+    ts.optimize(spark, "t")
+    assert ts.latest_version("t") == v_before  # no-op, head unchanged
+    assert ts.read(spark, "t").count() == 0  # and still readable
+
+
+def test_merge_key_named_count(spark, tmp_root):
+    """MERGE keyed on a column literally named 'count' must work —
+    the duplicate-source-key probe aliases its aggregate."""
+    ts = TableStore(tmp_root)
+    ts.write(
+        spark.createDataFrame([(1, 10, "x")], "id int, count int, v string"),
+        "t",
+        mode="overwrite",
+    )
+    ts.merge(
+        spark,
+        "t",
+        spark.createDataFrame([(1, 10, "y"), (2, 20, "z")],
+                              "id int, count int, v string"),
+        keys=["id", "count"],
+    )
+    rows = {(r.id, r["count"]): r.v for r in ts.read(spark, "t").collect()}
+    assert rows == {(1, 10): "y", (2, 20): "z"}
+
+
+def test_new_check_busts_memo(spark, tmp_root):
+    """Adding an asset check to an already-materialized view must be
+    a memo MISS (the check has never run) — the check set is part of
+    the fingerprint."""
+    fs = FeatureStore(
+        spark, tmp_root, sources={"orders": f"{SF_DIR}/orders.parquet"}
+    )
+
+    def fn(s, inputs):
+        return inputs["orders"].select("o_orderkey", "o_totalprice")
+
+    fs.register(FeatureView(name="v", fn=fn, inputs=("orders",)))
+    _, recomputed = fs.materialize("v")
+    assert recomputed
+    _, recomputed = fs.materialize("v")
+    assert not recomputed  # memo hit
+
+    fs.views["v"] = FeatureView(
+        name="v",
+        fn=fn,
+        inputs=("orders",),
+        checks={"nonempty": lambda df: F.count("*") > 0},
+    )
+    _, recomputed = fs.materialize("v")
+    assert recomputed  # new check ⇒ miss ⇒ the check actually ran
+    meta = fs.store.commit_info("v").user_metadata
+    assert meta["checks"] == {"nonempty": True}
+
+
+def test_backfill_gates_on_checks(spark, tmp_root):
+    """backfill() must evaluate the view's checks on the recomputed
+    slice BEFORE writing — a failing slice leaves the table head
+    untouched instead of serving violating rows under carried-forward
+    passing verdicts."""
+    src = f"{tmp_root}/src"
+    spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5)], "id int, day string, x int"
+    ).write.parquet(src)
+    fs = FeatureStore(spark, f"{tmp_root}/store", sources={"src": src})
+
+    def fn(s, inputs):
+        return inputs["src"]
+
+    fs.register(
+        FeatureView(
+            name="v",
+            fn=fn,
+            inputs=("src",),
+            partition_by=("day",),
+            checks={"x_small": lambda df: F.max("x") < 10},
+        )
+    )
+    fs.materialize("v")
+    v_before = fs.store.latest_version("v")
+
+    # poison day='a' upstream so the backfilled slice fails the check
+    spark.createDataFrame(
+        [(1, "a", 99), (2, "b", 5)], "id int, day string, x int"
+    ).write.mode("overwrite").parquet(src)
+    with pytest.raises(CheckFailure):
+        fs.backfill("v", "day = 'a'")
+    assert fs.store.latest_version("v") == v_before  # nothing committed
+
+
+def test_materialize_cycle_raises_value_error(spark, tmp_root):
+    """A dependency cycle must raise the clear ValueError — not
+    RecursionError after a thousand frames."""
+    fs = FeatureStore(spark, tmp_root)
+
+    def fn(s, inputs):  # pragma: no cover - never runs
+        raise AssertionError
+
+    fs.register(FeatureView(name="a", fn=fn, inputs=("b",)))
+    fs.register(FeatureView(name="b", fn=fn, inputs=("a",)))
+    with pytest.raises(ValueError, match="cycle"):
+        fs.materialize("a")
+
+
+def test_materialize_stream_append_replay_is_idempotent(spark, tmp_root):
+    """T10 crash-window replay: foreachBatch is at-least-once — if the
+    process dies AFTER the store commit but BEFORE the checkpoint
+    commit, the restart re-delivers the same epoch. Simulated by
+    deleting the checkpoint's commit record: the re-run must NOT
+    duplicate the appended rows (the sink's epoch guard skips work
+    that is already durable)."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    e0 = spark.createDataFrame(
+        [(1, 60.0, "view"), (2, 80.0, "purchase")],
+        "user_id int, value double, event_type string",
+    )
+    fs.store.write(e0, "raw_events", mode="overwrite")
+
+    @fs.feature_view(name="hist", inputs=["raw_events"])
+    def hist(spark, inputs):
+        return inputs["raw_events"].select("user_id", "value")
+
+    ckpt = os.path.join(tmp_root, "ckpt")
+    q = fs.materialize_stream("hist", checkpoint=ckpt, mode="append")
+    q.awaitTermination(120)
+    q.stop()
+    q.awaitTermination()  # fully deregistered before the re-run
+    assert fs.store.read(spark, "hist").count() == 2
+
+    # crash window: offsets/0 written, commits/0 lost (the .crc
+    # shadow must go too or the local ChecksumFileSystem refuses the
+    # re-write as a concurrent modification)
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    os.remove(os.path.join(ckpt, "commits", ".0.crc"))
+    q2 = fs.materialize_stream("hist", checkpoint=ckpt, mode="append")
+    q2.awaitTermination(120)
+    assert fs.store.read(spark, "hist").count() == 2  # no duplicates
