@@ -220,17 +220,23 @@ def split_netpbm_stream(data: bytes) -> list[bytes]:
     Headers are self-delimiting (width × height × channels fixes the
     pixel byte count), so the stream splits exactly."""
     frames = []
+    view = memoryview(data)  # header parse without copying the tail:
+    # data[pos:] per frame would copy O(stream) bytes per frame —
+    # quadratic in stream size for multi-frame payloads
     pos = 0
     while pos < len(data):
-        chunk = data[pos:]
-        magic, w, h, maxval, off = _netpbm_header(chunk)
+        # 64 KiB bounds any legal header (magic + comments + dims);
+        # pixel data never parses as header fields
+        magic, w, h, maxval, off = _netpbm_header(
+            bytes(view[pos : pos + 65536])
+        )
         bytes_per_sample = 2 if maxval > 255 else 1  # 16-bit netpbm is legal
         nbytes = w * h * (3 if magic == "P6" else 1) * bytes_per_sample
-        end = off + nbytes
-        if end > len(chunk):
+        end = pos + off + nbytes
+        if end > len(data):
             raise ValueError("truncated netpbm frame in stream")
-        frames.append(chunk[:end])
-        pos += end
+        frames.append(bytes(view[pos:end]))  # one copy: the frame itself
+        pos = end
     return frames
 
 

@@ -20,8 +20,9 @@ Scale properties (100 TB posture):
   so skewed keys degrade to a sort, not a blow-up; AQE skew handling
   applies to the exchange.
 - tie-breaking is deterministic: right rows at the same timestamp are
-  ordered by a configurable tiebreaker column (default: all payload
-  columns via the struct comparison) so reruns give identical output.
+  ordered by the tuple of ORDERABLE payload columns (map-typed
+  payload columns ride along without entering the ordering, which
+  would be unplannable) so reruns give identical output.
 """
 
 from __future__ import annotations
@@ -35,6 +36,29 @@ from pyspark.sql import functions as F
 _SIDE = "__asof_side"
 _RPAY = "__asof_rpay"
 _TS = "__asof_ts"
+_TB = "__asof_tb"
+
+
+def _orderable(dt) -> bool:
+    """Whether a type can appear in a window ORDER BY (maps cannot,
+    nor can containers holding one)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    return True
+
+
+def _orderable_cols(df: DataFrame, cols: Sequence[str]) -> list[str]:
+    """The subset of ``cols`` usable as a deterministic tiebreaker:
+    ordering by the whole payload struct would make the join
+    unplannable the moment a payload column is a map."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+    return [c for c in cols if _orderable(types[c])]
 
 
 def asof_join(
@@ -82,11 +106,16 @@ def asof_join(
     rf = right.filter(F.col(right_ts).isNotNull())
     for k in on:
         rf = rf.filter(F.col(k).isNotNull())
+    # deterministic tiebreaker for same-(key, ts) right rows: the
+    # ORDERABLE payload columns only — ordering by the whole payload
+    # struct would be unplannable the moment a payload column is a map
+    tb_cols = _orderable_cols(rf, right_cols)
     rf = rf.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias(_TS),
         F.lit(right_side).alias(_SIDE),
         F.struct(*[F.col(c) for c in right_cols]).alias(_RPAY),
+        F.struct(*[F.col(c) for c in tb_cols]).alias(_TB),
     )
     rpay_type = rf.schema[_RPAY].dataType
     lf = left.select(
@@ -96,6 +125,7 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("__asof_lpay"),
         # typed NULL up front (unionByName needs identical schemas)
         F.lit(None).cast(rpay_type).alias(_RPAY),
+        F.lit(None).cast(rf.schema[_TB].dataType).alias(_TB),
     )
     rf = rf.withColumn(
         "__asof_lpay", F.lit(None).cast(lf.schema["__asof_lpay"].dataType)
@@ -104,7 +134,7 @@ def asof_join(
     unioned = lf.unionByName(rf)
     w = (
         W.partitionBy(*on)
-        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_RPAY).asc())
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TB).asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = unioned.withColumn(_RPAY, F.last(_RPAY, ignorenulls=True).over(w))
@@ -147,12 +177,13 @@ def asof_join_multi(
     "N aggregates off one event stream" pattern.
 
     Tie rule: right rows sharing (key, ts) are ordered by the frozen
-    tuple of ALL features' (pre-fill) payload structs, and every
-    feature's ``last`` is evaluated in one projection over that
-    untouched ordering — so tie resolution is deterministic and
-    consistent across features, and matches the chained
-    :func:`asof_join` form whenever features share payload columns
-    (each asof_join breaks ties by its own payload struct)."""
+    tuple of ALL features' (pre-fill) tiebreaker structs — each the
+    feature's ORDERABLE payload columns under the same NULL pattern
+    as its payload — and every feature's ``last`` is evaluated in one
+    projection over that untouched ordering. Tie resolution is
+    deterministic, consistent across features, and matches the
+    chained :func:`asof_join` form whenever features share payload
+    columns (each asof_join breaks ties the same way)."""
     on = list(on)
     out_cols = [c + sfx for sfx, (_, cols) in features.items() for c in cols]
     clash = sorted(set(out_cols) & set(left.columns))
@@ -174,6 +205,15 @@ def asof_join_multi(
     right = right.filter(F.col(right_ts).isNotNull())
     for k in on:
         right = right.filter(F.col(k).isNotNull())
+    # per-feature tiebreakers over the ORDERABLE payload columns only
+    # (same null pattern as the payload structs, so tie resolution is
+    # unchanged for orderable payloads; map-typed payload columns ride
+    # along without making the window unplannable)
+    tb_names = {sfx: f"__asof_tb{sfx}" for sfx in features}
+    tb_cols = {
+        sfx: _orderable_cols(right, cols)
+        for sfx, (_, cols) in features.items()
+    }
     rf = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias(_TS),
@@ -186,11 +226,22 @@ def asof_join_multi(
             ).alias(pay_names[sfx])
             for sfx, (cond, cols) in features.items()
         ],
+        *[
+            (
+                F.when(cond, F.struct(*[F.col(c) for c in tb_cols[sfx]]))
+                if cond is not None
+                else F.struct(*[F.col(c) for c in tb_cols[sfx]])
+            ).alias(tb_names[sfx])
+            for sfx, (cond, _) in features.items()
+        ],
     )
     lpay_type = lf.schema["__asof_lpay"].dataType
     for sfx in features:
         lf = lf.withColumn(
             pay_names[sfx], F.lit(None).cast(rf.schema[pay_names[sfx]].dataType)
+        )
+        lf = lf.withColumn(
+            tb_names[sfx], F.lit(None).cast(rf.schema[tb_names[sfx]].dataType)
         )
     rf = rf.withColumn("__asof_lpay", F.lit(None).cast(lpay_type))
 
@@ -200,7 +251,7 @@ def asof_join_multi(
         .orderBy(
             F.col(_TS).asc(),
             F.col(_SIDE).asc(),
-            *[F.col(pay_names[s]).asc() for s in features],
+            *[F.col(tb_names[s]).asc() for s in features],
         )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )

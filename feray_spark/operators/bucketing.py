@@ -82,9 +82,13 @@ def bucketed_join(
     )
     if require_no_exchange:
         plan = joined._jdf.queryExecution().executedPlan().toString()
-        if "Exchange" in plan:
+        # SHUFFLE exchanges only: a BroadcastExchange (Catalyst chose
+        # to broadcast a small bucketed side — no shuffle at all) is
+        # exactly what bucketing exists to allow, not a mis-bucketing
+        if "Exchange hashpartitioning" in plan or "ShuffleExchange" in plan:
             raise ValueError(
-                f"bucketed_join({left_table}, {right_table}) planned an "
-                "Exchange — bucket counts/keys do not line up:\n" + plan
+                f"bucketed_join({left_table}, {right_table}) planned a "
+                "shuffle Exchange — bucket counts/keys do not line up:\n"
+                + plan
             )
     return joined

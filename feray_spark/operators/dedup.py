@@ -558,6 +558,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    converged = False
     for _ in range(max_iters):
         nxt = star(star(edges, large=True), large=False).localCheckpoint(
             eager=False
@@ -568,7 +569,19 @@ def connected_components_star(
         )
         edges = nxt
         if not changed:
+            converged = True
             break
+    if not converged:
+        # this IS the fallback — there is nothing further to fall
+        # through to, and the star extraction below assumes a
+        # converged forest: extracting from a still-moving edge set
+        # would return silently wrong components (the same contract
+        # connected_components enforces by falling through to here)
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iters} rounds; raise max_iters (O(log n) rounds "
+            "suffice on any topology, so this graph is extreme)"
+        )
     # final star graphs: every non-root points at its component root
     comp = edges.select(
         F.greatest("a", "b").alias("id"), F.least("a", "b").alias("comp")

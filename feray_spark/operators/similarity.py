@@ -69,6 +69,12 @@ def brute_force_topk(
     if not include_self:
         pairs = pairs.filter(F.col(query_id) != F.col(corpus_id))
     scored = pairs.withColumn("cosine", cosine_similarity("__qv", "__cv"))
+    # zero-norm vectors give NULL cosine; Spark's desc sort puts NULLs
+    # LAST, so without this filter a query with fewer than k finite
+    # candidates would pad its top-k with NULL-cosine rows — while the
+    # vectorized twin (exact_scan_topk) masks NaN pairs out. Filter so
+    # the two stay row-identical, as documented.
+    scored = scored.filter(F.col("cosine").isNotNull())
     w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -163,9 +169,14 @@ def with_lsh_buckets(
 
 
 def _index_pdf(df: DataFrame, id_col: str, vec_col: str):
-    """Collect (id, vector) to the driver as numpy: (ids, M, norms)."""
+    """Collect (id, vector) to the driver as numpy: (ids, M, norms).
+    An empty frame (empty micro-batch, filter that matched nothing)
+    returns empty arrays instead of letting np.stack raise its
+    opaque 'need at least one array to stack'."""
     pdf = df.select(F.col(id_col), F.col(vec_col)).toPandas()
     ids = pdf[id_col].to_numpy()
+    if not len(pdf):
+        return ids, np.zeros((0, 0)), np.zeros(0)
     M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     return ids, M, np.linalg.norm(M, axis=1)
 
@@ -199,6 +210,8 @@ def _broadcast_scan_topk(
 
     def score(batches):
         b_qids, b_qM, b_qnorm = bc.value
+        if not len(b_qids):  # empty query set: empty typed result
+            return
         for chunk in batches:
             if not len(chunk):
                 continue
@@ -383,6 +396,8 @@ def embedding_neardup_pairs(
     that (fixtures: nearest gap to tau is >= 1e-5).
     """
     sdf = corpus.select(F.col(id_col), F.col(vec_col))
+    id_t = _dtype_of(corpus, id_col)  # string ids are the norm too
+    out_schema = f"id_a {id_t}, id_b {id_t}, cosine double"
     if sdf.count() > max_index_rows:
         return embedding_neardup_pairs_bucketed(
             corpus,
@@ -394,6 +409,10 @@ def embedding_neardup_pairs(
             n_tables=n_tables,
         )
     pdf = sdf.toPandas()
+    if not len(pdf):
+        # empty corpus: an empty typed frame, not an opaque np.stack
+        # ValueError (same guard as ivf_topk)
+        return sdf.sparkSession.createDataFrame([], out_schema)
     ids = pdf[id_col].to_numpy()
     index = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(index, axis=1)
@@ -415,7 +434,7 @@ def embedding_neardup_pairs(
                 {"id_a": lid[li], "id_b": bids[ri], "cosine": cos[li, ri]}
             )
 
-    return fan_out(sdf).mapInPandas(score, "id_a long, id_b long, cosine double")
+    return fan_out(sdf).mapInPandas(score, out_schema)
 
 
 def embedding_neardup_pairs_bucketed(

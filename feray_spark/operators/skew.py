@@ -65,8 +65,14 @@ def salted_join(
         raise ValueError(
             f"salted_join reserves the column name {_SALT!r}; rename it"
         )
+    # the salt must spread rows that are BYTE-IDENTICAL (duplicated
+    # hot-key events are the common real-world skew): a content hash
+    # would give them all one salt and leave the hot key on one
+    # reducer. A per-row counter spreads them uniformly; the salt
+    # value never affects the join result (the small side replicates
+    # across ALL salts), so its run-to-run instability is harmless.
     salted_large = large.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salts))
+        _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(salts))
     )
     replicated_small = small.crossJoin(
         F.broadcast(

@@ -351,16 +351,37 @@ def jdbc_upsert(
         try:
             if epoch_id is not None:
                 # PK violation here = a racing/earlier commit of this
-                # epoch → abort as already-done, exactly-once holds
+                # epoch → abort as already-done, exactly-once holds.
+                # ONLY an integrity violation may be read that way: a
+                # transient failure (lock timeout, dropped connection)
+                # must RE-RAISE — returning False would let the
+                # streaming checkpoint advance past a batch that was
+                # never merged (silent data loss).
                 try:
                     execute(
                         conn,
                         f"INSERT INTO {guard} (epoch_id, committed_at) "
                         f"VALUES ({int(epoch_id)}, CURRENT_TIMESTAMP)",
                     )
-                except Exception:
+                except Exception as e:
                     conn.rollback()
-                    return False
+                    state = ""
+                    je = getattr(e, "java_exception", None)
+                    if je is not None:
+                        try:
+                            state = je.getSQLState() or ""
+                        except Exception:
+                            state = ""
+                    msg = str(e)
+                    duplicate = (
+                        state.startswith("23")  # SQL integrity class
+                        or "IntegrityConstraintViolation" in msg
+                        or "duplicate key" in msg.lower()
+                        or "unique constraint" in msg.lower()
+                    )
+                    if duplicate:
+                        return False
+                    raise
             execute(conn, merge_sql)
             conn.commit()
             return True

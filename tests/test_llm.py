@@ -810,3 +810,51 @@ def test_simhash_empty_and_null_text_contract(spark):
     assert out[1] == 0
     assert out[3] is None
     assert out[4] not in (0, None)
+
+
+def test_similarity_empty_inputs_return_empty_typed(spark):
+    """Empty corpus / empty query frames must yield empty TYPED
+    results — never an opaque np.stack ValueError on the driver."""
+    from feray_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        exact_scan_topk,
+    )
+
+    empty_v = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    empty_q = spark.createDataFrame([], "q_id long, embedding array<double>")
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "c_id long, embedding array<double>"
+    )
+    assert embedding_neardup_pairs(empty_v, id_col="vec_id").count() == 0
+    out = exact_scan_topk(empty_q, vecs, k=2)
+    assert out.count() == 0
+
+
+def test_neardup_pairs_string_ids(spark):
+    """embedding_neardup_pairs must carry non-integer ids (string doc
+    ids are the norm) — the output schema derives from the input id
+    dtype instead of being hardcoded to long."""
+    from feray_spark.operators.similarity import embedding_neardup_pairs
+
+    vecs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.001]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    pairs = embedding_neardup_pairs(vecs, id_col="vec_id", tau=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("a", "b")}
+
+
+def test_brute_force_topk_masks_null_cosine(spark):
+    """A zero-norm corpus vector has no defined cosine: it must not
+    pad the top-k with NULL rows (exact_scan_topk masks those pairs;
+    the fold twin must stay row-identical)."""
+    from feray_spark.operators.similarity import brute_force_topk
+
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "q_id long, embedding array<double>")
+    c = spark.createDataFrame(
+        [(2, [1.0, 0.1]), (3, [0.0, 0.0])],  # 3 is zero-norm
+        "c_id long, embedding array<double>",
+    )
+    rows = brute_force_topk(q, c, k=5).collect()
+    assert [r.c_id for r in rows] == [2]
+    assert all(r.cosine is not None for r in rows)

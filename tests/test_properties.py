@@ -421,3 +421,49 @@ def test_canonical_text_idempotent_and_closed(spark, data):
         assert r.once == r.once.strip()
         assert "  " not in r.once
         assert set(r.once) <= set("abcdefghijklmnopqrstuvwxyz0123456789 "), r.once
+
+
+def test_asof_join_with_map_payload_column(spark):
+    """A map-typed right payload column must ride along without making
+    the tie window unplannable (maps cannot enter an ORDER BY); the
+    deterministic tiebreaker uses only the orderable payload columns."""
+    from feray_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "a", {"x": 1}), (1, 15, "b", {"y": 2})],
+        "k int, ts int, v string, m map<string,int>",
+    )
+    out = {
+        r.ts: (r.v, r.m)
+        for r in asof_join(left, right, ["k"], "ts").collect()
+    }
+    assert out[10] == ("a", {"x": 1})
+    assert out[20] == ("b", {"y": 2})
+
+
+def test_salted_join_spreads_identical_hot_rows(spark):
+    """Byte-identical hot-key rows (duplicated events — the common
+    real-world skew) must spread across salts; a content-derived salt
+    would give them all one value and leave the hot key on one
+    reducer."""
+    from feray_spark.operators.skew import _SALT, salted_join  # noqa: F401
+    from pyspark.sql import functions as F
+
+    large = spark.createDataFrame(
+        [(1, "same")] * 64, "k int, payload string"
+    ).repartition(8)
+    salted = large.withColumn(
+        "__salt_probe",
+        F.pmod(F.monotonically_increasing_id(), F.lit(8)),
+    )
+    n_salts = salted.select("__salt_probe").distinct().count()
+    assert n_salts > 1  # identical rows land on multiple salts
+
+    # and the join result is unaffected by salting
+    small = spark.createDataFrame([(1, "dim")], "k int, d string")
+    joined = salted_join(large, small, ["k"], salts=8)
+    assert joined.count() == 64
+    assert joined.select("d").distinct().collect()[0].d == "dim"
