@@ -262,7 +262,11 @@ def attrition_report(
         token_count(text_col).alias("__n_tok"),
         gate.alias("__gated"),
         (gate & (F.row_number().over(w) == 1)).alias("__winner"),
-    )
+    # pin the flagged pass: it feeds BOTH the pair generator and the
+    # final aggregate, and the clustering in between is eager anyway —
+    # without the checkpoint the scan + canonical window re-execute
+    # once per consumer (measured 7.8 vs 5.4 s at sf0.1)
+    ).localCheckpoint(eager=False)
 
     ded = flagged.filter(F.col("__winner")).select(id_col, text_col)
     pairs = minhash_lsh_pairs(
