@@ -104,10 +104,16 @@ def run_external_job(
         metadata = report.get("metadata")
         if not isinstance(metadata, dict):
             metadata = {}
+        # data_version carries the same str|None contract: a channel
+        # writing a non-string must degrade to None, not leak an int
+        # into callers doing .startswith(...)
+        dv = report.get("data_version")
+        if not isinstance(dv, str):
+            dv = None
         return ExternalResult(
             returncode=proc.returncode,
             metadata=metadata,
-            data_version=report.get("data_version"),
+            data_version=dv,
             stdout=proc.stdout,
             stderr=proc.stderr,
         )

@@ -168,9 +168,13 @@ def bpe_token_count(
     def _count(texts: pd.Series) -> pd.Series:
         cache: dict[str, int] = {}
 
-        def count_one(t) -> int:
+        def count_one(t):
+            # NULL text has NO token count (the module-wide counter
+            # discipline: token_count/bpe_ish_token_count both
+            # NULL-propagate) — 0 would skew per-source sums vs the
+            # whitespace twin, whose SUM skips the NULL rows
             if t is None:
-                return 0
+                return None
             total = 0
             for w in _ws.split(str(t).lower()):
                 if not w:
@@ -181,7 +185,7 @@ def bpe_token_count(
                 total += hit
             return total
 
-        return texts.map(count_one).astype("int64")
+        return texts.map(count_one).astype("Int64")
 
     c = F.col(text) if isinstance(text, str) else text
     return _count(c)

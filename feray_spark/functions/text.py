@@ -55,16 +55,13 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
     0-based inside expr-land; documents shorter than n words yield an
     empty array.
 
-    NOTE: this expression references the regex word-split several
-    times and Catalyst does not CSE across lambda bodies — fine for
-    one-shot use, but in hot paths materialize the word array as a
-    column first and call :func:`shingles_from_words` (CollapseProject
-    keeps a non-cheap multi-referenced alias as a real projection, so
-    the split runs once per row)."""
-    w = words(col)
-    return F.when(F.size(w) >= n, _shingles_of(w, n)).otherwise(
-        F.array().cast("array<string>")
-    )
+    One body with the hot-path twin: this is sugar over
+    :func:`shingles_from_words`. Catalyst does not CSE the regex
+    word-split across lambda bodies, so in hot paths materialize the
+    word array as a column first and call the twin directly
+    (CollapseProject keeps a non-cheap multi-referenced alias as a
+    real projection, so the split runs once per row)."""
+    return shingles_from_words(words(col), n)
 
 
 def shingles_from_words(w: Column, n: int = 3) -> Column:

@@ -189,32 +189,40 @@ def fan_out(df):
         # and there a file under `target` count still splits into
         # maxPartitionBytes-sized scan partitions, so leave it alone.
         import os
-        from urllib.parse import urlparse
+        from urllib.parse import unquote
 
         total = 0
         for f in files:
-            p = urlparse(f)
-            if p.scheme not in ("file", ""):
-                return df
+            # NOT urlparse: a legal POSIX filename containing '#' or
+            # '?' would be truncated as fragment/query, the getsize
+            # would fail, and the probe would silently skip the
+            # repartition this function exists to apply. Spark emits
+            # file URIs with a plain scheme prefix — strip it and
+            # unquote percent-escapes.
+            if f.startswith("file:"):
+                path = unquote(f[5:])
+                while path.startswith("//"):
+                    path = path[1:]
+            elif "://" in f:
+                return df  # remote store: leave the scan's splits alone
+            else:
+                path = f
             try:
-                total += os.path.getsize(p.path)
+                total += os.path.getsize(path)
             except OSError:
                 return df
         raw = df.sparkSession.conf.get(
             "spark.sql.files.maxPartitionBytes", "134217728"
-        ).lower()
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40,
-                 "p": 1 << 50}
-        suffix = raw.rstrip("b")[-1:]
-        digits = "".join(ch for ch in raw if ch.isdigit())
-        if suffix.isdigit():
-            max_pb = int(digits or "134217728")
-        elif suffix in units and digits:
-            max_pb = int(digits) * units[suffix]
-        else:
-            # unknown unit: fall back to Spark's default rather than
-            # a 1-byte threshold that would silently disable the
-            # repartition this function exists to apply
+        )
+        try:
+            # Spark's own byte-string grammar, via the routine that
+            # accepted the conf in the first place — a hand parser
+            # would have to track its unit spellings by hand
+            jvm = df.sparkSession.sparkContext._jvm
+            max_pb = int(jvm.org.apache.spark.util.Utils.byteStringAsBytes(raw))
+        except Exception:
+            # connect-mode / no JVM handle: Spark's default rather
+            # than a wrong threshold
             max_pb = 134217728
         if total >= target * max_pb:
             return df  # big input: the scan already yields >= target splits

@@ -100,10 +100,17 @@ def get_spark(
         # and setting extraJavaOptions here would CLOBBER them — a
         # pre-JVM SparkConf() cannot see spark-defaults.conf to append.
         # SPARK_GRAFT_DRIVER_JAVA_OPTS prepends caller flags locally.
-        cache_flags = "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+        # append each default only if the caller hasn't set that FLAG
+        # themselves (HotSpot takes the last occurrence, so blindly
+        # appending would silently override a deliberate caller
+        # sizing passed via SPARK_GRAFT_DRIVER_JAVA_OPTS)
         existing_opts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
-        if cache_flags not in existing_opts:
-            existing_opts = f"{existing_opts} {cache_flags}".strip()
+        for token, flag in (
+            ("ReservedCodeCacheSize", "-XX:ReservedCodeCacheSize=1g"),
+            ("UseCodeCacheFlushing", "-XX:+UseCodeCacheFlushing"),
+        ):
+            if token not in existing_opts:
+                existing_opts = f"{existing_opts} {flag}".strip()
         builder = builder.config("spark.driver.extraJavaOptions", existing_opts)
     # ...and the compiled-class cache that fronts the JIT: it holds
     # 100 generated classes by default, while the query catalog
