@@ -80,9 +80,14 @@ def drift_report(
                 ),
                 F.min(v).cast("double").alias(f"{s}_{c}__min"),
                 F.max(v).cast("double").alias(f"{s}_{c}__max"),
+                # denominator counts the CASTABLE values only: a value
+                # overflowing the decimal cast leaves the numerator as
+                # NULL, so it must leave the denominator too — else the
+                # mean is sum-of-some over count-of-all (neither the
+                # true mean nor the mean of castables)
                 F.round(
                     F.sum(F.when(side, F.col(c).cast(decimal))).cast("double")
-                    / F.count(v),
+                    / F.count(F.when(side, F.col(c).cast(decimal))),
                     6,
                 ).alias(f"{s}_{c}__mean"),
             ]

@@ -56,9 +56,14 @@ def code_version(fn: Callable) -> str:
 
     - ``functools.partial``: recurse on the wrapped function and fold
       in the bound args (two partials of one fn with different args
-      are different code).
+      are different code) via :func:`_stable_repr` — a bound object
+      whose repr would embed a memory address degrades to its type
+      name rather than busting the memo every interpreter run.
     - callable instance: the CLASS's source (its ``__call__`` is the
-      code), falling back to the class qualname.
+      code) PLUS the instance's ``__dict__`` under the same stable
+      repr — ``Scaler(2)`` and ``Scaler(3)`` are different code; an
+      attribute holding a default-repr object contributes only its
+      type (the deterministic-over-sensitive trade, documented here).
     - source-less function (REPL lambda, exec): qualname + the
       compiled bytecode + constants, which distinguishes two distinct
       same-name lambdas deterministically within a Python version.
@@ -67,7 +72,8 @@ def code_version(fn: Callable) -> str:
 
     if isinstance(fn, functools.partial):
         inner = code_version(fn.func)
-        bound = repr((fn.args, sorted(fn.keywords.items() if fn.keywords else [])))
+        kw = sorted(fn.keywords.items()) if fn.keywords else []
+        bound = _stable_repr((fn.args, kw))
         return hashlib.sha256(f"partial:{inner}:{bound}".encode()).hexdigest()
     try:
         src = inspect.getsource(fn)
@@ -79,14 +85,38 @@ def code_version(fn: Callable) -> str:
                 f"{code.co_code.hex()}:{code.co_consts!r}:{code.co_names!r}"
             )
         elif not inspect.isfunction(fn) and not inspect.ismethod(fn):
-            # callable instance: the class body is the code
+            # callable instance: the class body is the code, and the
+            # instance STATE is configuration — two instances of one
+            # class with different attributes are different features
             try:
                 src = inspect.getsource(type(fn))
             except (OSError, TypeError):
                 src = f"{type(fn).__module__}.{type(fn).__qualname__}"
+            state = getattr(fn, "__dict__", None)
+            if state:
+                src += ":" + _stable_repr(sorted(state.items()))
         else:  # pragma: no cover - function without __code__
             src = getattr(fn, "__qualname__", type(fn).__qualname__)
     return hashlib.sha256(src.encode()).hexdigest()
+
+
+def _stable_repr(v) -> str:
+    """repr() that is deterministic across processes: containers
+    recurse; a default ``object.__repr__`` (which embeds a memory
+    address and would bust the memo every run) degrades to the
+    type's qualified name."""
+    if isinstance(v, (list, tuple)):
+        inner = ", ".join(_stable_repr(x) for x in v)
+        return f"({inner})" if isinstance(v, tuple) else f"[{inner}]"
+    if isinstance(v, dict):
+        items = ", ".join(
+            f"{_stable_repr(k)}: {_stable_repr(x)}" for k, x in sorted(v.items())
+        )
+        return "{" + items + "}"
+    r = repr(v)
+    if " at 0x" in r:
+        return f"<{type(v).__module__}.{type(v).__qualname__}>"
+    return r
 
 
 def with_versions(

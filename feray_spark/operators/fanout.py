@@ -39,6 +39,19 @@ def isolated_map(
             "output columns (status/result/error); rename it"
         )
     schema = result_schema or f"{id_col} long, status string, result double, error string"
+    if result_schema is not None:
+        # run() always emits exactly (id_col, status, result, error):
+        # a custom schema may retype them (e.g. a string id) but NOT
+        # rename/reorder — that would fail deep in Arrow conversion,
+        # the failure mode the id_col guard above exists to prevent
+        names = [f.split()[0] for f in result_schema.split(",")]
+        expected = [id_col, "status", "result", "error"]
+        if names != expected:
+            raise ValueError(
+                f"result_schema must keep the column names/order "
+                f"{expected}, got {names} — only the TYPES are "
+                "customizable"
+            )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

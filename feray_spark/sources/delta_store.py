@@ -95,11 +95,13 @@ class DeltaTableStore:
         self,
         df: DataFrame,
         table: str,
-        *,
-        mode: str = "overwrite",
+        mode: str = "append",  # SAME default as TableStore.write — a
+        # diverging default would turn the documented mechanical
+        # backend swap into silent overwrites of appended history
         user_metadata: dict[str, Any] | None = None,
         partition_by: Sequence[str] | None = None,
         merge_schema: bool = False,
+        *,
         enable_cdf: bool = True,
     ) -> DeltaCommit:
         """Append/overwrite; returns commit info like
@@ -113,15 +115,21 @@ class DeltaTableStore:
         change-feed-always-available contract."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-        if enable_cdf:
-            try:
-                df.sparkSession.conf.set(
-                    "spark.databricks.delta.properties.defaults."
-                    "enableChangeDataFeed",
-                    "true",
-                )
-            except Exception:  # pragma: no cover - locked-down conf
-                pass
+        cdf_conf = (
+            "spark.databricks.delta.properties.defaults."
+            "enableChangeDataFeed"
+        )
+        prev_cdf = None
+        try:
+            prev_cdf = df.sparkSession.conf.get(cdf_conf, None)
+            # scoped to THIS write: a leaked session default would
+            # both ignore a later enable_cdf=False and silently turn
+            # CDF on for Delta tables created by unrelated code
+            df.sparkSession.conf.set(
+                cdf_conf, "true" if enable_cdf else "false"
+            )
+        except Exception:  # pragma: no cover - locked-down conf
+            pass
         writer = df.write.format("delta").mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -131,7 +139,16 @@ class DeltaTableStore:
             writer = writer.option("overwriteSchema", "true")
         if merge_schema:
             writer = writer.option("mergeSchema", "true")
-        writer.save(self._path(table))
+        try:
+            writer.save(self._path(table))
+        finally:
+            try:
+                if prev_cdf is None:
+                    df.sparkSession.conf.unset(cdf_conf)
+                else:
+                    df.sparkSession.conf.set(cdf_conf, prev_cdf)
+            except Exception:  # pragma: no cover - locked-down conf
+                pass
         return self._latest_commit(df.sparkSession, table, mode)
 
     def _latest_commit(
@@ -150,7 +167,12 @@ class DeltaTableStore:
             row_count = int(metrics.get("numOutputRows", -1))
         except (TypeError, ValueError):  # pragma: no cover - metric absent
             row_count = -1
-        if row_count < 0:
+        # TableStore's Commit.row_count is the TOTAL table rows after
+        # the commit (its tests pin 2-append-1 == 3). Delta's
+        # numOutputRows on an append is the BATCH size — total only
+        # for overwrite-ish modes — so append (and metric-absent)
+        # commits take the full count to keep the twin contract.
+        if row_count < 0 or mode == "append":
             row_count = self.read(spark, table).count()
         raw = hist["userMetadata"]
         return DeltaCommit(
@@ -235,19 +257,46 @@ class DeltaTableStore:
     # ------------------------------------------------------- merge
 
     def merge(
-        self, spark: SparkSession, table: str, source: DataFrame, keys: Sequence[str]
-    ) -> None:
+        self,
+        spark: SparkSession,
+        table: str,
+        source: DataFrame,
+        keys: Sequence[str],
+        user_metadata: dict[str, Any] | None = None,
+    ) -> DeltaCommit:
+        """TableStore.merge twin: same signature, same return shape
+        (a commit record callers can log), same user_metadata carry
+        (via the session's commit-info conf for the MERGE command)."""
         from delta.tables import DeltaTable
 
-        target = DeltaTable.forPath(spark, self._path(table))
-        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
-        (
-            target.alias("t")
-            .merge(source.alias("s"), cond)
-            .whenMatchedUpdateAll()
-            .whenNotMatchedInsertAll()
-            .execute()
-        )
+        um_conf = "spark.databricks.delta.commitInfo.userMetadata"
+        prev_um = None
+        if user_metadata is not None:
+            try:
+                prev_um = spark.conf.get(um_conf, None)
+                spark.conf.set(um_conf, json.dumps(user_metadata))
+            except Exception:  # pragma: no cover - locked-down conf
+                pass
+        try:
+            target = DeltaTable.forPath(spark, self._path(table))
+            cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+            (
+                target.alias("t")
+                .merge(source.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        finally:
+            if user_metadata is not None:
+                try:
+                    if prev_um is None:
+                        spark.conf.unset(um_conf)
+                    else:
+                        spark.conf.set(um_conf, prev_um)
+                except Exception:  # pragma: no cover
+                    pass
+        return self._latest_commit(spark, table, "merge")
 
     # ----------------------------------------------------- backfill
 

@@ -39,6 +39,10 @@ def stage_single_file(src: str, stage_root: str) -> str:
     into ``os.symlink``'s FileExistsError. The tag is deterministic
     so a restarted stream's checkpoint resolves the same source
     directory."""
+    # absolute target: a RELATIVE src would symlink relative to the
+    # stage dir (not the caller's cwd) — a dangling link the readlink
+    # guard below would happily "validate" on restart
+    src = os.path.abspath(src)
     tag = hashlib.sha256(src.encode()).hexdigest()[:12]
     stage = os.path.join(stage_root, tag)
     os.makedirs(stage, exist_ok=True)
