@@ -50,6 +50,7 @@ HEADLINERS = [
     ("l29_temperature_mixture", "temperature rebalance: #sources rate table BroadcastHashJoin'd onto the scan — nothing document-sized exchanges"),
     ("l30_length_bucket_batches", "length-grouped batching: ONE hash exchange on (bucket, shard); the per-batch aggregate reuses the window partitioning"),
     ("l31_split_leakage", "split-leakage audit: grams exchange as md5-prefix longs; the shared pair-distinct exchange is both consumers' reuse point"),
+    ("l26b_curation_attrition", "attrition funnel: stage memberships as FLAGS in one pass — one conditional global aggregate + stack unpivot; no per-stage corpus scan"),
 ]
 
 
