@@ -97,33 +97,12 @@ _ROUND5_PRIORITY = [
 ]
 
 #: The round-4 window (ACTIVE): the 37 never-checked entries above plus
-#: 13 high-value re-verifications filling the 50 slots. f_math_family and
-#: l4b_lang_rollup (the two r03 hash failures, fixed this round) replace
-#: two of the staged re-verification slots so their fixes get driver rows.
-_DRIVER_PRIORITY = [
-    # never driver-checked, oracled (30)
-    "a12_table_profile", "a13_heavy_hitters", "a14_exact_quantiles",
-    "ep3c_tpch_q3", "ep3d_tpch_q5", "ep4_recursive_cte",
-    "f5b_polymorphic_udtf", "f_datetime_diff", "f_variant_family",
-    "fs10_drift_report", "fs9_partitioned_assets", "l10_pii_redaction",
-    "l11_repetition_signals", "l12_contamination_check",
-    "l13_sequence_packing", "l14_quality_weighted_sample",
-    "l15_source_cap", "l16_unigram_logprob", "l17_mixture_sampling",
-    "l18_incremental_dedup", "l19_fuzzy_blocked_pairs", "l20_span_dedup",
-    "l21_embedding_outliers", "l23_image_phash_dedup",
-    "l6c_audio_features", "l6d_video_frame_split", "s10_optimize_layout",
-    "s11_change_feed", "u1b_union_diagonal", "w9_resample_gap_fill",
-    # never driver-checked, rows-only (7)
-    "f_hash_native", "fs3_memoization", "l22_bpe_tokens", "l2b_simhash",
-    "l3b_lsh_topk", "l3c_ivf_topk", "l5b_ml_tfidf",
-    # re-verification slots (13): the two r03 hash failures (fixed this
-    # round) plus headline earlier entries
-    "f_math_family", "l4b_lang_rollup",
-    "a1_groupby_q1", "s2_table_store_time_travel", "j5_broadcast_star",
-    "j8_asof_join", "l1_exact_dedup", "l2_minhash_lsh_neardups",
-    "l2e_neardup_clusters", "t1_tumbling_window", "fs1_record_versions",
-    "fs8_training_set", "l9_deterministic_split",
-]
+#: ACTIVE WINDOW (round 5): the staged rotation above. CORRECTNESS_r04
+#: landed green rows for the whole round-4 window (44 full-oracle pass
+#: + 6 rows-only, zero failures), so the swap is pure evidence gain.
+#: The round-4 window itself is recorded in CORRECTNESS_r04.json; after
+#: r05 every catalog entry that existed at r4-judging has a driver row.
+_DRIVER_PRIORITY = _ROUND5_PRIORITY
 
 
 def _ordered(registry):

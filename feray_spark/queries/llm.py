@@ -1616,12 +1616,63 @@ def l18_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read(spark, "accepted_docs")
 
 
+def _l18b_oracle_sql() -> str:
+    """DuckDB twin of l18b's pessimistic two-batch rule. The rule is
+    NOT recursive for a fixed batch count: batch 0's accepted set is a
+    plain anti-join (the pessimistic in-batch rule never consults
+    acceptance), and batch 1 references only that closed set — so the
+    whole replay is two stacked CTE levels, the same reason l18's
+    invariant was SQL-expressible. Signatures are the md5-affine
+    family (8 hashes, 4 bands of 2), bit-for-bit the Spark build."""
+    nh, bands, rows = 8, 4, 2
+    need = 4  # est >= 0.5 over 8 positions → ≥4 equal minhashes
+    mh = ", ".join(f"{_minhash_sql(j)} AS mh{j}" for j in range(nh))
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT doc_id, doc_id % 2 AS bt, {b} AS band_idx, "
+        "md5(concat_ws('|', {parts})) AS band_hash FROM sigs".format(
+            b=b, parts=", ".join(f"mh{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(f"CAST(sa.mh{j} = sb.mh{j} AS INT)" for j in range(nh))
+    return f"""
+        WITH words_t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+        shingled AS (SELECT doc_id, {_SHINGLES_SQL} AS sh
+                     FROM words_t WHERE len(w) >= 3),
+        xs AS (SELECT doc_id, list_transform(sh, s ->
+                   ('0x' || substr(md5(s), 1, 12))::BIGINT % {MINHASH_P}) AS xs
+               FROM shingled),
+        sigs AS (SELECT doc_id, {mh} FROM xs),
+        banded AS ({band_rows}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, a.bt AS bt_a,
+                        b.doc_id AS id_b, b.bt AS bt_b
+                 FROM banded a JOIN banded b
+                   ON a.band_idx = b.band_idx
+                  AND a.band_hash = b.band_hash
+                  AND a.doc_id <> b.doc_id),
+        ver AS (SELECT c.id_a, c.bt_a, c.id_b, c.bt_b
+                FROM cand c JOIN sigs sa ON c.id_a = sa.doc_id
+                            JOIN sigs sb ON c.id_b = sb.doc_id
+                WHERE {eq} >= {need}),
+        drop0 AS (SELECT DISTINCT id_a FROM ver
+                  WHERE bt_a = 0 AND bt_b = 0 AND id_b < id_a),
+        acc0 AS (SELECT doc_id FROM sigs WHERE doc_id % 2 = 0
+                 AND doc_id NOT IN (SELECT id_a FROM drop0)),
+        drop1 AS (SELECT DISTINCT id_a FROM ver
+                  WHERE bt_a = 1 AND (
+                        (bt_b = 1 AND id_b < id_a)
+                     OR (bt_b = 0 AND id_b IN (SELECT doc_id FROM acc0))))
+        SELECT doc_id, CAST(0 AS BIGINT) AS ingest_batch FROM acc0
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT) AS ingest_batch FROM sigs
+        WHERE doc_id % 2 = 1
+          AND doc_id NOT IN (SELECT id_a FROM drop1)
+    """
+
+
 @register(
     "l18b_incremental_neardup",
-    oracle=None,  # the greedy accepted-set depends recursively on the
-    # evolving index state — not SQL-expressible; tests/test_llm.py
-    # replays the documented one-pass rule in python over the same
-    # md5-deterministic signatures and asserts set equality
+    oracle=_l18b_oracle_sql(),
     tags=("llm", "L18", "L2", "dedup"),
 )
 def l18b_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

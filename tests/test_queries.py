@@ -42,10 +42,10 @@ def test_driver_window_is_the_priority_rotation():
     """The driver's correctness runner checks only the FIRST 50
     entries of queries(); this round's goal is verifying the
     never-yet-checked queries, so the window must be exactly the
-    rotation list — in order. The round-4 window deliberately
-    includes the 7 rows-only entries that have never had ANY driver
-    row (the driver records a weaker rows-only check for them);
-    every other entry must be oracle-gated."""
+    rotation list — in order. The round-5 window is fully
+    oracle-gated (l18b was promoted from rows-only to a value
+    oracle this round); any rows-only member must be listed here
+    explicitly."""
     import importlib.util
     import os
 
@@ -61,10 +61,7 @@ def test_driver_window_is_the_priority_rotation():
     osql = entry.oracle_sql()
     window = list(q)[:50]
     assert window == entry._DRIVER_PRIORITY[:50]
-    rows_only = {
-        "f_hash_native", "fs3_memoization", "l22_bpe_tokens", "l2b_simhash",
-        "l3b_lsh_topk", "l3c_ivf_topk", "l5b_ml_tfidf",
-    }
+    rows_only: set[str] = set()
     assert all(n in osql for n in window if n not in rows_only), [
         n for n in window if n not in osql and n not in rows_only
     ]
