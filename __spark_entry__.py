@@ -90,9 +90,12 @@ _ROUND5_PRIORITY = [
     "f1_scalar_udf", "f5_udtf", "f_scalar_extras",
     "s2_table_store_time_travel", "s10_optimize_layout",
     "s11_change_feed",
-    # (3) oldest-evidence r01 fills (7) — window edge is HERE
-    "w7_first_last_value", "w8_top_k_per_group", "o1_multikey_sort",
-    "o2_limit_offset", "o3_global_topk", "u1_union_all",
+    # (2b) promoted this round from rows-only to full value oracles —
+    # the recall/consistency-gated ANN harnesses (VERDICT r4 item 2)
+    # and the memo-trace/served-content gate (item 5)
+    "l3b_lsh_topk", "l3c_ivf_topk", "fs3_memoization",
+    # (3) oldest-evidence r01 fills (4) — window edge is HERE
+    "w7_first_last_value", "w8_top_k_per_group", "o3_global_topk",
     "s1_parquet_scan_count",
 ]
 

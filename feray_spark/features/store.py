@@ -573,10 +573,13 @@ class FeatureStore:
         and every batch lands in the SAME versioned table batch
         ``materialize()`` writes. Checkpointed ``availableNow``:
         each call drains exactly the input appended since the last
-        call (T10 exactly-once: the sink skips an epoch whose id the
-        target's last commit already records, so the at-least-once
-        crash-window redelivery between store commit and checkpoint
-        commit never duplicates rows — regression-tested). One writer
+        call (T10 exactly-once: the sink skips an epoch that a recent
+        commit on the target already records — the guard scans the
+        last 16 commits, not only the head, so a materialize()/
+        backfill() interleaved into the crash window cannot hide the
+        fastlane commit — and the at-least-once crash-window
+        redelivery between store commit and checkpoint commit never
+        duplicates rows; regression-tested). One writer
         per target, and the checkpoint directory must live as long as
         the target table: pointing a FRESH checkpoint at an existing
         target restarts epoch numbering at 0, which the guard would
@@ -644,14 +647,19 @@ class FeatureStore:
             # epoch means the work is already durable — skip, let the
             # checkpoint commit, done. (Same guard jdbc_upsert_sink
             # implements with its epoch table; one writer per target,
-            # as documented there.)
-            last = self.store.commit_info(name)
-            if (
-                last is not None
-                and last.user_metadata.get("mode") == "fastlane"
-                and last.user_metadata.get("epoch") == epoch_id
-            ):
-                return
+            # as documented there.) Scan the RECENT history, not only
+            # the head commit: a materialize()/backfill() landing on
+            # the same target inside the crash window would otherwise
+            # hide the fastlane commit from the guard and the replayed
+            # epoch would append duplicates. The window is bounded —
+            # an interleaved batch writer can bury the epoch at most a
+            # few commits deep within one crash/restart cycle.
+            for c in reversed(self.store.history(name)[-16:]):
+                if (
+                    c.user_metadata.get("mode") == "fastlane"
+                    and c.user_metadata.get("epoch") == epoch_id
+                ):
+                    return
             # checks gate the epoch BEFORE any commit — and on the RAW
             # batch, before upsert dedup, so the gate's strength does
             # not depend on sink mode (a bad row superseded within the

@@ -108,9 +108,20 @@ def _stable_repr(v) -> str:
     if isinstance(v, (list, tuple)):
         inner = ", ".join(_stable_repr(x) for x in v)
         return f"({inner})" if isinstance(v, tuple) else f"[{inner}]"
+    if isinstance(v, (set, frozenset)):
+        # set repr order follows hash randomization — the exact
+        # cross-process instability this helper exists to remove.
+        # Sort on the elements' stable reprs (not the elements: a
+        # mixed-type set would TypeError on direct comparison)
+        inner = ", ".join(sorted(_stable_repr(x) for x in v))
+        return "{" + inner + "}"
     if isinstance(v, dict):
         items = ", ".join(
-            f"{_stable_repr(k)}: {_stable_repr(x)}" for k, x in sorted(v.items())
+            f"{k_r}: {_stable_repr(x)}"
+            for k_r, x in sorted(
+                ((_stable_repr(k), x) for k, x in v.items()),
+                key=lambda t: t[0],
+            )
         )
         return "{" + items + "}"
     r = repr(v)

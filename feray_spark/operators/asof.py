@@ -110,12 +110,25 @@ def asof_join(
     # ORDERABLE payload columns only — ordering by the whole payload
     # struct would be unplannable the moment a payload column is a map
     tb_cols = _orderable_cols(rf, right_cols)
+    if tb_cols:
+        tb_struct = F.struct(*[F.col(c) for c in tb_cols])
+    else:
+        # every payload column is unorderable (all maps): an empty
+        # struct would silently degrade the documented deterministic
+        # tie-breaking to arbitrary order. Fall back to a
+        # deterministic surrogate — a hash of the JSON-serialized
+        # payload — so same-(key, ts) winners are stable across runs
+        tb_struct = F.struct(
+            F.md5(
+                F.to_json(F.struct(*[F.col(c) for c in right_cols]))
+            ).alias("__payload_hash")
+        )
     rf = rf.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias(_TS),
         F.lit(right_side).alias(_SIDE),
         F.struct(*[F.col(c) for c in right_cols]).alias(_RPAY),
-        F.struct(*[F.col(c) for c in tb_cols]).alias(_TB),
+        tb_struct.alias(_TB),
     )
     rpay_type = rf.schema[_RPAY].dataType
     lf = left.select(

@@ -420,6 +420,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def span_first_occurrence_flags(
+    spans: DataFrame,
+    *,
+    chunk_col: str = "chunk",
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    max_span_df: int | None = None,
+) -> DataFrame:
+    """L20 core: mark each span row ``keep`` = True iff it is the
+    corpus-global FIRST occurrence of its chunk text (winner =
+    smallest (id, pos)). Input: (id, pos, chunk) rows; output: the
+    same rows plus a boolean ``keep``.
+
+    Default path: one rank window partitioned by the chunk — the
+    cheapest shape when span frequencies are corpus-typical.
+
+    ``max_span_df`` is the hot-span valve (the L2c stop-shingle
+    situation): a boilerplate mega-span (cookie banner, license
+    header) repeated millions of times is ONE window partition, and
+    window partitions cannot be split by AQE — the skewed sort
+    stalls the stage. With the valve set, spans whose document
+    frequency exceeds the bound are diverted to an aggregate path:
+    their winner is a per-chunk MIN over (id, pos) structs — a hash
+    aggregate with map-side partial combine, so each map task
+    contributes ONE row per hot chunk regardless of its row count —
+    joined back to mark keeps. The window then runs only over the
+    cold spans, whose partition sizes are bounded by the valve.
+    Semantics are IDENTICAL either way (the winner is the same
+    (id, pos) minimum); only the physical strategy moves — which is
+    why l20's oracle needs no variant.
+
+    The join back onto span rows is still keyed by the hot chunk,
+    but a shuffle-hash/sort-merge JOIN with probe-side skew is
+    AQE-skew-splittable (OptimizeSkewedJoin), unlike a window — that
+    asymmetry is the whole point of the valve."""
+    rn_keep = (
+        F.row_number().over(
+            W.partitionBy(chunk_col).orderBy(id_col, pos_col)
+        )
+        == 1
+    )
+    if max_span_df is None:
+        return spans.withColumn("keep", rn_keep)
+    stats = spans.groupBy(chunk_col).agg(
+        F.count("*").alias("__df"),
+        F.min(F.struct(id_col, pos_col)).alias("__winner"),
+    )
+    hot = stats.filter(F.col("__df") > max_span_df).select(
+        chunk_col, "__winner"
+    )
+    tagged = spans.join(hot, chunk_col, "left")
+    cold = tagged.filter(F.col("__winner").isNull()).drop("__winner")
+    hot_rows = tagged.filter(F.col("__winner").isNotNull())
+    cold_marked = cold.withColumn("keep", rn_keep)
+    hot_marked = hot_rows.withColumn(
+        "keep", F.struct(id_col, pos_col) == F.col("__winner")
+    ).drop("__winner")
+    return cold_marked.unionByName(hot_marked).select(
+        *spans.columns, "keep"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

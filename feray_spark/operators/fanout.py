@@ -44,7 +44,12 @@ def isolated_map(
         # a custom schema may retype them (e.g. a string id) but NOT
         # rename/reorder — that would fail deep in Arrow conversion,
         # the failure mode the id_col guard above exists to prevent
-        names = [f.split()[0] for f in result_schema.split(",")]
+        # parse with the real DDL parser, not a string split: a
+        # comma-parameterized type (decimal(20,0), map<string,long>)
+        # is legal here and a naive split would falsely reject it
+        from pyspark.sql.types import _parse_datatype_string
+
+        names = _parse_datatype_string(result_schema).fieldNames()
         expected = [id_col, "status", "result", "error"]
         if names != expected:
             raise ValueError(

@@ -186,19 +186,39 @@ def fs5_asset_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fs3_memoization",
-    oracle=None,  # cache-hit behavior is not SQL-expressible
+    # the memo protocol's OBSERVABLE trace is fully deterministic:
+    # initial → version 0 recompute, rerun → fingerprint HIT (version
+    # unchanged, no recompute), forced → version 1 recompute — and the
+    # SERVED table content after every step must equal the view over
+    # the source. The oracle pins the whole trace, so a stale hit, a
+    # missed hit, or serving wrong memoized content all fail the
+    # value hash (promoted from rows-only per VERDICT r4 item 5).
+    oracle="""
+        WITH agg AS (
+            SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+                       AS n_groups,
+                   CAST(COUNT(*) AS BIGINT) AS served_rows
+            FROM orders)
+        SELECT step, version, recomputed, n_groups, served_rows
+        FROM (VALUES ('initial', 0, TRUE), ('rerun', 0, FALSE),
+                     ('forced', 1, TRUE))
+             t(step, version, recomputed)
+        CROSS JOIN agg
+    """,
     tags=("feature", "FS2", "FS3"),
 )
 def fs3_memoization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FS2+FS3: memoization gate — materialize a view, materialize it
     again (must be a fingerprint hit served from the store, no job),
     then force-recompute. Returns one row per step with the observed
-    (version, recomputed) pair; rows-only gate (the driver's weaker
-    check) since a cache HIT is a property of execution, not of any
-    SQL-expressible result. The fingerprint covers fn source ‖ exact
-    upstream versions ‖ semantic config (SURVEY §7.6 item 3 — the
-    stale-hit hazard); test_features.py additionally proves an
-    upstream mutation busts exactly the dependent views."""
+    (version, recomputed) pair PLUS the served table's content
+    summary (group count and the total row count it aggregates), so
+    the oracle value-gates both the hit/miss protocol and that the
+    memoized table really holds the view's result. The fingerprint
+    covers fn source ‖ exact upstream versions ‖ semantic config
+    (SURVEY §7.6 item 3 — the stale-hit hazard); test_features.py
+    additionally proves an upstream mutation busts exactly the
+    dependent views."""
     from feray_spark.catalog import table_path
     from feray_spark.features.store import FeatureStore, FeatureView
 
@@ -218,9 +238,22 @@ def fs3_memoization(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps = []
     for step, force in (("initial", False), ("rerun", False), ("forced", True)):
         _, recomputed = fs.materialize("prio_counts", force=force)
-        steps.append((step, fs.store.latest_version("prio_counts"), recomputed))
+        served = fs.store.read(spark, "prio_counts").agg(
+            F.count("*").alias("g"), F.sum("n").alias("t")
+        ).collect()[0]
+        steps.append(
+            (
+                step,
+                fs.store.latest_version("prio_counts"),
+                recomputed,
+                served.g,
+                served.t,
+            )
+        )
     return spark.createDataFrame(
-        steps, "step string, version int, recomputed boolean"
+        steps,
+        "step string, version int, recomputed boolean, "
+        "n_groups bigint, served_rows bigint",
     )
 
 

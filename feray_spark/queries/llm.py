@@ -32,6 +32,7 @@ from feray_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    span_first_occurrence_flags,
 )
 from feray_spark.operators.similarity import (
     brute_force_topk,
@@ -432,33 +433,120 @@ def l3_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l3b_lsh_topk", tags=("llm", "L3", "similarity"))
-def l3b_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 scale path: hyperplane-LSH bucketed ANN re-ranked by exact
-    cosine (rows-only; recall vs brute force asserted in
-    test_llm.py)."""
+#: Aggregate-recall floor the ANN tiers must clear against exact
+#: brute-force top-3 — the bound the pre-existing unit tests assert
+#: (measured: LSH 0.70 / IVF 0.73 at sf0.001, both 0.90 at sf0.01;
+#: all deterministic — fixed RNG seed, fixed fixtures).
+ANN_RECALL_FLOOR = 0.6
+
+# l3b/l3c ANN ORACLE (shared): the LSH planes / IVF centroids come
+# from a seeded driver-side RNG, so DuckDB cannot replay the ANN
+# itself — instead the Spark side computes the exact brute-force
+# top-k ALONGSIDE the ANN and emits one row per query vector whose
+# booleans verify the ANN against it; the oracle pins the invariants
+# (the l4 n_chars_ok discipline). A recall regression or a scoring
+# bug flips real computed booleans and fails the value hash — this
+# is a full value gate, not a rows-only count.
+_ANN_ORACLE = """
+    SELECT vec_id AS q_id,
+           TRUE AS returned_le_k,
+           TRUE AS cosine_consistent,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+def _ann_verified(spark: SparkSession, sf_dir: str, ann) -> DataFrame:
+    """Shared l3b/l3c harness: run ``ann(queries, corpus)``, join its
+    pairs against the exact top-3 and a fold-cosine recompute, and
+    emit per-query verification booleans.
+
+    - ``returned_le_k``: the ANN never exceeds k rows for a query.
+    - ``cosine_consistent``: every returned pair's matmul-vectorized
+      cosine is within 1e-9 of the sequential-fold cosine (the l3
+      scorer) for the same pair — catches scoring/normalization bugs.
+    - ``recall_ok``: corpus-level recall vs exact top-3 is >=
+      ANN_RECALL_FLOOR (per-query recall is legitimately lumpy for
+      LSH — a query whose bucket is sparse can miss all 3 — so the
+      gate is the aggregate, matching the published LSH guarantee
+      shape).
+
+    Scale shape: the ANN and the exact scan are each one corpus pass
+    with broadcast queries (no corpus shuffle); the verification
+    joins touch only |queries| x k rows; the recall total is a
+    one-row aggregate broadcast back onto the per-query frame."""
+    from feray_spark.functions.vectors import cosine_similarity
+
     e = load_table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 50 == 0)
-    return lsh_bucketed_topk(
-        queries.select(F.col("vec_id").alias("q_id"), "embedding"),
-        e.select(F.col("vec_id").alias("c_id"), "embedding"),
-        k=3,
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    approx = ann(q, c)
+    exact = brute_force_topk(q, c, k=3)
+    rescored = (
+        approx.join(
+            e.select(F.col("vec_id").alias("q_id"),
+                     F.col("embedding").alias("__qv")),
+            "q_id",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("__cv")),
+            "c_id",
+        )
+        .withColumn("__ref", cosine_similarity("__qv", "__cv"))
+    )
+    per_q = rescored.groupBy("q_id").agg(
+        F.count("*").alias("__n"),
+        F.max(F.abs(F.col("cosine") - F.col("__ref"))).alias("__dev"),
+    )
+    hits = approx.join(
+        exact.select("q_id", "c_id"), ["q_id", "c_id"], "left_semi"
+    )
+    totals = exact.groupBy().agg(F.count("*").alias("__expected")).crossJoin(
+        hits.groupBy().agg(F.count("*").alias("__hits"))
+    )
+    return (
+        q.select("q_id")
+        .join(per_q, "q_id", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "q_id",
+            (F.coalesce(F.col("__n"), F.lit(0)) <= F.lit(3)).alias(
+                "returned_le_k"
+            ),
+            (F.coalesce(F.col("__dev"), F.lit(0.0)) < F.lit(1e-9)).alias(
+                "cosine_consistent"
+            ),
+            (
+                F.col("__hits") / F.col("__expected")
+                >= F.lit(ANN_RECALL_FLOOR)
+            ).alias("recall_ok"),
+        )
     )
 
 
-@register("l3c_ivf_topk", tags=("llm", "L3", "similarity"))
+@register("l3b_lsh_topk", oracle=_ANN_ORACLE, tags=("llm", "L3", "similarity"))
+def l3b_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: hyperplane-LSH bucketed ANN re-ranked by exact
+    cosine, value-gated against the exact top-3 via the shared
+    :func:`_ann_verified` harness (recall floor + per-pair cosine
+    consistency + k-bound). See operators.similarity
+    .lsh_bucketed_topk for the one-pass broadcast-index shape."""
+    return _ann_verified(
+        spark, sf_dir, lambda q, c: lsh_bucketed_topk(q, c, k=3)
+    )
+
+
+@register("l3c_ivf_topk", oracle=_ANN_ORACLE, tags=("llm", "L3", "similarity"))
 def l3c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path #2: IVF coarse-quantizer ANN — corpus shuffles
     once on its cell id, queries probe their nprobe nearest cells,
-    exact cosine re-ranks (rows-only; recall vs brute force asserted
-    in test_llm.py). See operators.similarity.ivf_topk."""
-    e = load_table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % 50 == 0)
-    return ivf_topk(
-        queries.select(F.col("vec_id").alias("q_id"), "embedding"),
-        e.select(F.col("vec_id").alias("c_id"), "embedding"),
-        k=3,
-    )
+    exact cosine re-ranks — value-gated against the exact top-3 via
+    the shared :func:`_ann_verified` harness. See
+    operators.similarity.ivf_topk."""
+    return _ann_verified(spark, sf_dir, lambda q, c: ivf_topk(q, c, k=3))
 
 
 @register(
@@ -1880,8 +1968,12 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     winner is defined by the composite (doc_id, pos) sort order, so
     it cannot collide at any document size), then the per-doc
     reassembly agg. A boilerplate mega-span (cookie banners) is one
-    hot window key — cap or salt it past a document-frequency bound,
-    the L2c stop-shingle valve."""
+    hot window key — operators.dedup.span_first_occurrence_flags'
+    ``max_span_df`` valve diverts spans past the bound to an
+    AQE-splittable aggregate/join path with identical semantics
+    (valve off here: the fixtures are skew-free, and one oracle
+    covers both physical paths — tests/test_llm.py asserts the
+    valve path's output equality on a planted mega-span)."""
     from feray_spark.functions.text import words as words_fn
 
     d = load_table(spark, sf_dir, "documents")
@@ -1905,13 +1997,11 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.chunk").alias("chunk"))
-    kept = spans.withColumn(
-        "keep",
-        F.row_number().over(
-            W_llm.partitionBy("chunk").orderBy("doc_id", "pos")
-        )
-        == 1,
-    )
+    # default valve-off path = the plain rank window; operators.dedup
+    # .span_first_occurrence_flags carries the max_span_df hot-span
+    # valve (agg-path winner for boilerplate mega-spans) with
+    # identical semantics — this oracle covers both physical paths
+    kept = span_first_occurrence_flags(spans)
     return kept.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_chunks"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),

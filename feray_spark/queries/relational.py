@@ -952,6 +952,40 @@ def ep5_correlated_scalar_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_EP5_SQL)
 
 
+@register(
+    "ep5b_window_argmin",
+    oracle=_EP5_SQL,
+    tags=("sql", "EP5", "window"),
+)
+def ep5b_window_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP5 fast shape: the hand-rewritten window-argmin form of ep5's
+    correlated scalar subquery — MIN OVER (PARTITION BY l_orderkey)
+    computed in the same pass as the rows it filters. ONE lineitem
+    scan and ONE key shuffle versus the decorrelated plan's two scans
+    plus an aggregate-build broadcast job (measured 0.52 s vs 1.23 s
+    at sf0.1, local[32] — the number in ep5's docstring, now shipped
+    as its own gated entry so users get both verified shapes: the
+    portable subquery text and the recommended rewrite).
+
+    Same oracle as ep5 — the forms are equivalent by definition, and
+    the equality compares raw parquet doubles (no arithmetic), so the
+    rewrite can never drift from the subquery semantics unnoticed."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("__grp_min", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("__grp_min"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("double").alias("min_price"),
+        )
+    )
+
+
 _EP6_SQL = """
     SELECT c_custkey, o_orderkey, o_orderdate,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

@@ -1379,3 +1379,90 @@ def test_materialize_stream_append_replay_is_idempotent(spark, tmp_root):
     q2 = fs.materialize_stream("hist", checkpoint=ckpt, mode="append")
     q2.awaitTermination(120)
     assert fs.store.read(spark, "hist").count() == 2  # no duplicates
+
+
+def test_stable_repr_set_is_hashseed_independent():
+    """A set-valued instance attribute (or partial arg) must produce
+    the same code_version in every interpreter run: set repr order
+    follows hash randomization, so _stable_repr must sort elements.
+    Verified the honest way — two child interpreters with different
+    PYTHONHASHSEED values must agree."""
+    import os
+    import subprocess
+    import sys
+
+    prog = (
+        "from feray_spark.features.versioning import _stable_repr;"
+        "print(_stable_repr({'zeta','alpha','mu','omega','beta'}),"
+        " _stable_repr({frozenset({'x','y','z'}): [1, {'b','a'}]}))"
+    )
+    outs = []
+    for seed in ("1", "42"):
+        env = dict(os.environ, PYTHONHASHSEED=seed, PYTHONPATH="/root/repo")
+        outs.append(
+            subprocess.run(
+                [sys.executable, "-c", prog],
+                capture_output=True, text=True, env=env, check=True,
+            ).stdout
+        )
+    assert outs[0] == outs[1]
+    assert "alpha" in outs[0]
+
+
+def test_stable_repr_mixed_type_containers():
+    """Mixed-type sets and dict keys must not TypeError on sorting
+    (elements sort by their stable reprs, not by direct comparison)."""
+    from feray_spark.features.versioning import _stable_repr
+
+    r = _stable_repr({1, "one", (2, 3)})
+    assert isinstance(r, str) and r == _stable_repr({(2, 3), "one", 1})
+    rd = _stable_repr({1: "a", "b": 2})
+    assert rd == _stable_repr({"b": 2, 1: "a"})
+
+
+def test_fastlane_replay_guard_sees_buried_epoch(spark, tmp_root):
+    """T10 crash-window regression: if a BATCH commit lands on the
+    fastlane target between an epoch's store commit and its
+    checkpoint commit, the redelivered epoch's fastlane commit is no
+    longer the head — the guard must find it in recent history and
+    skip, or append mode duplicates every row of the epoch."""
+    import os
+    import shutil
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    src = spark.createDataFrame(
+        [(1, 60.0, "view"), (2, 80.0, "purchase")],
+        "user_id int, value double, event_type string",
+    )
+    fs.store.write(src, "raw_log", mode="overwrite")
+
+    @fs.feature_view(name="log_feed", inputs=["raw_log"])
+    def log_feed(spark, inputs):
+        return inputs["raw_log"].select("user_id", "value")
+
+    ckpt = os.path.join(tmp_root, "ckpt_replay")
+    q = fs.materialize_stream("log_feed", checkpoint=ckpt, mode="append")
+    q.awaitTermination(120)
+    n0 = fs.store.read(spark, "log_feed").count()
+    assert n0 == 2
+
+    # crash window: the epoch's STORE commit is durable but the
+    # CHECKPOINT commit is lost...
+    shutil.rmtree(os.path.join(ckpt, "commits"))
+    # ...and an interleaved batch writer buries the fastlane commit
+    extra = spark.createDataFrame([(9, 1.0)], "user_id int, value double")
+    fs.store.write(
+        extra.withColumn("_data_version", F.lit("x"))
+        .withColumn("_code_version", F.lit("x")),
+        "log_feed",
+        mode="append",
+    )
+
+    # restart redelivers epoch 0; the guard must skip it
+    q2 = fs.materialize_stream("log_feed", checkpoint=ckpt, mode="append")
+    q2.awaitTermination(120)
+    rows = [
+        (r.user_id, r.value)
+        for r in fs.store.read(spark, "log_feed").collect()
+    ]
+    assert sorted(rows) == [(1, 60.0), (2, 80.0), (9, 1.0)], rows

@@ -858,3 +858,42 @@ def test_brute_force_topk_masks_null_cosine(spark):
     rows = brute_force_topk(q, c, k=5).collect()
     assert [r.c_id for r in rows] == [2]
     assert all(r.cosine is not None for r in rows)
+
+
+def test_span_valve_identical_on_planted_mega_span(spark):
+    """L20 hot-span valve: a boilerplate span repeated past
+    ``max_span_df`` is diverted off the rank window onto the
+    aggregate/min-winner path — the keep flags must be IDENTICAL to
+    the valve-off window semantics for every row (the mega-span keeps
+    only its global (doc_id, pos) minimum; cold docs are untouched)."""
+    from feray_spark.operators.dedup import span_first_occurrence_flags
+
+    rows = []
+    # 40 docs all containing the same boilerplate span at pos 0,
+    # plus a unique span each at pos 1
+    for d in range(40):
+        rows.append((d, 0, "all rights reserved cookie banner"))
+        rows.append((d, 1, f"unique body {d}"))
+    # one cold duplicate pair below the valve bound
+    rows.append((100, 0, "cold dup"))
+    rows.append((101, 3, "cold dup"))
+    spans = spark.createDataFrame(rows, "doc_id long, pos long, chunk string")
+
+    base = {
+        (r.doc_id, r.pos): r.keep
+        for r in span_first_occurrence_flags(spans).collect()
+    }
+    valved = {
+        (r.doc_id, r.pos): r.keep
+        for r in span_first_occurrence_flags(spans, max_span_df=10).collect()
+    }
+    assert valved == base
+    # the mega-span's sole survivor is its global (doc_id, pos) min
+    assert valved[(0, 0)] is True
+    assert all(valved[(d, 0)] is False for d in range(1, 40))
+    # cold rows: window semantics untouched
+    assert valved[(100, 0)] is True and valved[(101, 3)] is False
+    assert all(valved[(d, 1)] is True for d in range(40))
+    # column contract: input columns + keep, in order
+    out = span_first_occurrence_flags(spans, max_span_df=10)
+    assert out.columns == ["doc_id", "pos", "chunk", "keep"]
