@@ -109,6 +109,17 @@ def kafka_source(
             "kafka source requires org.apache.spark:spark-sql-kafka-0-10 "
             "on the classpath (spark-submit --packages ...)"
         ) from e
+    return decode_kafka_events(raw)
+
+
+def decode_kafka_events(raw: DataFrame) -> DataFrame:
+    """The payload half of :func:`kafka_source`, factored out so it is
+    testable WITHOUT the kafka jars: ``raw`` is any frame with the
+    Kafka record shape (a binary ``value`` column of JSON payloads) —
+    batch or streaming — and the result is the typed events schema.
+    A malformed payload decodes to an all-NULL row (from_json
+    semantics), never a task failure; drop on ``event_id IS NULL``
+    downstream if the topic can carry junk."""
     schema = (
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"

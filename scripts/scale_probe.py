@@ -95,6 +95,18 @@ DEFAULT_QUERIES = [
     "l2_minhash_lsh_neardups",
     "l2c_ngram_jaccard",
     "l20_span_dedup",
+    # round-5 additions (VERDICT r4 item 3): the non-floor >2×
+    # residents get growth curves — the deduped-gram leakage join
+    # (l31; per-replica token suffixing zeroes cross-replica gram
+    # overlap so eval-gram hits scale honestly), the correlated-
+    # scalar decorrelation pair (ep5 subquery text / ep5b window
+    # rewrite), the HAVING semi-join (ep6), and the multi-job
+    # profiling sweep (a12)
+    "l31_split_leakage",
+    "ep5_correlated_scalar_min",
+    "ep5b_window_argmin",
+    "ep6_having_semijoin",
+    "a12_table_profile",
 ]
 
 
