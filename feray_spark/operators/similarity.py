@@ -297,6 +297,10 @@ def lsh_bucketed_topk(
         pow2 = 1 << np.arange(n_planes, dtype=np.int64)
 
         def buckets(M: np.ndarray) -> np.ndarray:
+            if not len(M):
+                # zero rows collapse _index_pdf's matrix to (0, 0),
+                # which would mismatch flat's (dim, ·) in the matmul
+                return np.zeros((0, n_tables), dtype=np.int64)
             bits = (M @ flat) >= 0.0
             return (bits.reshape(len(M), n_tables, n_planes) * pow2).sum(axis=2)
 

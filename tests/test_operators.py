@@ -20,3 +20,45 @@ def test_asof_all_map_payload_deterministic_tiebreak(spark):
         ).collect()[0]
         outs.add(tuple(sorted(row.attrs.items())))
     assert len(outs) == 1, f"tie broke nondeterministically: {outs}"
+
+
+def test_hll_sketches_union_across_persisted_batches(spark, sf_dir, tmp_path):
+    """The A5b scale contract: per-batch HLL sketch state persisted in
+    a TableStore answers distinct-count rollups WITHOUT rescanning raw
+    rows — the union over stored batch sketches estimates within
+    sketch error of the exact distinct count over all rows. (Merged
+    and direct sketches are deliberately NOT asserted equal:
+    Datasketches unions promote sparse-mode state, so estimates can
+    differ slightly — both must sit inside the bound.)"""
+    from pyspark.sql import functions as F
+
+    from feray_spark.catalog import load_table
+    from feray_spark.sources.table_store import TableStore
+
+    o = load_table(spark, sf_dir, "orders")
+    store = TableStore(str(tmp_path / "sketches"))
+    for batch in (
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        o.filter(F.col("o_orderkey") % 2 == 1),
+    ):
+        store.write(
+            batch.groupBy("o_orderpriority").agg(
+                F.hll_sketch_agg("o_custkey").alias("sk")
+            ),
+            "cust_sketches",
+            mode="append",
+        )
+    rolled = (
+        store.read(spark, "cust_sketches")
+        .groupBy("o_orderpriority")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    truth = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("direct"),
+    )
+    rows = rolled.join(truth, "o_orderpriority").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r.est / r.exact - 1.0) <= 0.15, (r.o_orderpriority, r.est, r.exact)
+        assert abs(r.direct / r.exact - 1.0) <= 0.15, (r.o_orderpriority, r.direct, r.exact)
