@@ -99,7 +99,42 @@ _ROUND5_PRIORITY = [
     "s1_parquet_scan_count",
 ]
 
-#: The round-4 window (ACTIVE): the 37 never-checked entries above plus
+#: ROUND-6 ROTATION (swap in as _DRIVER_PRIORITY after CORRECTNESS_r05
+#: lands — EXACTLY 50 names; a longer list silently drops its tail).
+#: Construction rule:
+#: (1) entries with no driver row anywhere — ep5b (added after the r5
+#:     list froze) and a5b (added in r5) — 2 entries;
+#: (2) entries whose CODE changed in round 5 after their last driver
+#:     row and that are NOT already in the r5 window — l5b (empty-
+#:     corpus short-circuit before IDF.fit), l20 (first-occurrence
+#:     flags moved onto operators.dedup.span_first_occurrence_flags
+#:     with the max_span_df valve) — 2 entries;
+#: (3) fill to 50 with the oldest-evidence entries (r1-era o1/o2/u1,
+#:     then the r2-era block, alphabetical within a round).
+_ROUND6_PRIORITY = [
+    # (1) never driver-checked
+    "ep5b_window_argmin", "a5b_hll_sketch_rollup",
+    # (2) code changed after last row, outside the r5 window
+    "l5b_ml_tfidf", "l20_span_dedup",
+    # (3) oldest evidence first: r1-era
+    "o1_multikey_sort", "o2_limit_offset", "u1_union_all",
+    # r2-era
+    "a10_global_agg", "a11_filtered_agg", "a2_first_last_by",
+    "a3_statistical_aggs", "a3b_native_stddev_var", "a4_count_distinct",
+    "a5_approx_count_distinct", "a6_distinct_rows", "a7_collect_list_set",
+    "a8_rollup", "a8b_cube", "a8c_grouping_sets", "a9_pivot",
+    "ep3_sql_surface", "ep3b_subquery_decorrelation", "j10_salted_join",
+    "j1_inner_join", "j2_left_outer", "j2b_full_outer", "j3_cross_join",
+    "j4_left_semi", "j4b_left_anti", "j6_theta_join", "j6b_nested_loop",
+    "j7_range_join", "j7b_interval_join", "j9_point_in_time_spine",
+    "p1_project_compute", "p2_rename_drop_cast", "p3_filter_comparison",
+    "p4_boolean_logic", "p5_in_between_like", "p5b_regex_predicate",
+    "p6_null_predicates", "p7_case_banding", "s6_csv_roundtrip",
+    "s6b_ndjson_roundtrip", "s7_inmemory_rows", "s9_metadata_sink",
+    "w1_ranking", "w2_ntile_percent_rank", "w3_lag_lead",
+    "w4_running_agg",
+]
+
 #: ACTIVE WINDOW (round 5): the staged rotation above. CORRECTNESS_r04
 #: landed green rows for the whole round-4 window (44 full-oracle pass
 #: + 6 rows-only, zero failures), so the swap is pure evidence gain.

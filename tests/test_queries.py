@@ -86,8 +86,9 @@ def test_ep4_bounds_its_temp_views(spark, sf_dir):
     assert len(views) <= 1, views
 
 
-def test_staged_round5_rotation_names_resolve():
-    """_ROUND5_PRIORITY is hand-maintained; a typo'd name would
+@pytest.mark.parametrize("attr", ["_ROUND5_PRIORITY", "_ROUND6_PRIORITY"])
+def test_staged_rotation_names_resolve(attr):
+    """The rotation lists are hand-maintained; a typo'd name would
     silently fall out of _ordered() and the intended query would miss
     its driver window next round. Every staged name must exist in the
     registry, exactly once."""
@@ -95,14 +96,14 @@ def test_staged_round5_rotation_names_resolve():
     import os
 
     spec = importlib.util.spec_from_file_location(
-        "spark_entry_r5",
+        "spark_entry_rot",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "__spark_entry__.py"),
     )
     entry = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry)
     registry = set(load_all())
-    staged = entry._ROUND5_PRIORITY
+    staged = getattr(entry, attr)
     unknown = [n for n in staged if n not in registry]
     assert not unknown, unknown
     assert len(staged) == len(set(staged)), "duplicate staged names"

@@ -304,3 +304,74 @@ def test_contract_shallow_clone_is_independent(store, spark):
     assert store.read("dst").count() == 3
     assert store.read("src").count() == 2
     assert store.latest_version("src") == 0
+
+
+def test_optimistic_concurrency_primitive_and_live_race(spark, tmp_path):
+    """The segment-log's LogStore contract, exercised both ways.
+
+    Primitive: a _commit against an already-claimed version must raise
+    ConcurrentWriteError AND delete the losing attempt's segment (no
+    orphan data for read_stream's glob to pick up).
+
+    Live: concurrent appenders racing on one table, each retrying on
+    conflict, must all land exactly once — contiguous versions, no lost
+    or duplicated rows (the caller-retries model the docstrings
+    promise; real Delta resolves the same race inside its own
+    transaction protocol, so this leg is segment-log-specific)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from feray_spark.sources.table_store import (
+        Commit,
+        ConcurrentWriteError,
+        TableStore,
+    )
+
+    ts = TableStore(str(tmp_path / "race"))
+    ts.write(spark.range(1).selectExpr("id AS k"), "t", mode="overwrite")
+    v0 = ts.latest_version("t")
+
+    # --- primitive: losing racer errors and cleans its segment
+    loser_seg = str(tmp_path / "race" / "t" / "loser-segment")
+    os.makedirs(loser_seg)
+    with open(os.path.join(loser_seg, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    head = ts.commit_info("t")
+    with pytest.raises(ConcurrentWriteError):
+        ts._commit(
+            "t",
+            Commit(
+                version=v0,  # already claimed by the seed write
+                mode="append",
+                segments=[*head.segments, loser_seg],
+                schema=head.schema,
+                row_count=head.row_count + 1,
+                timestamp=head.timestamp,
+                user_metadata={},
+                partition_by=[],
+            ),
+            new_segment=loser_seg,
+        )
+    assert not os.path.exists(loser_seg), "losing segment must be deleted"
+
+    # --- live race: N concurrent appenders, retry-on-conflict
+    n_writers = 6
+
+    def appender(i: int) -> None:
+        df = spark.range(10).selectExpr(f"id + {(i + 1) * 100} AS k")
+        for _ in range(25):
+            try:
+                ts.write(df, "t", mode="append")
+                return
+            except ConcurrentWriteError:
+                continue
+        raise AssertionError(f"writer {i} starved out after 25 retries")
+
+    with ThreadPoolExecutor(max_workers=n_writers) as ex:
+        list(ex.map(appender, range(n_writers)))
+
+    assert ts.latest_version("t") == v0 + n_writers  # contiguous, none lost
+    out = ts.read(spark, "t")
+    assert out.count() == 1 + 10 * n_writers
+    # every appender's rows landed exactly once
+    assert out.filter("k >= 100").distinct().count() == 10 * n_writers
