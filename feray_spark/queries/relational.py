@@ -1018,16 +1018,44 @@ def ep6_having_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsum discipline) and the HAVING threshold compares decimals, so
     the qualifying set can never differ by a float ulp.
 
-    Measured (sf0.1, local[32]): 1.32 s, dominated by the lineitem
-    aggregate + join-back jobs, not the IN-subquery: hand-rewriting
-    to a single HAVING aggregate joined to orders/customer (valid
-    here because orderkey determines customer and date) measures the
-    same 1.28 s — the canonical Q18 text costs nothing extra, so the
-    entry keeps it."""
-    from feray_spark.catalog import register_views
+    The oracle keeps the canonical Q18 text; the Spark side ships the
+    single-aggregate form (valid because o_orderkey is the orders PK,
+    so it determines c_custkey and o_orderdate: grouping by
+    (c, o, od) == grouping by o): lineitem aggregates ONCE per
+    orderkey on scaled longs in whole-stage codegen (the
+    exact_grouped_sums two-level pattern — partials bounded by one
+    scan partition, decimal only across the tiny combine), the
+    HAVING threshold compares exact integers (q x 100 > 20000), and
+    the qualifying groups join to orders and customer (no broadcast
+    hints: the qualifying set and customer are small HERE but not at
+    100 TB — the autoBroadcast threshold + AQE pick the physical
+    join per run, which measured identical to forcing it).
+    Earlier hand-rewrite with a DECIMAL accumulator measured parity
+    with the canonical text (1.28 vs 1.32 s); moving the per-row
+    arithmetic onto longs is what pays (interleaved A/B at sf0.1:
+    1.53 vs 1.71 s median — the agg is the term that scales)."""
+    from feray_spark.queries.util import scaled_long
 
-    register_views(spark, sf_dir)
-    return spark.sql(_EP6_SQL)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    partial = li.groupBy(
+        "l_orderkey", F.spark_partition_id().alias("__pid")
+    ).agg(F.sum(scaled_long("l_quantity")).alias("__p"))
+    qty = partial.groupBy("l_orderkey").agg(
+        F.sum(F.col("__p").cast("decimal(38,0)")).alias("q2")  # qty x 100
+    )
+    big = qty.filter(F.col("q2") > F.lit(200 * 100))
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("q2") / F.lit(100)).cast("double").alias("total_qty"),
+        )
+    )
 
 
 _EP7_SQL = """
@@ -1365,26 +1393,42 @@ def ep13_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem scans because each scalar subquery replans the fact —
     the oracle keeps the canonical CTE text, the Spark side ships
     the single-scan form (plan-asserted: one scan, no join)."""
-    li = load_table(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
 
-    v = F.sum(
-        (
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
-        ).cast("decimal(18,4)")
-    ).alias("v")
-    g = li.groupBy("l_partkey").agg(v)
+    from feray_spark.queries.util import scaled_long
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # Per-row arithmetic on LONGS in whole-stage codegen (the
+    # exact_grouped_sums two-level pattern, inlined because the filter
+    # needs the UNdivided exact value): cents * (100 - disc_cents) is
+    # the discounted price x 10^4 as an exact integer. Partials are
+    # bounded by one scan partition so they can't overflow a long;
+    # only the tiny (groups x partitions) combine runs in decimal.
+    # Interleaved A/B at sf0.1: 0.97 s vs 1.35 s for the decimal-
+    # accumulator form — the per-row BigDecimal was the dominant
+    # term, not the window.
+    row_v4 = scaled_long("l_extendedprice") * (
+        F.lit(100) - scaled_long("l_discount")
+    )
+    partial = li.groupBy(
+        "l_partkey", F.spark_partition_id().alias("__pid")
+    ).agg(F.sum(row_v4).alias("__p"))
+    g = partial.groupBy("l_partkey").agg(
+        F.sum(F.col("__p").cast("decimal(38,0)")).alias("v4")  # v x 10^4
+    )
     w = Window.partitionBy()
     return (
         g.withColumn("__n", F.count("*").over(w))
-        .withColumn("__tot", F.sum("v").over(w))
+        .withColumn("__tot", F.sum("v4").over(w))
+        # v * n > 1.5 * tot, cross-multiplied by 2 to stay integral:
+        # all-decimal exact compare on the group table
         .filter(
-            F.col("v") * F.col("__n")
-            > F.lit("1.5").cast("decimal(2,1)") * F.col("__tot")
+            F.lit(2) * F.col("v4") * F.col("__n")
+            > F.lit(3) * F.col("__tot")
         )
         .select(
-            "l_partkey", F.col("v").cast("double").alias("part_value")
+            "l_partkey",
+            (F.col("v4") / F.lit(10000)).cast("double").alias("part_value"),
         )
         .orderBy(F.desc("part_value"), "l_partkey")
     )

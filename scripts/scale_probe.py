@@ -107,6 +107,15 @@ DEFAULT_QUERIES = [
     "ep5b_window_argmin",
     "ep6_having_semijoin",
     "a12_table_profile",
+    # remaining ≥0.9 s sweep residents that replicate honestly: the
+    # Python-UDTF per-row path (f5b — token-suffixed docs scale its
+    # eval work exactly K×), the pure projection+write (f_math), and
+    # the agg+unpartitioned-window share-of-total (ep13). (l24/j7b
+    # stay out: replicated vectors / time-overlapping intervals would
+    # fake K-clique match structure — the UNSAFE rule.)
+    "f5b_polymorphic_udtf",
+    "f_math_family",
+    "ep13_value_share",
 ]
 
 

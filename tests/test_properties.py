@@ -467,3 +467,128 @@ def test_salted_join_spreads_identical_hot_rows(spark):
     joined = salted_join(large, small, ["k"], salts=8)
     assert joined.count() == 64
     assert joined.select("d").distinct().collect()[0].d == "dim"
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # doc_id
+            st.integers(min_value=0, max_value=4),   # pos
+            st.sampled_from(["aa", "bb", "cc", "dd"]),  # chunk text
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),  # one chunk per (doc, pos)
+    ),
+    valve=st.integers(min_value=0, max_value=6),
+)
+@settings(**SETTINGS)
+def test_span_valve_path_equals_window_path(spark, data, valve):
+    """L20's hot-span valve moves ONLY the physical strategy: for any
+    span multiset and any document-frequency bound, the agg/join
+    winner path must mark byte-identical keeps to the plain rank
+    window (the property the l20 oracle relies on to cover both
+    paths with one SQL twin)."""
+    from feray_spark.operators.dedup import span_first_occurrence_flags
+
+    spans = spark.createDataFrame(
+        data, "doc_id long, pos long, chunk string"
+    )
+    key = lambda r: (r.doc_id, r.pos, r.chunk, r.keep)  # noqa: E731
+    base = sorted(
+        span_first_occurrence_flags(spans).collect(), key=key
+    )
+    valved = sorted(
+        span_first_occurrence_flags(spans, max_span_df=valve).collect(),
+        key=key,
+    )
+    assert base == valved
+
+
+_store_op = st.one_of(
+    st.tuples(
+        st.just("append"),
+        st.lists(st.tuples(st.integers(0, 999), st.integers(-99, 99)),
+                 min_size=1, max_size=6),
+    ),
+    st.tuples(
+        st.just("overwrite"),
+        st.lists(st.tuples(st.integers(0, 999), st.integers(-99, 99)),
+                 min_size=1, max_size=6),
+    ),
+    st.tuples(
+        st.just("merge"),
+        st.lists(st.tuples(st.integers(0, 999), st.integers(-99, 99)),
+                 min_size=1, max_size=6),
+    ),
+    st.tuples(
+        st.just("replace_where"),
+        st.tuples(st.integers(0, 999),
+                  st.lists(st.tuples(st.integers(0, 999), st.integers(-99, 99)),
+                           min_size=0, max_size=6)),
+    ),
+    st.tuples(st.just("restore"), st.integers(min_value=0, max_value=100)),
+)
+
+
+@given(ops=st.lists(_store_op, min_size=1, max_size=7))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_table_store_matches_reference_model(spark, ops):
+    """Model-based check of the versioned log: an arbitrary program of
+    append / overwrite / MERGE / replaceWhere / RESTORE against the
+    segment-log store must match a plain dict model after EVERY
+    commit, the commit's recorded row_count must match, and every
+    historical version must time-travel back to its exact snapshot.
+    Batches are keyed uniquely (appends skip keys already present) so
+    MERGE's whenMatched semantics are unambiguous."""
+    import shutil
+    import tempfile
+
+    from feray_spark.sources.table_store import TableStore
+
+    root = tempfile.mkdtemp(prefix="store_model_")
+    try:
+        ts = TableStore(root)
+        df_of = lambda rows: spark.createDataFrame(  # noqa: E731
+            [(k, v) for k, v in rows], "k long, v long"
+        ) if rows else spark.createDataFrame([], "k long, v long")
+        model: dict[int, int] = {}
+        ts.write(df_of([]), "t", mode="overwrite")
+        snapshots = {ts.latest_version("t"): dict(model)}
+        for op in ops:
+            if op[0] == "append":
+                rows = [(k, v) for k, v in dict(op[1]).items()
+                        if k not in model]
+                ts.write(df_of(rows), "t", mode="append")
+                model.update(rows)
+            elif op[0] == "overwrite":
+                rows = list(dict(op[1]).items())
+                ts.write(df_of(rows), "t", mode="overwrite")
+                model = dict(rows)
+            elif op[0] == "merge":
+                rows = list(dict(op[1]).items())
+                ts.merge(spark, "t", df_of(rows), keys=["k"])
+                model.update(rows)
+            elif op[0] == "replace_where":
+                cut, batch = op[1]
+                rows = [(k, v) for k, v in dict(batch).items() if k >= cut]
+                ts.replace_where(spark, "t", df_of(rows), f"k >= {cut}")
+                model = {k: v for k, v in model.items() if k < cut}
+                model.update(rows)
+            else:  # restore
+                versions = sorted(snapshots)
+                target = versions[op[1] % len(versions)]
+                ts.restore("t", target)
+                model = dict(snapshots[target])
+            head = ts.commit_info("t")
+            snapshots[head.version] = dict(model)
+            got = {r.k: r.v for r in ts.read(spark, "t").collect()}
+            assert got == model, (op[0], got, model)
+            assert head.row_count == len(model), (op[0], head.row_count)
+        # every historical version must still read as its snapshot
+        for v, snap in snapshots.items():
+            got = {r.k: r.v for r in ts.read(spark, "t", version=v).collect()}
+            assert got == snap, (v, got, snap)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
