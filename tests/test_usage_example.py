@@ -144,3 +144,35 @@ def test_catalog_entry_point(spark, sf_dir):
     out = registry["l2_minhash_lsh_neardups"].fn(spark, sf_dir)
     assert registry["l2_minhash_lsh_neardups"].oracle is not None
     assert out.columns == ["id_a", "id_b"] or len(out.columns) >= 2
+
+
+def test_incremental_sketch_rollup(spark, sf_dir, root):
+    """USAGE §11: per-batch HLL sketch state persisted in the table
+    store answers a coarser-grain distinct rollup within sketch error,
+    without rescanning raw rows."""
+    from feray_spark.sources.table_store import TableStore
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    ts = TableStore(root)
+    for parity in (0, 1):  # two ingest batches
+        batch = ev.filter(F.col("user_id") % 2 == parity)
+        ts.write(
+            batch.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk")),
+            "daily_user_sketches",
+            mode="append",
+        )
+    month = F.date_trunc("month", F.col("day").cast("timestamp")).alias("month")
+    rolled = (
+        ts.read(spark, "daily_user_sketches")
+        .groupBy(month)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+    )
+    exact = ev.groupBy(month).agg(F.countDistinct("user_id").alias("exact_users"))
+    rows = rolled.join(exact, "month").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users / r.exact_users - 1.0) <= 0.15, (
+            r.month, r.approx_users, r.exact_users,
+        )
