@@ -1571,7 +1571,16 @@ def ep16_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the fact on the same key; with the fact bucketed by partkey
     (sources/bucketing) both sides co-locate and the join shuffle
     disappears. The final aggregate is global: one row crosses the
-    last exchange."""
+    last exchange.
+
+    Deliberately NOT rewritten onto the ep6/ep13 scaled-long partial
+    pattern: measured at sf0.1 the two-level form is SLOWER here
+    (1.27 vs 1.08 s interleaved median) — this query's per-row
+    decimal work is a single cheap cast-and-sum, so the extra
+    partial-aggregation stage costs more than the BigDecimal it
+    avoids. The pattern pays only where the per-row decimal
+    expression is heavy (ep13's product) or the fact aggregates
+    twice (ep6)."""
     from feray_spark.catalog import register_views
 
     register_views(spark, sf_dir)

@@ -715,3 +715,52 @@ def test_split_leakage_joins_on_gram_types(spark, sf_dir):
     assert "Exchange hashpartitioning(g#" in plan, plan
     # the shared pair-level distinct (the reuse point) is present
     assert "Exchange hashpartitioning(doc_id" in plan, plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The runtime half of the skew story (J10 salting is the
+    compile-time half): a sort-merge join with one hot key must be
+    re-planned by AQE's OptimizeSkewedJoin — the hot partition splits
+    into multiple tasks (`skew=true` in the executed plan) instead of
+    stalling one reducer. Thresholds are lowered to make the fixture's
+    hot key 'big'; at 100 TB the defaults fire the same rule."""
+    restore = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ),
+        "spark.sql.adaptive.coalescePartitions.enabled": spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        # splitting must beat coalescing for the assert to be visible
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        hot = spark.range(300_000).selectExpr(
+            "CAST(id % 40 AS LONG) AS k", "id AS payload"
+        ).withColumn("k", F.when(F.col("payload") < 250_000, F.lit(0)).otherwise(F.col("k")))
+        right = spark.range(40).selectExpr("id AS k", "id * 10 AS tag")
+        joined = hot.join(right, "k")
+        # drive the DataFrame's OWN QueryExecution (a write would build
+        # a separate one and leave this handle's AQE plan non-final)
+        joined.collect()
+        plan = plan_of(joined)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for key, val in restore.items():
+            spark.conf.set(key, val)
