@@ -116,6 +116,13 @@ def _stable_repr(v) -> str:
         inner = ", ".join(sorted(_stable_repr(x) for x in v))
         return "{" + inner + "}"
     if isinstance(v, dict):
+        # keys order by their STABLE REPR (not native comparison —
+        # mixed-type keys would TypeError). NOTE this is the
+        # serialization contract from the version that introduced
+        # set-handling onward: an int-keyed dict spanning digit
+        # counts ({2: .., 10: ..}) serializes in repr order ('10'
+        # before '2'), so fingerprints computed by earlier builds
+        # differ once — a one-time, safe-direction (recompute) miss.
         items = ", ".join(
             f"{k_r}: {_stable_repr(x)}"
             for k_r, x in sorted(

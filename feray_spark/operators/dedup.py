@@ -474,8 +474,19 @@ def span_first_occurrence_flags(
     cold = tagged.filter(F.col("__winner").isNull()).drop("__winner")
     hot_rows = tagged.filter(F.col("__winner").isNotNull())
     cold_marked = cold.withColumn("keep", rn_keep)
+    # Winner-equality alone would mark EVERY copy of a duplicated
+    # (id, pos) row keep=True where the window path marks exactly one
+    # — so break duplicate copies with a row_number partitioned by
+    # the FULL (chunk, id, pos) key. Unlike the per-chunk window the
+    # valve exists to avoid, this partitioning includes id+pos, so a
+    # boilerplate mega-span hashes across reducers instead of
+    # landing on one.
+    dup_rn = F.row_number().over(
+        W.partitionBy(chunk_col, id_col, pos_col).orderBy(F.lit(1))
+    )
     hot_marked = hot_rows.withColumn(
-        "keep", F.struct(id_col, pos_col) == F.col("__winner")
+        "keep",
+        (F.struct(id_col, pos_col) == F.col("__winner")) & (dup_rn == 1),
     ).drop("__winner")
     return cold_marked.unionByName(hot_marked).select(
         *spans.columns, "keep"

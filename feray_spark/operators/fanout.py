@@ -47,10 +47,21 @@ def isolated_map(
         # parse with the real DDL parser, not a string split: a
         # comma-parameterized type (decimal(20,0), map<string,long>)
         # is legal here and a naive split would falsely reject it
-        from pyspark.sql.types import _parse_datatype_string
+        from pyspark.sql.types import StructType, _parse_datatype_string
 
-        names = _parse_datatype_string(result_schema).fieldNames()
         expected = [id_col, "status", "result", "error"]
+        try:
+            parsed = _parse_datatype_string(result_schema)
+        except Exception as e:
+            raise ValueError(
+                f"result_schema is not parseable DDL: {result_schema!r}"
+            ) from e
+        if not isinstance(parsed, StructType):
+            raise ValueError(
+                f"result_schema must be a struct DDL with columns "
+                f"{expected}, got the bare type {result_schema!r}"
+            )
+        names = parsed.fieldNames()
         if names != expected:
             raise ValueError(
                 f"result_schema must keep the column names/order "

@@ -663,8 +663,14 @@ def ivf_topk(
         # candidate shuffle (see _broadcast_scan_topk)
         qids, qM, qnorm = _index_pdf(queries, query_id, vec_col)
         qid_type = _dtype_of(queries, query_id)
-        qsims = (qM / qnorm[:, None]) @ cent.T
-        probes = np.argsort(-qsims, axis=1)[:, :nprobe]  # (nq, nprobe)
+        if len(qM):
+            qsims = (qM / qnorm[:, None]) @ cent.T
+            probes = np.argsort(-qsims, axis=1)[:, :nprobe]  # (nq, nprobe)
+        else:
+            # zero queries collapse _index_pdf's matrix to (0, 0),
+            # which would mismatch cent.T in the matmul (the same
+            # empty-input guard as lsh_bucketed_topk's buckets())
+            probes = np.zeros((0, nprobe), dtype=np.int64)
 
         def match_fn(cid, C):
             Cn = C / np.linalg.norm(C, axis=1, keepdims=True)

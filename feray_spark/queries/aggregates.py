@@ -231,7 +231,12 @@ def a5b_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est_direct"),
         F.countDistinct("o_custkey").alias("exact_custs"),
     )
-    err_ok = lambda est, exact: (  # noqa: E731
+    # NULL-safe: on an empty input the union/estimate of ZERO sketches
+    # is NULL and exact is 0 — the bound is vacuously satisfied (the
+    # oracle's pinned TRUE must still match), never NULL
+    err_ok = lambda est, exact: F.when(  # noqa: E731
+        exact == 0, est.isNull() | (est == 0)
+    ).otherwise(
         F.abs(est.cast("double") / exact.cast("double") - F.lit(1.0)) <= 0.15
     )
     per_group = fine.select(

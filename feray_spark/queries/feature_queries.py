@@ -239,7 +239,10 @@ def fs3_memoization(spark: SparkSession, sf_dir: str) -> DataFrame:
     for step, force in (("initial", False), ("rerun", False), ("forced", True)):
         _, recomputed = fs.materialize("prio_counts", force=force)
         served = fs.store.read(spark, "prio_counts").agg(
-            F.count("*").alias("g"), F.sum("n").alias("t")
+            F.count("*").alias("g"),
+            # SUM over zero rows is NULL where the oracle's COUNT
+            # discipline yields 0 — coalesce for empty-input parity
+            F.coalesce(F.sum("n"), F.lit(0)).alias("t"),
         ).collect()[0]
         steps.append(
             (

@@ -519,10 +519,16 @@ def _ann_verified(spark: SparkSession, sf_dir: str, ann) -> DataFrame:
             (F.coalesce(F.col("__dev"), F.lit(0.0)) < F.lit(1e-9)).alias(
                 "cosine_consistent"
             ),
-            (
+            # zero-guard: an exact top-k of ZERO pairs (every corpus
+            # vector is a query's self-match) makes the recall bound
+            # vacuous — 0/0 would collect as NULL where the oracle
+            # pins TRUE
+            F.when(F.col("__expected") == 0, F.lit(True))
+            .otherwise(
                 F.col("__hits") / F.col("__expected")
                 >= F.lit(ANN_RECALL_FLOOR)
-            ).alias("recall_ok"),
+            )
+            .alias("recall_ok"),
         )
     )
 

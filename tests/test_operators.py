@@ -62,3 +62,20 @@ def test_hll_sketches_union_across_persisted_batches(spark, sf_dir, tmp_path):
     for r in rows:
         assert abs(r.est / r.exact - 1.0) <= 0.15, (r.o_orderpriority, r.est, r.exact)
         assert abs(r.direct / r.exact - 1.0) <= 0.15, (r.o_orderpriority, r.direct, r.exact)
+
+
+def test_ann_operators_accept_empty_query_set(spark, sf_dir):
+    """A filter that matches nothing (or an empty micro-batch) hands
+    the ANN operators ZERO query vectors; both broadcast paths must
+    return an empty typed frame instead of crashing on the collapsed
+    (0, 0) driver matrix."""
+    from pyspark.sql import functions as F
+
+    from feray_spark.catalog import load_table
+    from feray_spark.operators.similarity import ivf_topk, lsh_bucketed_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.lit(False)).select(F.col("vec_id").alias("q_id"), "embedding")
+    c = e.select(F.col("vec_id").alias("c_id"), "embedding")
+    for ann in (ivf_topk(q, c, k=3), lsh_bucketed_topk(q, c, k=3)):
+        assert ann.count() == 0

@@ -478,17 +478,19 @@ def test_salted_join_spreads_identical_hot_rows(spark):
         ),
         min_size=1,
         max_size=40,
-        unique_by=lambda t: (t[0], t[1]),  # one chunk per (doc, pos)
     ),
     valve=st.integers(min_value=0, max_value=6),
 )
 @settings(**SETTINGS)
 def test_span_valve_path_equals_window_path(spark, data, valve):
     """L20's hot-span valve moves ONLY the physical strategy: for any
-    span multiset and any document-frequency bound, the agg/join
-    winner path must mark byte-identical keeps to the plain rank
-    window (the property the l20 oracle relies on to cover both
-    paths with one SQL twin)."""
+    span MULTISET (duplicate (id, pos) copies included — the case
+    where naive winner-equality would keep every copy) and any
+    document-frequency bound, the agg/join winner path must mark
+    multiset-identical keeps to the plain rank window (the property
+    the l20 oracle relies on to cover both paths with one SQL
+    twin). Identical copies are interchangeable, so comparing the
+    sorted (id, pos, chunk, keep) multisets is exact."""
     from feray_spark.operators.dedup import span_first_occurrence_flags
 
     spans = spark.createDataFrame(
