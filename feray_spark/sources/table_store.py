@@ -55,6 +55,11 @@ class ConcurrentWriteError(RuntimeError):
     concurrency conflict) — reload the latest version and retry."""
 
 
+#: sentinel distinguishing "no pin requested" from "pin to a
+#: nonexistent table" (expected_base=None) in :meth:`TableStore.write`
+_NO_BASE = object()
+
+
 @dataclass(frozen=True)
 class Commit:
     version: int
@@ -189,10 +194,20 @@ class TableStore:
         user_metadata: dict[str, Any] | None = None,
         partition_by: Sequence[str] | None = None,
         merge_schema: bool = False,
+        expected_base: Any = _NO_BASE,
     ) -> Commit:
         """Append or overwrite, creating version latest+1. The row
         count is collected from the write via ``df.count()`` on the
         written files (cheap: parquet metadata only).
+
+        ``expected_base`` — optimistic pin for read-modify-write
+        callers (MERGE, replaceWhere's rewrite path): the snapshot
+        version this write was derived from (``None`` = the table
+        must not exist yet). If HEAD has moved past it, raise
+        :class:`ConcurrentWriteError` instead of silently rebasing
+        onto — and erasing — an interleaved commit; the CAS in
+        ``_commit`` closes the residual window because the claimed
+        version stays ``expected_base + 1``.
 
         ``partition_by`` — hive-style partition columns for the new
         segment (the Delta ``partitionBy`` analog): enables partition
@@ -209,6 +224,14 @@ class TableStore:
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         prev = self.commit_info(table)
+        if expected_base is not _NO_BASE:
+            head = prev.version if prev is not None else None
+            if head != expected_base:
+                raise ConcurrentWriteError(
+                    f"{table}: HEAD is {head}, but this write derives from "
+                    f"snapshot {expected_base} — another writer committed "
+                    "in between; reload and retry"
+                )
         if partition_by is None and prev is not None:
             # unspecified -> keep the table's partitioning (pass []
             # explicitly to unpartition on overwrite)
@@ -222,7 +245,7 @@ class TableStore:
         if prev is not None and mode == "append":
             schema_json = self._evolved_schema(table, prev, df, merge_schema)
         version = 0 if prev is None else prev.version + 1
-        seg = os.path.join(self.root, table, f"seg-{version:08d}-{uuid.uuid4().hex[:8]}")
+        seg = self._new_segment_path(table, version)
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -271,10 +294,14 @@ class TableStore:
         from pyspark.sql import types as T
 
         old = T.StructType.fromJson(json.loads(prev.schema))
-        old_fields = {f.name: f for f in old.fields}
-        new_fields = {f.name: f for f in df.schema.fields}
+        # case-INSENSITIVE field resolution, like Spark's default
+        # analyzer and like merge(): an append carrying 'ID' against a
+        # table with 'id' is the SAME column (else evolution would
+        # commit a duplicate-modulo-case schema Spark refuses to read)
+        old_fields = {f.name.lower(): f for f in old.fields}
+        new_fields = {f.name.lower(): f for f in df.schema.fields}
         changed = [
-            n
+            old_fields[n].name
             for n, f in new_fields.items()
             if n in old_fields and old_fields[n].dataType != f.dataType
         ]
@@ -286,8 +313,8 @@ class TableStore:
         if set(new_fields) == set(old_fields):
             return prev.schema
         if not merge_schema:
-            missing = sorted(set(old_fields) - set(new_fields))
-            extra = sorted(set(new_fields) - set(old_fields))
+            missing = sorted(old_fields[n].name for n in set(old_fields) - set(new_fields))
+            extra = sorted(new_fields[n].name for n in set(new_fields) - set(old_fields))
             raise ValueError(
                 f"{table}: append schema mismatch (missing {missing}, "
                 f"new {extra}); pass merge_schema=True to evolve"
@@ -296,6 +323,55 @@ class TableStore:
             f for n, f in new_fields.items() if n not in old_fields
         ]
         return T.StructType(merged).json()
+
+    @staticmethod
+    def _conform_to_table(
+        df: DataFrame, prev: Commit, table: str, op: str
+    ) -> DataFrame:
+        """Enforce the invariant-target-schema discipline shared by
+        MERGE and replaceWhere: the incoming frame must carry exactly
+        the table's columns (case-insensitive, like Spark's default
+        resolution), and its types must reconcile by safe UP-CAST
+        only (``DataFrame.to``) — otherwise the rewrite below would
+        silently adopt a widened/retyped schema, or (on the
+        metadata-only path) write a segment whose values NULL out
+        under the committed schema's cast on read."""
+        from pyspark.sql import types as T
+
+        tgt_schema = T.StructType.fromJson(json.loads(prev.schema))
+        tgt_names = {f.name.lower(): f.name for f in tgt_schema.fields}
+        src_names = {c.lower(): c for c in df.columns}
+        missing = sorted(tgt_names[n] for n in set(tgt_names) - set(src_names))
+        extra = sorted(src_names[n] for n in set(src_names) - set(tgt_names))
+        if missing or extra:
+            raise ValueError(
+                f"{table}: {op} source schema mismatch "
+                f"(missing {missing}, extra {extra}); {op} never "
+                "evolves the target schema"
+            )
+        try:
+            return df.to(tgt_schema)
+        except Exception as e:
+            raise ValueError(
+                f"{table}: {op} source types do not up-cast to the "
+                f"target schema: {e}"
+            ) from e
+
+    def _new_segment_path(self, table: str, version: int) -> str:
+        """Fresh segment directory path for a commit attempt (unique
+        per attempt so racing writers never collide on data paths)."""
+        return os.path.join(
+            self.root, table, f"seg-{version:08d}-{uuid.uuid4().hex[:8]}"
+        )
+
+    def _missing_segments(self, commit: Commit) -> list[str]:
+        """Base segment dirs referenced by ``commit`` that no longer
+        exist on disk (vacuumed) — the restore/clone up-front guard."""
+        return sorted(
+            os.path.basename(base)
+            for base in {self._seg_base(e)[1] for e in commit.segments}
+            if not os.path.isdir(base)
+        )
 
     def _commit(self, table: str, commit: Commit, new_segment: str | None = None) -> Commit:
         """Atomic put-if-absent of the commit record — the optimistic
@@ -791,6 +867,21 @@ class TableStore:
             if now - self._tree_mtime(p) >= orphan_grace_sec:
                 shutil.rmtree(p)
                 deleted.append(p)
+        # log-side janitor: a writer that hard-crashed between writing
+        # its .tmp-<hex> record and the os.link leaves the tmp file in
+        # _log forever (_commits skips it, the seg sweep above never
+        # looks there) — collect those under the same grace period
+        log_dir = self._log_dir(table)
+        for name in sorted(os.listdir(log_dir)):
+            if not name.startswith(".tmp-"):
+                continue
+            p = os.path.join(log_dir, name)
+            try:
+                if now - os.path.getmtime(p) >= orphan_grace_sec:
+                    os.remove(p)
+                    deleted.append(p)
+            except OSError:
+                pass  # racing writer finished/cleaned it — fine
         return deleted
 
     @staticmethod
@@ -856,7 +947,18 @@ class TableStore:
         files = n_files or max(1, -(-prev.row_count // target_rows_per_file))
         if zorder_by:
             ncols = len(zorder_by)
+            if ncols > 63:
+                raise ValueError(
+                    f"zorder_by has {ncols} columns; the 64-bit "
+                    "interleave supports at most 63"
+                )
             bits = max(1, (int(n_buckets) - 1).bit_length())
+            # Java's shiftleft is mod-64: letting bits*ncols exceed 63
+            # would silently alias high bucket bits onto low positions
+            # (a wrong Z-value recorded as a clustered layout). Clamp
+            # the per-column granularity instead — coarser buckets,
+            # correct curve.
+            bits = min(bits, 63 // ncols)
             rankable = (
                 "tinyint", "smallint", "int", "bigint", "float", "double",
                 "date", "timestamp", "timestamp_ntz",
@@ -911,7 +1013,7 @@ class TableStore:
         else:
             out = df.repartition(files)
         version = prev.version + 1
-        seg = os.path.join(self.root, table, f"seg-{version:08d}-{uuid.uuid4().hex[:8]}")
+        seg = self._new_segment_path(table, version)
         writer = out.write.mode("errorifexists")
         if prev.partition_by:
             writer = writer.partitionBy(*prev.partition_by)
@@ -966,11 +1068,7 @@ class TableStore:
         target = self.commit_info(table, version)
         if target is None:
             raise KeyError(f"{table}: no version {version}")
-        missing = sorted(
-            os.path.basename(base)
-            for base in {self._seg_base(e)[1] for e in target.segments}
-            if not os.path.isdir(base)
-        )
+        missing = self._missing_segments(target)
         if missing:
             raise ValueError(
                 f"{table}: cannot restore to version {version}; segments "
@@ -1022,11 +1120,7 @@ class TableStore:
         src = self.commit_info(src_table, version)
         if src is None:
             raise KeyError(f"unknown table {src_table!r}")
-        missing = sorted(
-            os.path.basename(base)
-            for base in {self._seg_base(e)[1] for e in src.segments}
-            if not os.path.isdir(base)
-        )
+        missing = self._missing_segments(src)
         if missing:
             # same up-front refusal as restore: never commit a HEAD
             # (here: a newborn table) that cannot be read
@@ -1076,40 +1170,9 @@ class TableStore:
         keys = list(keys)
         prev = self.commit_info(table)
         if prev is not None:
-            # Delta MERGE semantics: the TARGET schema is invariant.
-            # The source must carry exactly the target's columns, and
-            # its types reconcile onto the target's by safe UP-CAST
-            # only (DataFrame.to — int source into long target is
-            # fine; narrowing or string→numeric raises). Without
-            # this, the overwrite below would silently adopt the
-            # union's widened type and rewrite the table schema.
-            from pyspark.sql import types as T
-
-            tgt_schema = T.StructType.fromJson(json.loads(prev.schema))
-            # case-insensitive like Spark's default resolution (the
-            # old unionByName path resolved 'ID' onto 'id'; the check
-            # must not be stricter than the engine)
-            tgt_names = {f.name.lower(): f.name for f in tgt_schema.fields}
-            src_names = {c.lower(): c for c in source.columns}
-            missing = sorted(
-                tgt_names[n] for n in set(tgt_names) - set(src_names)
-            )
-            extra = sorted(
-                src_names[n] for n in set(src_names) - set(tgt_names)
-            )
-            if missing or extra:
-                raise ValueError(
-                    f"{table}: MERGE source schema mismatch "
-                    f"(missing {missing}, extra {extra}); MERGE never "
-                    "evolves the target schema"
-                )
-            try:
-                source = source.to(tgt_schema)
-            except Exception as e:
-                raise ValueError(
-                    f"{table}: MERGE source types do not up-cast to the "
-                    f"target schema: {e}"
-                ) from e
+            # Delta MERGE semantics: the TARGET schema is invariant —
+            # shared discipline with replaceWhere (_conform_to_table)
+            source = self._conform_to_table(source, prev, table, "MERGE")
         # Delta MERGE errors when several source rows hit one target
         # row; this store's anti-join+union would instead silently
         # keep BOTH source rows for the key. Reject duplicate source
@@ -1132,7 +1195,14 @@ class TableStore:
                 f"{table}: MERGE source has multiple rows per key "
                 f"(e.g. {key_vals}); deduplicate to one row per key first"
             )
-        target = self.read(spark, table)
+        # PIN the snapshot this rewrite derives from: read at prev's
+        # version and hand write() the same base, so an append that
+        # lands between this read and the commit raises
+        # ConcurrentWriteError (lost-update guard) instead of being
+        # silently erased by a rebased overwrite.
+        target = self.read(
+            spark, table, version=prev.version if prev is not None else None
+        )
         kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(source)
         return self.write(
@@ -1141,6 +1211,7 @@ class TableStore:
             mode="overwrite",
             user_metadata=user_metadata,
             partition_by=prev.partition_by if prev else None,
+            expected_base=prev.version if prev is not None else None,
         )
 
     # ---------------------------------------------------- replaceWhere
@@ -1247,28 +1318,43 @@ class TableStore:
         # NULL-evaluating rows through validation and then duplicate
         # them (written into the new segment AND carried with the
         # unmatched NULL partition).
-        bad = replacement.filter(
-            F.coalesce(F.expr(predicate), F.lit(False)) == F.lit(False)
-        ).count()
-        if bad:
-            raise ValueError(
-                f"replacement violates replaceWhere predicate for {bad} rows"
-            )
+        violates = F.coalesce(F.expr(predicate), F.lit(False)) == F.lit(False)
         prev = self.commit_info(table)
+        if prev is not None:
+            # target schema is invariant, BOTH paths (without this the
+            # metadata path would commit a mistyped segment that NULLs
+            # out under the committed schema's cast on read, and the
+            # fallback union would silently widen the table's types)
+            replacement = self._conform_to_table(
+                replacement, prev, table, "replaceWhere"
+            )
         if prev is not None and prev.partition_by:
             split = self._matched_partitions(spark, prev, predicate)
             if split is not None:
                 _, carried = split
                 version = prev.version + 1
-                seg = os.path.join(
-                    self.root, table, f"seg-{version:08d}-{uuid.uuid4().hex[:8]}"
-                )
+                seg = self._new_segment_path(table, version)
                 (
                     replacement.write.mode("errorifexists")
                     .partitionBy(*prev.partition_by)
                     .parquet(seg)
                 )
                 if _has_data_files(seg):
+                    # validate from the WRITTEN segment (partition-
+                    # pruned footer-cheap scan) instead of executing
+                    # the replacement plan a second time up front
+                    bad = (
+                        spark.read.option("basePath", seg)
+                        .parquet(seg)
+                        .filter(violates)
+                        .count()
+                    )
+                    if bad:
+                        shutil.rmtree(seg, ignore_errors=True)
+                        raise ValueError(
+                            "replacement violates replaceWhere predicate "
+                            f"for {bad} rows"
+                        )
                     n_new = spark.read.parquet(seg).count()
                 else:
                     # empty replacement = delete-the-matched-partitions:
@@ -1305,13 +1391,26 @@ class TableStore:
                     stats={seg: _segment_stats(seg)} if seg is not None else {},
                 )
                 return self._commit(table, commit, new_segment=seg)
-        target = self.read(spark, table)
+        # fallback validation: one plan execution total — pin the
+        # replacement with localCheckpoint so the probe AND the
+        # rewrite below both read the materialized rows (the same
+        # double-execution dodge fastlane's merge path uses)
+        replacement = replacement.localCheckpoint()
+        bad = replacement.filter(violates).count()
+        if bad:
+            raise ValueError(
+                f"replacement violates replaceWhere predicate for {bad} rows"
+            )
+        # pinned read + expected_base: same lost-update guard as merge
+        target = self.read(
+            spark, table, version=prev.version if prev is not None else None
+        )
         # Delta's replaceWhere keeps every row where the predicate is not
         # TRUE — including NULL-evaluating rows (three-valued logic).
         # NOT(predicate) alone would drop NULL rows here while the
         # metadata-only partition path above carries them, so coalesce to
         # FALSE to keep the two paths (and Delta) in agreement.
-        kept = target.filter(F.coalesce(F.expr(predicate), F.lit(False)) == F.lit(False))
+        kept = target.filter(violates)
         merged = kept.unionByName(replacement)
         return self.write(
             merged,
@@ -1319,4 +1418,5 @@ class TableStore:
             mode="overwrite",
             user_metadata=user_metadata,
             partition_by=prev.partition_by if prev else None,
+            expected_base=prev.version if prev is not None else None,
         )

@@ -375,3 +375,149 @@ def test_optimistic_concurrency_primitive_and_live_race(spark, tmp_path):
     assert out.count() == 1 + 10 * n_writers
     # every appender's rows landed exactly once
     assert out.filter("k >= 100").distinct().count() == 10 * n_writers
+
+
+def test_write_expected_base_guards_lost_updates(spark, tmp_path):
+    """The optimistic pin for read-modify-write callers: an overwrite
+    deriving from a stale snapshot must raise instead of silently
+    erasing the interleaved commit."""
+    from feray_spark.sources.table_store import ConcurrentWriteError, TableStore
+
+    ts = TableStore(str(tmp_path / "pin"))
+    ts.write(spark.range(3).selectExpr("id AS k"), "t", mode="overwrite")
+    v0 = ts.latest_version("t")
+    ts.write(spark.range(3, 6).selectExpr("id AS k"), "t", mode="append")
+    with pytest.raises(ConcurrentWriteError):
+        ts.write(
+            spark.range(9).selectExpr("id AS k"), "t",
+            mode="overwrite", expected_base=v0,
+        )
+    # rows from the interleaved append are intact
+    assert ts.read(spark, "t").count() == 6
+
+
+def test_merge_raises_on_interleaved_append(spark, tmp_path):
+    """MERGE reads a snapshot, rewrites, commits — an append landing
+    between the snapshot read and the commit must surface as
+    ConcurrentWriteError (the retry signal), never as silently
+    erased rows."""
+    from feray_spark.sources.table_store import ConcurrentWriteError, TableStore
+
+    class Racy(TableStore):
+        """Deterministic interleave: the first pinned read inside
+        merge() triggers a competing append before merge commits."""
+
+        fired = False
+
+        def read(self, spark_, table, version=None):
+            df = super().read(spark_, table, version=version)
+            if version is not None and not self.fired:
+                self.fired = True
+                super().write(
+                    spark_.range(100, 101).selectExpr("id AS k", "id AS v"),
+                    table,
+                    mode="append",
+                )
+            return df
+
+    ts = Racy(str(tmp_path / "racym"))
+    ts.write(
+        spark.range(3).selectExpr("id AS k", "id AS v"), "t", mode="overwrite"
+    )
+    src = spark.range(1).selectExpr("id AS k", "id + 50 AS v")
+    with pytest.raises(ConcurrentWriteError):
+        ts.merge(spark, "t", src, keys=["k"])
+    # the interleaved row survived; a plain retry then lands the merge
+    assert ts.read(spark, "t").filter("k = 100").count() == 1
+    ts.merge(spark, "t", src, keys=["k"])
+    got = {r.k: r.v for r in ts.read(spark, "t").collect()}
+    assert got[0] == 50 and got[100] == 100
+
+
+def test_replace_where_metadata_path_rejects_schema_drift(spark, tmp_path):
+    """The partition-pruned replaceWhere path must enforce the same
+    invariant-target-schema rule as the rewrite path — a retyped or
+    extra column would otherwise be committed and silently NULL out
+    under the table schema's cast on read."""
+    from feray_spark.sources.table_store import TableStore
+
+    ts = TableStore(str(tmp_path / "rw"))
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2)], "ds string, v long"
+    )
+    ts.write(base, "t", mode="overwrite", partition_by=["ds"])
+    retyped = spark.createDataFrame([("2024-01-01", "oops")], "ds string, v string")
+    with pytest.raises(ValueError, match="replaceWhere source"):
+        ts.replace_where(spark, "t", retyped, "ds = '2024-01-01'")
+    extra = spark.createDataFrame(
+        [("2024-01-01", 1, 9)], "ds string, v long, bonus long"
+    )
+    with pytest.raises(ValueError, match="extra"):
+        ts.replace_where(spark, "t", extra, "ds = '2024-01-01'")
+
+
+def test_append_schema_evolution_is_case_insensitive(spark, tmp_path):
+    """An append carrying 'ID' against a table with 'id' is the SAME
+    column under Spark's default resolution — evolution must neither
+    commit a duplicate-modulo-case schema (unreadable) nor let the
+    case variant retype the column."""
+    import json as _json
+
+    from feray_spark.sources.table_store import TableStore
+
+    ts = TableStore(str(tmp_path / "case"))
+    ts.write(spark.range(2).selectExpr("id"), "t", mode="overwrite")
+    ts.write(
+        spark.range(2, 4).selectExpr("id AS ID"), "t",
+        mode="append", merge_schema=True,
+    )
+    schema = _json.loads(ts.commit_info("t").schema)
+    assert [f["name"] for f in schema["fields"]] == ["id"]
+    assert ts.read(spark, "t").count() == 4
+    with pytest.raises(ValueError, match="type change"):
+        ts.write(
+            spark.range(1).selectExpr("CAST(id AS STRING) AS ID"), "t",
+            mode="append", merge_schema=True,
+        )
+
+
+def test_zorder_many_columns_clamps_interleave(spark, tmp_path):
+    """bits x ncols past 63 would wrap Java's mod-64 shift and record a
+    clustered layout that never happened; the clamp trades bucket
+    granularity for a correct curve. 9 columns x default 64 buckets
+    (6 bits) exceeds 63 — the optimize must still produce identical
+    contents."""
+    from feray_spark.sources.table_store import TableStore
+
+    ts = TableStore(str(tmp_path / "z"))
+    df = spark.range(200).selectExpr(
+        *[f"CAST(id * {i + 1} % 97 AS DOUBLE) AS c{i}" for i in range(9)],
+        "id",
+    )
+    ts.write(df, "t", mode="overwrite")
+    before = sorted(r.id for r in ts.read(spark, "t").collect())
+    ts.optimize(spark, "t", zorder_by=[f"c{i}" for i in range(9)], n_files=2)
+    after = sorted(r.id for r in ts.read(spark, "t").collect())
+    assert before == after
+
+
+def test_vacuum_sweeps_crashed_commit_tmp_files(spark, tmp_path):
+    """A writer that dies between writing its .tmp log record and the
+    os.link publish leaves the tmp file in _log; vacuum must collect
+    it under the orphan grace period."""
+    import os
+
+    from feray_spark.sources.table_store import TableStore
+
+    ts = TableStore(str(tmp_path / "jan"))
+    ts.write(spark.range(2).selectExpr("id AS k"), "t", mode="overwrite")
+    ts.write(spark.range(2).selectExpr("id AS k"), "t", mode="append")
+    log_dir = ts._log_dir("t")
+    dead = os.path.join(log_dir, ".tmp-deadbeef")
+    with open(dead, "w") as f:
+        f.write("{}")
+    os.utime(dead, (1, 1))  # ancient
+    deleted = ts.vacuum("t", keep_versions=1, orphan_grace_sec=60)
+    assert dead in deleted and not os.path.exists(dead)
+    # the live log records are untouched
+    assert ts.read(spark, "t").count() == 4
