@@ -43,6 +43,14 @@ from feray_spark.features.versioning import (
     with_data_version,
 )
 from feray_spark.session import SEMANTIC_CONF
+
+
+def _verdict(v) -> bool:
+    """Check verdict coercion with Delta CHECK-constraint semantics:
+    an aggregate evaluating to NULL (e.g. min() over a legitimately
+    empty materialization) is vacuously TRUE — bool(None) would fail
+    empty slices forever."""
+    return True if v is None else bool(v)
 from feray_spark.sources.table_store import TableStore
 
 
@@ -153,11 +161,11 @@ class FeatureStore:
                     fp = os.path.join(dirpath, fname)
                     st = os.stat(fp)
                     entries.append(
-                        (os.path.relpath(fp, path), st.st_size, int(st.st_mtime))
+                        (os.path.relpath(fp, path), st.st_size, st.st_mtime_ns)
                     )
         else:
             st = os.stat(path)
-            entries.append((os.path.basename(path), st.st_size, int(st.st_mtime)))
+            entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
         digest = hashlib.sha256(json.dumps(entries).encode()).hexdigest()
         return f"src:{digest}"
 
@@ -176,7 +184,13 @@ class FeatureStore:
         parts = {
             "code": code_version(view.fn),
             "inputs": {i: self._input_version(i) for i in view.inputs},
-            "conf": SEMANTIC_CONF,
+            # the LIVE session's values for the semantic keys, not the
+            # module constant: a session-level override (extra_conf
+            # timezone flip) changes results and must bust the cache
+            "conf": {
+                k: str(self.spark.conf.get(k, str(v)))
+                for k, v in SEMANTIC_CONF.items()
+            },
             "version_cols": list(view.version_cols or []),
             # the check SET is part of the cache key: a newly added
             # (or edited) asset check must bust the memo, or it would
@@ -279,7 +293,7 @@ class FeatureStore:
         check_results: dict[str, bool] = {}
         if observation is not None:
             # the write above was the observed action; metrics are in
-            check_results = {k: bool(v) for k, v in observation.get.items()}
+            check_results = {k: _verdict(v) for k, v in observation.get.items()}
         elif fallback_checks:
             # ONE combined aggregation job for every fallback check,
             # mirroring the single-pass folding of the observe path
@@ -290,7 +304,7 @@ class FeatureStore:
                     for check_name, check in fallback_checks.items()
                 ]
             ).collect()[0]
-            check_results = {k: bool(row[k]) for k in fallback_checks}
+            check_results = {k: _verdict(row[k]) for k in fallback_checks}
         if view.checks:
             # amend the commit record with the verdicts (metadata-only)
             self._amend_checks(name, commit, check_results)
@@ -365,7 +379,13 @@ class FeatureStore:
                     "code": code_version(view.fn),
                     "inputs": {i: self._input_version(i) for i in view.inputs},
                     "partition": str(partition),
-                    "conf": SEMANTIC_CONF,
+                    # the LIVE session's values for the semantic keys, not the
+            # module constant: a session-level override (extra_conf
+            # timezone flip) changes results and must bust the cache
+            "conf": {
+                k: str(self.spark.conf.get(k, str(v)))
+                for k, v in SEMANTIC_CONF.items()
+            },
                     # same rule as fingerprint(): an added/edited check
                     # busts the partition memo so it actually runs
                     "checks": {
@@ -384,10 +404,16 @@ class FeatureStore:
                 return False
 
         if isinstance(partition, str):
-            # SQL-standard quote doubling: a quote in the value can
-            # neither crash the parse nor widen the predicate beyond
-            # this one partition
-            lit = "'" + str(partition).replace("'", "''") + "'"
+            # quote doubling alone is NOT enough under Spark's default
+            # parser (backslash escapes active): a trailing backslash
+            # would escape the closing quote and a crafted \' sequence
+            # could widen the predicate into OTHER partitions — double
+            # the backslashes first, then the quotes
+            lit = (
+                "'"
+                + str(partition).replace("\\", "\\\\").replace("'", "''")
+                + "'"
+            )
         else:
             lit = str(partition)
         predicate = f"{col} = {lit}"
@@ -429,10 +455,15 @@ class FeatureStore:
                     *[c(result).alias(n) for n, c in view.checks.items()],
                 )
             except Exception:
+                # pin the rows: the check aggregation and the
+                # replace_where below must see the SAME execution (a
+                # nondeterministic fn would otherwise commit rows the
+                # checks never saw — and the plan would run twice)
+                result = result.localCheckpoint()
                 row = result.agg(
                     *[c(result).alias(n) for n, c in view.checks.items()]
                 ).collect()[0]
-                fallback_results = {n: bool(row[n]) for n in view.checks}
+                fallback_results = {n: _verdict(row[n]) for n in view.checks}
 
         from feray_spark.sources.table_store import ConcurrentWriteError
 
@@ -488,7 +519,7 @@ class FeatureStore:
             # the write above executed the observed plan; verdicts and
             # (on success) the partition fingerprint are amended into
             # the just-written commit
-            check_results = {k: bool(v) for k, v in observation.get.items()}
+            check_results = {k: _verdict(v) for k, v in observation.get.items()}
             updates: dict = {"checks": check_results}
             if all(check_results.values()):
                 fps = dict(
@@ -511,7 +542,14 @@ class FeatureStore:
         columns, or a list of dicts/tuples. The probe set broadcasts
         (serving requests are small by nature); the feature table
         never shuffles. Version columns ride along, so the caller
-        can assert WHICH data/code version served each row."""
+        can assert WHICH data/code version served each row.
+
+        Returns the STORED rows for the requested entities: for
+        overwrite/upsert-maintained tables that is one latest row per
+        key; an append-mode streaming table stores history, so the
+        caller picks its latest by the view's event-time column (the
+        upsert fastlane mode exists precisely to keep serving tables
+        one-row-per-key)."""
         view = self.views[name]
         if not view.entities:
             raise ValueError(f"{name}: lookup needs declared entities")
@@ -637,6 +675,13 @@ class FeatureStore:
         partition_by = list(view.partition_by)
 
         def sink(batch: DataFrame, epoch_id: int) -> None:
+            # pin the micro-batch ONCE: the emptiness probe, check
+            # aggregation, upsert dedup, and merge/write below are
+            # each actions — without the checkpoint every one re-runs
+            # the view fn + input scan (~5x an epoch's work), and a
+            # nondeterministic fn could commit rows the checks never
+            # saw
+            batch = batch.localCheckpoint()
             if not batch.take(1):
                 return
             # exactly-once replay guard (T10): foreachBatch is
@@ -672,7 +717,7 @@ class FeatureStore:
                 row = batch.agg(
                     *[c(batch).alias(n) for n, c in checks.items()]
                 ).collect()[0]
-                check_results = {n: bool(row[n]) for n in checks}
+                check_results = {n: _verdict(row[n]) for n in checks}
                 if not all(check_results.values()):
                     failed = [n for n, ok in check_results.items() if not ok]
                     raise CheckFailure(f"{name} epoch {epoch_id}: {failed}")
@@ -766,6 +811,20 @@ class FeatureStore:
         is derived from stored fingerprints, not from who called."""
         report: dict[str, bool] = {}
         for name in self._topo_order():
+            latest = self.store.commit_info(name)
+            if (
+                latest is not None
+                and "partition_fingerprints" in latest.user_metadata
+                and "fingerprint" not in latest.user_metadata
+            ):
+                # partition-MANAGED view (maintained via
+                # materialize_partition): a full materialize here
+                # would both recompute everything and WIPE the
+                # per-partition fingerprints — staleness for these is
+                # per-partition, driven by materialize_partition
+                # calls, not the whole-view tick
+                report[name] = False
+                continue
             _, recomputed = self.materialize(
                 name, raise_on_check_failure=raise_on_check_failure
             )
@@ -797,10 +856,13 @@ class FeatureStore:
             # hole that serves check-violating rows under carried-
             # forward passing verdicts). One combined aggregation job
             # over the slice — bounded by the backfill, not the table.
+            # localCheckpoint pins ONE execution: the verdicts gate
+            # exactly the rows replace_where commits.
+            result = result.localCheckpoint()
             row = result.agg(
                 *[c(result).alias(n) for n, c in view.checks.items()]
             ).collect()[0]
-            check_results = {n: bool(row[n]) for n in view.checks}
+            check_results = {n: _verdict(row[n]) for n in view.checks}
             if not all(check_results.values()):
                 failed = [n for n, ok in check_results.items() if not ok]
                 raise CheckFailure(
@@ -819,9 +881,20 @@ class FeatureStore:
     ) -> None:
         """FS6: human-in-the-loop flags (reference roadmap
         ``README.md:51-52``) — merge reviewer labels into the feature
-        table keyed on the entity."""
+        table keyed on the entity.
+
+        Re-annotation REPLACES earlier labels: label columns already
+        on the table are dropped before the join (joining them again
+        would produce duplicate column names and an unwritable
+        frame). Note the schema interaction: annotating widens the
+        stored schema, so partition-scoped writes (backfill /
+        materialize_partition) on an annotated table are rejected by
+        the invariant-schema guard until the next full materialize —
+        which rebuilds the view WITHOUT annotations (re-annotate
+        after)."""
         target = self.store.read(self.spark, name)
-        flagged = target.join(labels, list(keys), "left")
+        label_cols = [c for c in labels.columns if c not in set(keys)]
+        flagged = target.drop(*label_cols).join(labels, list(keys), "left")
         prev = self.store.commit_info(name)
         meta = dict(prev.user_metadata) if prev else {}
         meta["annotation"] = True  # keep fingerprint → memoization hit survives

@@ -1466,3 +1466,119 @@ def test_fastlane_replay_guard_sees_buried_epoch(spark, tmp_root):
         for r in fs.store.read(spark, "log_feed").collect()
     ]
     assert sorted(rows) == [(1, 60.0), (2, 80.0), (9, 1.0)], rows
+
+
+def test_partition_literal_escapes_backslashes(spark, tmp_root):
+    """Partition values containing backslashes/quotes must stay ONE
+    inert literal in the replace_where predicate — under Spark's
+    default parser a trailing backslash would escape the closing
+    quote, and a crafted \\' sequence could widen the rewrite into
+    other partitions (data loss)."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    nasty1 = "a\\"
+    nasty2 = "a\\' OR '1'='1"
+    raw = spark.createDataFrame(
+        [(1, nasty1, 10.0), (2, nasty2, 20.0), (3, "plain", 30.0)],
+        "id int, day string, v double",
+    )
+    fs.store.write(raw, "raw_esc", mode="overwrite")
+
+    @fs.feature_view(name="esc_daily", inputs=["raw_esc"], entities=["day"],
+                     partition_by=("day",))
+    def esc_daily(spark, inputs):
+        return (
+            inputs["raw_esc"].groupBy("day")
+            .agg(F.sum("v").alias("total"))
+        )
+
+    assert fs.materialize_partition("esc_daily", "plain") is True
+    assert fs.materialize_partition("esc_daily", nasty1) is True
+    assert fs.materialize_partition("esc_daily", nasty2) is True
+    got = {
+        (r.day, r.total)
+        for r in fs.store.read(spark, "esc_daily").select("day", "total").collect()
+    }
+    assert got == {(nasty1, 10.0), (nasty2, 20.0), ("plain", 30.0)}
+    # re-running the nasty partitions is a memo hit — nothing clobbered
+    assert fs.materialize_partition("esc_daily", nasty1) is False
+    assert fs.materialize_partition("esc_daily", "plain") is False
+
+
+def test_empty_materialization_checks_pass_vacuously(spark, tmp_root):
+    """Delta CHECK-constraint semantics: an aggregate check over a
+    legitimately EMPTY materialization evaluates to NULL, which is a
+    vacuous PASS — bool(None) would fail the empty slice forever
+    (every rerun a memo miss that recomputes and re-raises)."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    raw = spark.createDataFrame([(1, -5.0)], "id int, v double")
+    fs.store.write(raw, "raw_e", mode="overwrite")
+
+    @fs.feature_view(
+        name="none_today",
+        inputs=["raw_e"],
+        entities=["id"],
+        checks={"v_nonneg": lambda df: F.min("v") >= 0},
+    )
+    def none_today(spark, inputs):
+        return inputs["raw_e"].filter(F.col("v") > 100)  # empty slice
+
+    df, recomputed = fs.materialize("none_today")
+    assert recomputed and df.count() == 0
+    # and the vacuous verdict memoizes: second call is a hit
+    _, recomputed2 = fs.materialize("none_today")
+    assert not recomputed2
+
+
+def test_annotate_refresh_replaces_labels(spark, tmp_root):
+    """Re-annotation with a refreshed labels frame must REPLACE the
+    earlier label columns (a second join would duplicate the column
+    name and make the table unwritable)."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    raw = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
+    fs.store.write(raw, "raw_a", mode="overwrite")
+
+    @fs.feature_view(name="av", inputs=["raw_a"], entities=["id"])
+    def av(spark, inputs):
+        return inputs["raw_a"]
+
+    fs.materialize("av")
+    first = spark.createDataFrame([(1, "bad")], "id int, flag string")
+    fs.annotate("av", first, keys=["id"])
+    second = spark.createDataFrame([(1, "good"), (2, "good")], "id int, flag string")
+    fs.annotate("av", second, keys=["id"])
+    got = {(r.id, r.flag) for r in
+           fs.store.read(spark, "av").select("id", "flag").collect()}
+    assert got == {(1, "good"), (2, "good")}
+
+
+def test_sync_leaves_partition_managed_views_alone(spark, tmp_root):
+    """sync()'s whole-view tick must not full-materialize a view
+    maintained via materialize_partition — that would recompute every
+    partition AND wipe the per-partition fingerprints (the next
+    partition call would recompute again)."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    raw = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d2", 20.0)], "id int, day string, v double"
+    )
+    fs.store.write(raw, "raw_s", mode="overwrite")
+
+    @fs.feature_view(name="pday", inputs=["raw_s"], entities=["day"],
+                     partition_by=("day",))
+    def pday(spark, inputs):
+        return inputs["raw_s"].groupBy("day").agg(F.sum("v").alias("total"))
+
+    assert fs.materialize_partition("pday", "d1") is True
+    report = fs.sync()
+    assert report["pday"] is False  # left to its per-partition flow
+    meta = fs.store.commit_info("pday").user_metadata
+    assert "partition_fingerprints" in meta
+    # the partition memo survived the tick
+    assert fs.materialize_partition("pday", "d1") is False
