@@ -105,6 +105,11 @@ def kafka_source(
             .load()
         )
     except Exception as e:  # pragma: no cover - no kafka jars in image
+        # only the missing-data-source failure maps to "add the jars";
+        # anything else (a bad option, an invalid offsets JSON) is a
+        # real caller error and must surface as itself
+        if "Failed to find data source" not in str(e):
+            raise
         raise NotImplementedError(
             "kafka source requires org.apache.spark:spark-sql-kafka-0-10 "
             "on the classpath (spark-submit --packages ...)"
@@ -154,13 +159,11 @@ def tumbling_counts(
         # once as decimal. Overflow-safe because a tumbling-window
         # group is time-bounded: width x event rate rows per group
         # (2^63 cents ≈ $9e16 per window).
-        from feray_spark.queries.util import scaled_long
+        from feray_spark.queries.util import dsum
 
         agged = events.groupBy(F.window("ts", width).alias("win"), "event_type").agg(
             F.count("*").alias("n"),
-            (F.sum(scaled_long("value")).cast("decimal(38,0)") / F.lit(100))
-            .cast("double")
-            .alias("total"),
+            dsum("value").alias("total"),
         )
     return agged.select(
         F.col("win.start").alias("win_start"),
@@ -225,9 +228,12 @@ def stream_dedup(events: DataFrame, keys: Sequence[str] = ("event_id",),
 
 
 def enrich_with_static(events: DataFrame, dim: DataFrame, on) -> DataFrame:
-    """T7: stream-static join — the dimension is re-read per
-    micro-batch (picks up slowly-changing dims); broadcast keeps the
-    stream side shuffle-free."""
+    """T7: stream-static join; broadcast keeps the stream side
+    shuffle-free. Slowly-changing-dimension caveat: Spark pins a
+    file-backed frame's file LISTING at creation, so new/rewritten
+    dim files are NOT picked up between micro-batches — rebuild the
+    dim frame (or read it through the table store, whose read()
+    resolves the commit log per call) for SCD pickup."""
     return events.join(F.broadcast(dim), on, "left")
 
 
@@ -240,6 +246,7 @@ def serve_upsert(
     table: str,
     keys: Sequence[str],
     checkpoint: str,
+    trigger: dict | None = None,
 ):
     """T9/T10: serving-table sink — per micro-batch MERGE keyed on the
     entity (latest row per key wins within the batch AND against the
@@ -257,6 +264,16 @@ def serve_upsert(
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
+        # NULL merge keys never equi-join (NULL = NULL is not TRUE),
+        # so a NULL-keyed row — decode_kafka_events' contract for a
+        # junk payload — would read as "fresh" on EVERY epoch and
+        # every checkpoint replay, accumulating duplicates and
+        # breaking replay idempotence. A serving row without its
+        # entity key is meaningless: drop them. (jdbc_upsert raises
+        # instead — there a NULL key indicates a caller bug, not a
+        # documented decode outcome.)
+        for k in keys:
+            batch = batch.filter(F.col(k).isNotNull())
         latest = (
             batch.withColumn(
                 "__rn",
@@ -309,7 +326,10 @@ def serve_upsert(
     return (
         events.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        # drain-and-stop by default; pass e.g.
+        # trigger={"processingTime": "5 seconds"} for the persistent
+        # serving loop (the continuous fastlane contract)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 
@@ -345,6 +365,10 @@ def jdbc_upsert_sink(
     from feray_spark.sources.connectors import jdbc_upsert
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
+        # pin ONE execution: the emptiness probe plus jdbc_upsert's
+        # null-key probe, dedup, and staging write are each actions
+        # that would otherwise re-scan the micro-batch source
+        batch = batch.localCheckpoint()
         if not batch.take(1):  # empty epoch: nothing to stage or guard
             return
         jdbc_upsert(
@@ -421,12 +445,23 @@ def quality_filter_stream(docs: DataFrame) -> DataFrame:
     or watermark-free key dedup (the seen-hash map is the only
     state; production bounds it with
     ``dropDuplicatesWithinWatermark`` once docs carry event time).
-    Batch parity: the same predicates + first-seen-wins dedup
-    semantics as the bounded pipeline — asserted by the streaming
-    smoke test."""
+    Dedup winner semantics per mode: STREAMING keeps the first
+    ARRIVING row per text hash (arrival order is the only order an
+    unbounded stream has); a BATCH frame through the same function
+    keeps the lowest doc_id — deterministic run-to-run and identical
+    to the bounded L7 pipeline's ROW_NUMBER winner (a bare
+    dropDuplicates would keep whichever row the shuffle delivered
+    first, so the surviving doc_id would flap between runs)."""
     kept = docs.filter(
         F.length("text").between(50, 100000) & F.col("lang").isin("en", "de")
+    ).withColumn("__h", F.sha2(F.col("text"), 256))
+    if docs.isStreaming:
+        return kept.dropDuplicates(["__h"]).drop("__h")
+    return (
+        kept.withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy("__h").orderBy("doc_id")),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
     )
-    return kept.withColumn("__h", F.sha2(F.col("text"), 256)).dropDuplicates(
-        ["__h"]
-    ).drop("__h")

@@ -520,3 +520,48 @@ def test_kafka_wiring_jars_present(spark):
     assert [f.name for f in df.schema.fields] == [
         "event_id", "ts", "user_id", "event_type", "value", "props",
     ]
+
+
+def test_serving_upsert_drops_null_keyed_rows(spark, tmp_dir):
+    """NULL merge keys never equi-join, so a NULL-keyed row (the
+    decode_kafka_events junk-payload contract) would read as fresh on
+    EVERY epoch and replay — the sink must drop it, keeping both the
+    one-row-per-key invariant and replay idempotence."""
+    import datetime
+    import os
+
+    src = f"{tmp_dir}/null_src"
+    os.makedirs(src)
+    cols = "event_id long, ts timestamp, user_id long, value double"
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, 1.0),
+        (2, t0, None, 99.0),  # junk payload: all-NULL key
+    ]
+    tmp = f"{tmp_dir}/null_w"
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(tmp)
+    for i, f in enumerate(
+        f for f in os.listdir(tmp) if f.endswith(".parquet")
+    ):
+        os.rename(f"{tmp}/{f}", f"{src}/part_{i}.parquet")
+
+    store = TableStore(f"{tmp_dir}/null_store")
+    stream = (
+        spark.readStream.schema(cols).parquet(src)
+    )
+    q = serve_upsert(
+        stream, store, "serving_nn", keys=["user_id"],
+        checkpoint=f"{tmp_dir}/null_ckpt",
+    )
+    q.awaitTermination(120)
+    got = store.read(spark, "serving_nn").select("user_id").collect()
+    assert [r.user_id for r in got] == [7]  # NULL-keyed row dropped
+    v = store.latest_version("serving_nn")
+    # replay on the same checkpoint: still idempotent, still no NULLs
+    q2 = serve_upsert(
+        spark.readStream.schema(cols).parquet(src), store, "serving_nn",
+        keys=["user_id"], checkpoint=f"{tmp_dir}/null_ckpt",
+    )
+    q2.awaitTermination(120)
+    assert store.latest_version("serving_nn") == v
+    assert store.read(spark, "serving_nn").count() == 1
