@@ -233,41 +233,18 @@ def jdbc_upsert(
 
     if not keys:
         raise ValueError("jdbc_upsert needs at least one merge key")
+    if guard_table is not None and epoch_id is None:
+        raise ValueError(
+            "guard_table set but epoch_id is None — the guard is only "
+            "consulted per epoch, so this call would double-apply on "
+            "retry while looking idempotence-configured"
+        )
     missing = [k for k in keys if k not in df.columns]
     if missing:
         raise ValueError(f"merge keys not in source columns: {missing}")
     payload = [c for c in df.columns if c not in set(keys)]
     if not payload:
         raise ValueError("jdbc_upsert needs at least one non-key column")
-
-    null_key = df.filter(
-        " OR ".join(f"`{k}` IS NULL" for k in keys)
-    )
-    if null_key.take(1):
-        raise ValueError(
-            f"NULL merge key reached jdbc_upsert({table}): ON-equality "
-            "would re-insert such rows every run; filter or key them "
-            "explicitly upstream"
-        )
-
-    if order_by is not None:
-        order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
-        w = Window.partitionBy(*keys).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
-        src = (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-    else:
-        dup = df.groupBy(*keys).count().filter(F.col("count") > 1)
-        if dup.take(1):
-            raise ValueError(
-                f"duplicate merge keys in jdbc_upsert({table}) source and "
-                "no order_by to resolve them (Delta's multiple-match rule)"
-            )
-        src = df
 
     spark = df.sparkSession
     stage = staging_table or f"{table}__stage"
@@ -280,6 +257,12 @@ def jdbc_upsert(
         dm = jvm.java.sql.DriverManager
         if user is not None:
             return dm.getConnection(url, user, password or "")
+        if password is not None:
+            raise ValueError(
+                "password given without user — pass user= too, or embed "
+                "both in the JDBC URL (DriverManager.getConnection(url) "
+                "would silently drop the password)"
+            )
         return dm.getConnection(url)
 
     def execute(conn, sql: str) -> None:
@@ -300,6 +283,9 @@ def jdbc_upsert(
         finally:
             st.close()
 
+    # epoch pre-check FIRST: on a checkpoint replay of an already-
+    # committed batch this one cheap JDBC SELECT makes the whole call
+    # a no-op — before any Spark job scans the batch
     if epoch_id is not None:
         conn = connect()
         try:
@@ -320,6 +306,45 @@ def jdbc_upsert(
                 return False
         finally:
             conn.close()
+
+
+    null_key = df.filter(
+        " OR ".join(f"`{k}` IS NULL" for k in keys)
+    )
+    if null_key.take(1):
+        raise ValueError(
+            f"NULL merge key reached jdbc_upsert({table}): ON-equality "
+            "would re-insert such rows every run; filter or key them "
+            "explicitly upstream"
+        )
+
+    if order_by is not None:
+        order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        rn = "__rn"
+        while rn in df.columns:  # never clobber a real payload column
+            rn += "_"
+        src = (
+            df.withColumn(rn, F.row_number().over(w))
+            .filter(F.col(rn) == 1)
+            .drop(rn)
+        )
+    else:
+        # aliased aggregate: .count() emits a column literally named
+        # "count", ambiguous when a merge key carries that name
+        dup = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__jdbc_dup_n"))
+            .filter(F.col("__jdbc_dup_n") > 1)
+        )
+        if dup.take(1):
+            raise ValueError(
+                f"duplicate merge keys in jdbc_upsert({table}) source and "
+                "no order_by to resolve them (Delta's multiple-match rule)"
+            )
+        src = df
 
     # distributed staging write (scratch table, overwritten per call)
     jdbc_writer(
@@ -373,9 +398,14 @@ def jdbc_upsert(
                         except Exception:
                             state = ""
                     msg = str(e)
+                    # ONLY a unique/PK violation reads as "already
+                    # committed" — the broad integrity class 23 would
+                    # also match NOT NULL/FK/CHECK failures on a
+                    # mis-shaped guard table and silently skip EVERY
+                    # epoch (the exact data-loss path the comment
+                    # above forbids)
                     duplicate = (
-                        state.startswith("23")  # SQL integrity class
-                        or "IntegrityConstraintViolation" in msg
+                        state == "23505"  # unique violation (std/Derby/PG)
                         or "duplicate key" in msg.lower()
                         or "unique constraint" in msg.lower()
                     )

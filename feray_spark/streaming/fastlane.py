@@ -343,6 +343,10 @@ def jdbc_upsert_sink(
     user: str | None = None,
     password: str | None = None,
     driver: str | None = None,
+    column_types: str | None = None,
+    batch_size: int = 10_000,
+    staging_table: str | None = None,
+    guard_table: str | None = None,
 ):
     """T9 for an EXTERNAL registry: ``foreachBatch`` callable that
     lands each micro-batch in a JDBC table exactly once — Spark's
@@ -374,6 +378,8 @@ def jdbc_upsert_sink(
         jdbc_upsert(
             batch, url, table, keys, order_by=order_by, user=user,
             password=password, driver=driver, epoch_id=int(epoch_id),
+            column_types=column_types, batch_size=batch_size,
+            staging_table=staging_table, guard_table=guard_table,
         )
 
     return sink
