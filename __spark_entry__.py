@@ -135,12 +135,12 @@ _ROUND6_PRIORITY = [
     "w4_running_agg",
 ]
 
-#: ACTIVE WINDOW (round 5): the staged rotation above. CORRECTNESS_r04
-#: landed green rows for the whole round-4 window (44 full-oracle pass
-#: + 6 rows-only, zero failures), so the swap is pure evidence gain.
-#: The round-4 window itself is recorded in CORRECTNESS_r04.json; after
-#: r05 every catalog entry that existed at r4-judging has a driver row.
-_DRIVER_PRIORITY = _ROUND5_PRIORITY
+#: ACTIVE WINDOW (round 6): the staged rotation above. CORRECTNESS_r05
+#: landed green rows for the whole round-5 window (50/50 pass, zero
+#: errs), so the swap is pure evidence gain: ep5b/a5b get their first
+#: driver rows, l5b/l20 re-verify post-change, and the tail re-verifies
+#: the oldest r1/r2-era evidence.
+_DRIVER_PRIORITY = _ROUND6_PRIORITY
 
 
 def _ordered(registry):
