@@ -35,13 +35,13 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from feray_spark.features.versioning import (
     CODE_VERSION_COL,
     code_version,
     with_data_version,
 )
+from feray_spark.operators.topk import latest_per_key
 from feray_spark.session import SEMANTIC_CONF
 
 
@@ -177,6 +177,17 @@ class FeatureStore:
             CODE_VERSION_COL, F.lit(code_version(view.fn))
         )
 
+    def _semantic_conf_live(self) -> dict[str, str]:
+        """The LIVE session's values for the semantic conf keys, not
+        the module constant: a session-level override (extra_conf
+        timezone flip) changes results and must bust the cache.
+        Shared by fingerprint() and materialize_partition so the two
+        cache keys cannot drift."""
+        return {
+            k: str(self.spark.conf.get(k, str(v)))
+            for k, v in SEMANTIC_CONF.items()
+        }
+
     def fingerprint(self, view: FeatureView) -> str:
         """FS3 cache key: code ‖ exact upstream versions ‖ the
         semantic config (a config flip that changes results must bust
@@ -184,13 +195,7 @@ class FeatureStore:
         parts = {
             "code": code_version(view.fn),
             "inputs": {i: self._input_version(i) for i in view.inputs},
-            # the LIVE session's values for the semantic keys, not the
-            # module constant: a session-level override (extra_conf
-            # timezone flip) changes results and must bust the cache
-            "conf": {
-                k: str(self.spark.conf.get(k, str(v)))
-                for k, v in SEMANTIC_CONF.items()
-            },
+            "conf": self._semantic_conf_live(),
             "version_cols": list(view.version_cols or []),
             # the check SET is part of the cache key: a newly added
             # (or edited) asset check must bust the memo, or it would
@@ -379,13 +384,7 @@ class FeatureStore:
                     "code": code_version(view.fn),
                     "inputs": {i: self._input_version(i) for i in view.inputs},
                     "partition": str(partition),
-                    # the LIVE session's values for the semantic keys, not the
-            # module constant: a session-level override (extra_conf
-            # timezone flip) changes results and must bust the cache
-            "conf": {
-                k: str(self.spark.conf.get(k, str(v)))
-                for k, v in SEMANTIC_CONF.items()
-            },
+                    "conf": self._semantic_conf_live(),
                     # same rule as fingerprint(): an added/edited check
                     # busts the partition memo so it actually runs
                     "checks": {
@@ -597,6 +596,79 @@ class FeatureStore:
             return self.store.read_stream(self.spark, name)
         raise KeyError(f"unknown streamable input {name!r}")
 
+    @staticmethod
+    def _fastlane_run_id(checkpoint: str) -> str:
+        """Stable id for a checkpoint directory: minted on first use,
+        re-read on every restart from the same checkpoint. A FRESH
+        checkpoint gets a fresh id, so its restarted epoch numbering
+        (0, 1, ...) can never alias a previous run's fastlane commits
+        in the replay guard."""
+        import uuid
+
+        os.makedirs(checkpoint, exist_ok=True)
+        marker = os.path.join(checkpoint, "__feray_run_id__")
+        if not os.path.exists(marker):
+            tmp = os.path.join(checkpoint, f".__run_id.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(uuid.uuid4().hex)
+            try:
+                os.link(tmp, marker)  # put-if-absent: racing starts agree
+            except FileExistsError:
+                pass
+            finally:
+                os.remove(tmp)
+        with open(marker) as f:
+            return f.read().strip()
+
+    def _acquire_fastlane_lease(
+        self, name: str, run_id: str, checkpoint: str
+    ) -> None:
+        """One-writer-per-target, CHECKED (not just documented): the
+        first fastlane writer binds the target table to its
+        checkpoint's run_id via a put-if-absent marker in the table
+        directory; a later writer arriving with a different
+        checkpoint — a second concurrent writer, or a fresh
+        checkpoint pointed at an existing target — fails fast here
+        instead of duplicating epochs (append) or racing the merge
+        (upsert). Restarting from the bound checkpoint re-reads the
+        same run_id and passes. Intentional checkpoint migration goes
+        through :meth:`release_fastlane_lease`."""
+        table_dir = os.path.join(self.store.root, name)
+        os.makedirs(table_dir, exist_ok=True)
+        lease = os.path.join(table_dir, "_fastlane_lease.json")
+        tmp = os.path.join(table_dir, f".lease-{run_id}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"run_id": run_id, "checkpoint": checkpoint}, f)
+        try:
+            os.link(tmp, lease)
+            return  # bound this writer
+        except FileExistsError:
+            pass
+        finally:
+            os.remove(tmp)
+        with open(lease) as f:
+            held = json.load(f)
+        if held.get("run_id") != run_id:
+            raise RuntimeError(
+                f"{name}: fastlane target is bound to the writer at "
+                f"checkpoint {held.get('checkpoint')!r} "
+                f"(run_id {held.get('run_id')}); refusing a second "
+                f"writer from checkpoint {checkpoint!r}. Restart from "
+                f"the bound checkpoint, or call "
+                f"release_fastlane_lease({name!r}) for an intentional "
+                f"migration."
+            )
+
+    def release_fastlane_lease(self, name: str) -> bool:
+        """Unbind ``name``'s fastlane writer (intentional checkpoint
+        migration / decommission). Returns True if a lease existed."""
+        lease = os.path.join(self.store.root, name, "_fastlane_lease.json")
+        try:
+            os.remove(lease)
+            return True
+        except FileNotFoundError:
+            return False
+
     def materialize_stream(
         self,
         name: str,
@@ -612,17 +684,19 @@ class FeatureStore:
         ``materialize()`` writes. Checkpointed ``availableNow``:
         each call drains exactly the input appended since the last
         call (T10 exactly-once: the sink skips an epoch that a recent
-        commit on the target already records — the guard scans the
-        last 16 commits, not only the head, so a materialize()/
-        backfill() interleaved into the crash window cannot hide the
-        fastlane commit — and the at-least-once crash-window
-        redelivery between store commit and checkpoint commit never
-        duplicates rows; regression-tested). One writer
-        per target, and the checkpoint directory must live as long as
-        the target table: pointing a FRESH checkpoint at an existing
-        target restarts epoch numbering at 0, which the guard would
-        read as a replay of the recorded epoch 0. Returns the
-        StreamingQuery.
+        commit on the target already records under THIS checkpoint's
+        run_id — the guard scans the last 16 commits, not only the
+        head, so a materialize()/backfill() interleaved into the
+        crash window cannot hide the fastlane commit — and the
+        at-least-once crash-window redelivery between store commit
+        and checkpoint commit never duplicates rows;
+        regression-tested). One writer per target is ENFORCED: the
+        first call binds the target to its checkpoint (a lease file
+        in the table directory), and a second writer — or a fresh
+        checkpoint pointed at an existing fastlane target, whose
+        restarted epoch numbering could otherwise collide — fails
+        fast; see :meth:`release_fastlane_lease` for intentional
+        migration. Returns the StreamingQuery.
 
         Two sink modes, because streaming cannot give both histories
         and latest-state from one shape:
@@ -666,6 +740,8 @@ class FeatureStore:
                 f"{name}: streaming materialization takes exactly one "
                 f"input, got {list(view.inputs)}"
             )
+        run_id = self._fastlane_run_id(checkpoint)
+        self._acquire_fastlane_lease(name, run_id, checkpoint)
         stream = self._stream_input(view.inputs[0])
         result = view.fn(self.spark, {view.inputs[0]: stream})
         result = self._stamp_versions(result, view)
@@ -688,21 +764,27 @@ class FeatureStore:
             # at-least-once — a crash BETWEEN the store commit and the
             # checkpoint commit re-delivers this epoch on restart, and
             # in append mode a blind re-write would duplicate every
-            # row. The last commit records its epoch; an identical
-            # epoch means the work is already durable — skip, let the
-            # checkpoint commit, done. (Same guard jdbc_upsert_sink
-            # implements with its epoch table; one writer per target,
-            # as documented there.) Scan the RECENT history, not only
-            # the head commit: a materialize()/backfill() landing on
-            # the same target inside the crash window would otherwise
-            # hide the fastlane commit from the guard and the replayed
-            # epoch would append duplicates. The window is bounded —
-            # an interleaved batch writer can bury the epoch at most a
-            # few commits deep within one crash/restart cycle.
-            for c in reversed(self.store.history(name)[-16:]):
+            # row. A fastlane commit records (run_id, epoch); an
+            # identical pair means the work is already durable — skip,
+            # let the checkpoint commit, done. (Same guard
+            # jdbc_upsert_sink implements with its epoch table.)
+            # run_id is pinned to the checkpoint directory, so a
+            # FRESH checkpoint's restarted epoch numbering can never
+            # match commits from a previous checkpoint's run (and the
+            # lease above rejects that misuse outright). Scan the
+            # RECENT history tail, not only the head commit: a
+            # materialize()/backfill() landing on the same target
+            # inside the crash window would otherwise hide the
+            # fastlane commit from the guard and the replayed epoch
+            # would append duplicates. history_tail parses only the
+            # last 16 commit files — O(1) per epoch on a long-lived
+            # table, where history() would re-read the whole log
+            # every micro-batch.
+            for c in self.store.history_tail(name, 16):
                 if (
                     c.user_metadata.get("mode") == "fastlane"
                     and c.user_metadata.get("epoch") == epoch_id
+                    and c.user_metadata.get("run_id") == run_id
                 ):
                     return
             # checks gate the epoch BEFORE any commit — and on the RAW
@@ -727,13 +809,8 @@ class FeatureStore:
                 # anti-join, so an undeduped multi-commit batch would
                 # leave duplicate keys and an undefined "latest"
                 if order_by is not None:
-                    w = Window.partitionBy(*keys).orderBy(
-                        F.col(order_by).desc()
-                    )
-                    batch = (
-                        batch.withColumn("__fl_rn", F.row_number().over(w))
-                        .filter(F.col("__fl_rn") == 1)
-                        .drop("__fl_rn")
+                    batch = latest_per_key(
+                        batch, keys, [F.col(order_by).desc()]
                     )
                 else:
                     batch = batch.dropDuplicates(keys)
@@ -741,6 +818,7 @@ class FeatureStore:
                 "code_version": cv,
                 "epoch": epoch_id,
                 "mode": "fastlane",
+                "run_id": run_id,
                 **({"checks": check_results} if checks else {}),
             }
             first = self.store.latest_version(name) is None

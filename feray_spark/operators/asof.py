@@ -117,10 +117,28 @@ def asof_join(
         # struct would silently degrade the documented deterministic
         # tie-breaking to arbitrary order. Fall back to a
         # deterministic surrogate — a hash of the JSON-serialized
-        # payload — so same-(key, ts) winners are stable across runs
+        # payload — so same-(key, ts) winners are stable across runs.
+        # Spark guarantees no canonical entry order for equal maps
+        # built in different orders, so top-level map columns are
+        # canonicalized to key-sorted entry arrays before hashing
+        # (comparator touches only the key — values may themselves be
+        # unorderable). Residual caveat: maps nested INSIDE a value
+        # still serialize in construction order; determinism there
+        # holds only for identical physical construction.
+        from pyspark.sql import types as T
+
+        def _canon(c: str):
+            if isinstance(rf.schema[c].dataType, T.MapType):
+                return F.expr(
+                    f"array_sort(map_entries(`{c}`), (a, b) -> "
+                    "CASE WHEN a.key < b.key THEN -1 "
+                    "WHEN a.key > b.key THEN 1 ELSE 0 END)"
+                ).alias(c)
+            return F.col(c)
+
         tb_struct = F.struct(
             F.md5(
-                F.to_json(F.struct(*[F.col(c) for c in right_cols]))
+                F.to_json(F.struct(*[_canon(c) for c in right_cols]))
             ).alias("__payload_hash")
         )
     rf = rf.select(

@@ -40,3 +40,31 @@ def top_k_per_group(
     if rank_col:
         return ranked.withColumnRenamed("__rn", rank_col)
     return ranked.drop("__rn")
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Exactly one row per key — the FIRST under ``order_by`` (pass
+    ``F.col(c).desc()`` columns for "latest wins"). The shared
+    upsert-dedup primitive behind jdbc_upsert, the fastlane serving
+    sink, and the feature-store streaming sink: an ``availableNow``
+    micro-batch routinely drains many commits and carries several
+    rows per key, while merge/insert paths need exactly one.
+
+    Same WindowGroupLimit shape as :func:`top_k_per_group` with k=1
+    (each shuffle partition materializes one row per key, not the
+    whole group). The internal rank column is collision-proofed
+    against payload columns. Pass a total order (include a unique
+    tiebreaker) or the winner is run-dependent."""
+    rn = "__rn"
+    while rn in df.columns:  # never clobber a real payload column
+        rn += "_"
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
+    )

@@ -229,7 +229,8 @@ def jdbc_upsert(
     skipped an already-committed batch.
     """
     import pyspark.sql.functions as F
-    from pyspark.sql import Window
+
+    from feray_spark.operators.topk import latest_per_key
 
     if not keys:
         raise ValueError("jdbc_upsert needs at least one merge key")
@@ -320,16 +321,8 @@ def jdbc_upsert(
 
     if order_by is not None:
         order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
-        w = Window.partitionBy(*keys).orderBy(
-            *[F.col(c).desc() for c in order_cols]
-        )
-        rn = "__rn"
-        while rn in df.columns:  # never clobber a real payload column
-            rn += "_"
-        src = (
-            df.withColumn(rn, F.row_number().over(w))
-            .filter(F.col(rn) == 1)
-            .drop(rn)
+        src = latest_per_key(
+            df, list(keys), [F.col(c).desc() for c in order_cols]
         )
     else:
         # aliased aggregate: .count() emits a column literally named
@@ -408,6 +401,12 @@ def jdbc_upsert(
                         state == "23505"  # unique violation (std/Derby/PG)
                         or "duplicate key" in msg.lower()
                         or "unique constraint" in msg.lower()
+                        # MySQL reports duplicate PKs as SQLSTATE 23000
+                        # (the broad class we must NOT match) with
+                        # "Duplicate entry ... for key ..." — match the
+                        # message so a racing same-epoch commit returns
+                        # False instead of raising on that dialect
+                        or "duplicate entry" in msg.lower()
                     )
                     if duplicate:
                         return False

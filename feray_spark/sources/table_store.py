@@ -184,6 +184,24 @@ class TableStore:
     def history(self, table: str) -> list[Commit]:
         return self._commits(table)
 
+    def history_tail(self, table: str, n: int) -> list[Commit]:
+        """Newest-first tail of the commit log, parsing only the last
+        ``n`` commit files — O(n) file reads per call instead of
+        ``history()``'s O(total commits). Built for per-micro-batch
+        callers (the fastlane replay guard) on long-lived tables."""
+        log_dir = self._log_dir(table)
+        if not os.path.isdir(log_dir):
+            return []
+        names = sorted(
+            (x for x in os.listdir(log_dir) if x.endswith(".json")),
+            reverse=True,
+        )[:n]
+        out = []
+        for name in names:
+            with open(os.path.join(log_dir, name)) as f:
+                out.append(Commit(**json.load(f)))
+        return out
+
     # ---------------------------------------------------------- write
 
     def write(
@@ -459,8 +477,15 @@ class TableStore:
         by_base: dict[str, list[str]] = {}
         for path, base in pairs:
             by_base.setdefault(base, []).append(path)
+        # explicit committed schema, NOT hive inference + cast-back:
+        # inference retypes all-numeric string partition values
+        # ("01" -> int 1) and a post-hoc cast cannot recover the
+        # original text — with the schema given, Spark parses the
+        # directory value under the declared type, losslessly.
+        # (Evolution never retypes columns, so old segments read fine:
+        # absent columns surface as typed NULLs.)
         parts = [
-            spark.read.option("basePath", base).parquet(*paths)
+            spark.read.schema(schema).option("basePath", base).parquet(*paths)
             for base, paths in by_base.items()
         ]
         names = [f.name for f in schema.fields]
@@ -747,12 +772,19 @@ class TableStore:
                     s for s in c.segments
                     if self._seg_base(s) not in prev_segs
                 ]
+                # read under the COMMIT's schema (not inference): hive
+                # inference retypes all-numeric string partition
+                # values ("01" -> int 1), which aligned()'s cast
+                # cannot undo
+                c_schema = T.StructType.fromJson(json.loads(c.schema))
                 for seg in new_segs:
                     path, base = self._seg_base(seg)
                     new = (
-                        spark.read.option("basePath", base).parquet(path)
+                        spark.read.schema(c_schema)
+                        .option("basePath", base)
+                        .parquet(path)
                         if c.partition_by
-                        else spark.read.parquet(path)
+                        else spark.read.schema(c_schema).parquet(path)
                     )
                     pieces.append(tagged(new, "insert", v))
                 continue
@@ -1342,9 +1374,19 @@ class TableStore:
                 if _has_data_files(seg):
                     # validate from the WRITTEN segment (partition-
                     # pruned footer-cheap scan) instead of executing
-                    # the replacement plan a second time up front
+                    # the replacement plan a second time up front —
+                    # but under the COMMITTED schema, not hive
+                    # inference: inference retypes all-numeric string
+                    # partition values ("01" -> int 1), which would
+                    # evaluate the predicate differently than the
+                    # original frame and spuriously reject a valid
+                    # replacement.
+                    from pyspark.sql import types as T
+
+                    committed = T.StructType.fromJson(json.loads(prev.schema))
                     bad = (
-                        spark.read.option("basePath", seg)
+                        spark.read.schema(committed)
+                        .option("basePath", seg)
                         .parquet(seg)
                         .filter(violates)
                         .count()

@@ -27,10 +27,10 @@ from collections.abc import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from feray_spark.catalog import normalize_events_ts, table_path
+from feray_spark.operators.topk import latest_per_key
 from feray_spark.sources.table_store import TableStore
 
 
@@ -274,17 +274,8 @@ def serve_upsert(
         # documented decode outcome.)
         for k in keys:
             batch = batch.filter(F.col(k).isNotNull())
-        latest = (
-            batch.withColumn(
-                "__rn",
-                F.row_number().over(
-                    W.partitionBy(*keys).orderBy(
-                        F.col("ts").desc(), F.col("event_id").desc()
-                    )
-                ),
-            )
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+        latest = latest_per_key(
+            batch, list(keys), [F.col("ts").desc(), F.col("event_id").desc()]
         )
         if store.latest_version(table) is None:
             store.write(latest, table, mode="overwrite",
@@ -463,11 +454,4 @@ def quality_filter_stream(docs: DataFrame) -> DataFrame:
     ).withColumn("__h", F.sha2(F.col("text"), 256))
     if docs.isStreaming:
         return kept.dropDuplicates(["__h"]).drop("__h")
-    return (
-        kept.withColumn(
-            "__rn",
-            F.row_number().over(W.partitionBy("__h").orderBy("doc_id")),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__h", "__rn")
-    )
+    return latest_per_key(kept, ["__h"], [F.col("doc_id").asc()]).drop("__h")

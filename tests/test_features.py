@@ -1582,3 +1582,74 @@ def test_sync_leaves_partition_managed_views_alone(spark, tmp_root):
     assert "partition_fingerprints" in meta
     # the partition memo survived the tick
     assert fs.materialize_partition("pday", "d1") is False
+
+
+def test_fastlane_second_writer_fails_fast(spark, tmp_root):
+    """One writer per target is a CHECKED invariant: a second
+    materialize_stream with a different checkpoint — a concurrent
+    writer, or a fresh checkpoint pointed at an existing fastlane
+    target — errors at call time instead of duplicating epochs;
+    release_fastlane_lease() is the intentional-migration escape."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    fs.store.write(
+        spark.createDataFrame([(1, 60.0)], "user_id int, value double"),
+        "raw", mode="overwrite",
+    )
+
+    @fs.feature_view(name="hot", inputs=["raw"], entities=["user_id"])
+    def hot(spark, inputs):
+        return inputs["raw"].filter(F.col("value") > 50)
+
+    ckpt_a = os.path.join(tmp_root, "ckpt_a")
+    q = fs.materialize_stream("hot", checkpoint=ckpt_a)
+    q.awaitTermination(120)
+    assert fs.store.read(spark, "hot").count() == 1
+
+    ckpt_b = os.path.join(tmp_root, "ckpt_b")
+    with pytest.raises(RuntimeError, match="bound to the writer"):
+        fs.materialize_stream("hot", checkpoint=ckpt_b)
+
+    # the bound checkpoint keeps working (same run_id re-read)
+    fs.store.write(
+        spark.createDataFrame([(2, 70.0)], "user_id int, value double"),
+        "raw", mode="append",
+    )
+    q = fs.materialize_stream("hot", checkpoint=ckpt_a)
+    q.awaitTermination(120)
+    assert fs.store.read(spark, "hot").count() == 2
+
+    # explicit migration: release, rebind to the new checkpoint
+    assert fs.release_fastlane_lease("hot") is True
+    q = fs.materialize_stream("hot", checkpoint=ckpt_b)
+    q.awaitTermination(120)
+    # upsert merge keeps the keyspace intact across the re-drain
+    assert fs.store.read(spark, "hot").count() == 2
+    assert fs.release_fastlane_lease("no_such") is False
+
+
+def test_fastlane_commits_carry_run_id(spark, tmp_root):
+    """Fastlane commits record the checkpoint's run_id; the replay
+    guard only skips an epoch recorded under the SAME run_id, so a
+    fresh checkpoint's epoch 0 can never alias an old run's epoch 0."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    fs.store.write(
+        spark.createDataFrame([(1, 60.0)], "user_id int, value double"),
+        "raw", mode="overwrite",
+    )
+
+    @fs.feature_view(name="hot2", inputs=["raw"], entities=["user_id"])
+    def hot2(spark, inputs):
+        return inputs["raw"]
+
+    ckpt = os.path.join(tmp_root, "ck")
+    q = fs.materialize_stream("hot2", checkpoint=ckpt)
+    q.awaitTermination(120)
+    meta = fs.store.commit_info("hot2").user_metadata
+    assert meta["mode"] == "fastlane"
+    marker = os.path.join(ckpt, "__feray_run_id__")
+    with open(marker) as f:
+        assert meta["run_id"] == f.read().strip()

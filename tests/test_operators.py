@@ -79,3 +79,41 @@ def test_ann_operators_accept_empty_query_set(spark, sf_dir):
     c = e.select(F.col("vec_id").alias("c_id"), "embedding")
     for ann in (ivf_topk(q, c, k=3), lsh_bucketed_topk(q, c, k=3)):
         assert ann.count() == 0
+
+
+def test_asof_map_tiebreak_canonicalizes_entry_order(spark):
+    """Two semantically equal maps built in different entry orders
+    must hash to the SAME tiebreak surrogate — the winner at a
+    same-(key, ts) tie cannot depend on how a pipeline happened to
+    construct the map."""
+    from pyspark.sql import functions as F
+
+    from feray_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+
+    def right(order_flip: bool):
+        pairs = [("a", 1), ("z", 9)]
+        if order_flip:
+            pairs = pairs[::-1]
+        m1 = F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in pairs]),
+            F.array(*[F.lit(v) for _, v in pairs]),
+        )
+        # the competing row is a distinct map; also order-flipped
+        m2 = F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in reversed(pairs)]),
+            F.array(*[F.lit(v + 100) for _, v in reversed(pairs)]),
+        )
+        base = spark.createDataFrame([(1, 5)], "k long, ts long")
+        return base.select("k", "ts", m1.alias("attrs")).unionAll(
+            base.select("k", "ts", m2.alias("attrs"))
+        )
+
+    wins = set()
+    for flip in (False, True):
+        row = asof_join(
+            left, right(flip), ["k"], "ts", right_cols=["attrs"]
+        ).collect()[0]
+        wins.add(tuple(sorted(row.attrs.items())))
+    assert len(wins) == 1, f"construction order changed the winner: {wins}"

@@ -521,3 +521,64 @@ def test_vacuum_sweeps_crashed_commit_tmp_files(spark, tmp_path):
     assert dead in deleted and not os.path.exists(dead)
     # the live log records are untouched
     assert ts.read(spark, "t").count() == 4
+
+
+def test_contract_numeric_looking_string_partitions(store, spark):
+    """Hive directory inference retypes all-numeric string partition
+    values ("01" -> int 1 -> "1" under a cast-back) — reads must go
+    through the COMMITTED schema so values round-trip losslessly.
+    Real Delta resolves partition values from its own metadata; the
+    segment-log store must match."""
+    df = spark.createDataFrame(
+        [("01", 1), ("02", 2), ("02", 3)], "k string, v int"
+    )
+    store.write(df, "t", mode="overwrite", partition_by=["k"])
+    got = sorted((r.k, r.v) for r in store.read("t").collect())
+    assert got == [("01", 1), ("02", 2), ("02", 3)]
+
+
+def test_replace_where_validation_survives_numeric_partition_names(
+    spark, tmp_path
+):
+    """The metadata-path read-back validation evaluates the predicate
+    over the just-written segment; with hive inference the all-numeric
+    string partition value '01' would re-read as int 1 and a LIKE
+    predicate would spuriously flag every replacement row as a
+    violation. The read-back must use the committed schema."""
+    from feray_spark.sources.table_store import TableStore
+
+    ts = TableStore(str(tmp_path / "numpart"))
+    base = spark.createDataFrame(
+        [("01", 1), ("02", 2)], "k string, v long"
+    )
+    ts.write(base, "t", mode="overwrite", partition_by=["k"])
+    repl = spark.createDataFrame([("01", 10)], "k string, v long")
+    ts.replace_where(spark, "t", repl, "k LIKE '01%'")
+    got = sorted((r.k, r.v) for r in ts.read(spark, "t").collect())
+    assert got == [("01", 10), ("02", 2)]
+    # change feed over the partitioned append path keeps fidelity too
+    ts.write(
+        spark.createDataFrame([("03", 3)], "k string, v long"),
+        "t", mode="append",
+    )
+    feed = ts.changes(spark, "t", from_version=1)
+    ins = [(r.k, r.v) for r in feed.filter("_change_type = 'insert'").collect()]
+    assert ("03", 3) in ins
+
+
+def test_history_tail_matches_history_newest_first(spark, tmp_path):
+    """history_tail(n) = the newest n commits, newest-first, without
+    parsing the whole log (the per-micro-batch guard's access path)."""
+    from feray_spark.sources.table_store import TableStore
+
+    ts = TableStore(str(tmp_path / "tail"))
+    ts.write(spark.range(1).selectExpr("id"), "t", mode="overwrite")
+    for _ in range(6):
+        ts.write(spark.range(1).selectExpr("id"), "t", mode="append")
+    full = ts.history("t")
+    tail = ts.history_tail("t", 3)
+    assert [c.version for c in tail] == [c.version for c in reversed(full[-3:])]
+    assert [c.version for c in ts.history_tail("t", 100)] == [
+        c.version for c in reversed(full)
+    ]
+    assert ts.history_tail("no_such_table", 3) == []
