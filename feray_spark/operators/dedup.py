@@ -201,6 +201,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     jaccard_threshold: float | None = None,
+    max_bucket_ids: int | None = 4096,
 ) -> DataFrame:
     """L2: candidate near-duplicate pairs (id_a < id_b) that collide
     in at least one LSH band; optionally verified with exact shingle
@@ -210,7 +211,18 @@ def minhash_lsh_pairs(
     Texts are joined back only for colliding pairs, so the exact-
     Jaccard verification cost scales with candidates, not the
     corpus.
-    """
+
+    ``max_bucket_ids`` is the hot-bucket valve (L20's ``max_span_df``
+    sibling): LSH design bounds bucket width — but at web scale a
+    degenerate band (empty-ish docs sharing one signature, an
+    adversarial shingle) can collect millions of ids in ONE bucket,
+    and the array pair expansion below would then materialize an
+    O(B^2) struct array in a single task. Buckets wider than the
+    valve are diverted to an equi-self-join on (band_idx, band_hash):
+    the SAME pair set, but produced by a shuffle join whose probe
+    side AQE can skew-split across tasks instead of one row exploding
+    quadratically. Semantics are identical either way, so the l2
+    oracle needs no variant. ``None`` disables the valve."""
     banded = minhash_bands(
         df,
         text_col,
@@ -224,9 +236,9 @@ def minhash_lsh_pairs(
     # banded-self-join would run the whole shingle->minhash pipeline
     # once per side (exchange reuse is best-effort, and the probe
     # side shuffles regardless); this shape computes signatures once
-    # and shuffles only (band, id) rows. Bucket width is bounded by
-    # LSH design (a hot bucket means the banding parameters are
-    # wrong), so the quadratic in-bucket expansion is safe.
+    # and shuffles only (band, id) rows. In-bucket width is bounded
+    # by the valve above, so the quadratic expansion is safe; only
+    # over-valve buckets pay a join.
     ids = F.array_sort(F.collect_list("__id"))
     pair_structs = F.flatten(
         F.transform(
@@ -237,14 +249,42 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    pairs = (
+    grouped = (
         banded.groupBy("band_idx", "band_hash")
         .agg(ids.alias("__ids"))
         .filter(F.size("__ids") > 1)
-        .select(F.explode(pair_structs).alias("__p"))
-        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
-        .distinct()
     )
+    in_valve = grouped
+    if max_bucket_ids is not None:
+        in_valve = grouped.filter(F.size("__ids") <= max_bucket_ids)
+    pairs = (
+        in_valve.select(F.explode(pair_structs).alias("__p"))
+        .select(F.col("__p.id_a").alias("id_a"), F.col("__p.id_b").alias("id_b"))
+    )
+    if max_bucket_ids is not None:
+        # Diverted hot buckets. NO checkpoint here: the hot branch
+        # shares the small branch's aggregation exchange (identical
+        # subplan → ReusedExchange), so in the healthy case the
+        # valve's cost is two near-empty agg re-reads of the same
+        # shuffle files — a localCheckpoint would instead run the
+        # whole minhash pipeline again as its own job (measured 2x
+        # on l2 at sf0.1).
+        hot_ids = grouped.filter(F.size("__ids") > max_bucket_ids).select(
+            "band_idx", "band_hash", F.explode("__ids").alias("__id")
+        )
+        hot_pairs = (
+            hot_ids.select("band_idx", "band_hash", F.col("__id").alias("id_a"))
+            .join(
+                hot_ids.select(
+                    "band_idx", "band_hash", F.col("__id").alias("id_b")
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pairs = pairs.unionByName(hot_pairs)
+    pairs = pairs.distinct()
     if jaccard_threshold is None:
         return pairs
     # Exact-Jaccard verify: shingle ONLY the docs that appear in a

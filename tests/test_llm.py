@@ -897,3 +897,32 @@ def test_span_valve_identical_on_planted_mega_span(spark):
     # column contract: input columns + keep, in order
     out = span_first_occurrence_flags(spans, max_span_df=10)
     assert out.columns == ["doc_id", "pos", "chunk", "keep"]
+
+
+def test_lsh_hot_bucket_valve_preserves_pairs(spark):
+    """A degenerate band (here: many identical docs, colliding in
+    every band) must not explode an O(B^2) struct array in one task —
+    the valve diverts over-width buckets to an equi-self-join with
+    IDENTICAL pair semantics. Valve on (tiny cap) == valve off."""
+    docs = [(i, BASE) for i in range(30)] + [
+        (100, "totally different content words altogether here"),
+        (101, "totally different content words altogether here too"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(shingle_n=3, num_hashes=8, bands=4)
+    valved = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", max_bucket_ids=8, **kw
+        ).collect()
+    }
+    unguarded = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", max_bucket_ids=None, **kw
+        ).collect()
+    }
+    assert valved == unguarded
+    assert {(a, b) for a, b in valved if a < 30 and b < 30} == {
+        (a, b) for a in range(30) for b in range(a + 1, 30)
+    }
