@@ -9,10 +9,12 @@ it replicates the sf0.1 fixtures K times (join keys shifted by a
 replica offset so every join/group cardinality scales honestly;
 every document TOKEN suffixed per replica, which preserves each
 replica's internal near-dup structure while zeroing cross-replica
-shingle overlap — text dedup work scales exactly K×;
-similarity-tagged and edit-distance ops are refused instead, since
-identically replicated vectors / barely-shifted levenshtein pairs
-would form match K-cliques, see ``UNSAFE`` in ``main``) and times
+shingle overlap — text dedup work scales exactly K×; embeddings
+sign-flip-decorrelated and event timestamps stride-shifted per
+replica for the same reason; top-k-similarity and edit-distance ops
+are refused, since replicated query sets / barely-shifted
+levenshtein pairs would fake quadratic match structure, see
+``UNSAFE`` in ``main``) and times
 the SAME catalog queries — and
 their DuckDB oracle twins — at factor 1 and factor K through the
 same writer path (identical layout at both factors, so the ratio
@@ -56,7 +58,7 @@ KEYSPACE = 1 << 33
 #: decorrelation): cached scaled data carries this in a marker file,
 #: and a mismatch forces a rebuild — the per-table mtime guard only
 #: sees fixture regeneration, not probe-logic changes
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5  # v5: events ts shift + embedding sign-flip
 
 #: key columns shifted per replica (join semantics scale honestly:
 #: each replica joins only within itself, so per-key group sizes stay
@@ -110,12 +112,22 @@ DEFAULT_QUERIES = [
     # remaining ≥0.9 s sweep residents that replicate honestly: the
     # Python-UDTF per-row path (f5b — token-suffixed docs scale its
     # eval work exactly K×), the pure projection+write (f_math), and
-    # the agg+unpartitioned-window share-of-total (ep13). (l24/j7b
-    # stay out: replicated vectors / time-overlapping intervals would
-    # fake K-clique match structure — the UNSAFE rule.)
+    # the agg+unpartitioned-window share-of-total (ep13)
     "f5b_polymorphic_udtf",
     "f_math_family",
     "ep13_value_share",
+    # round-6 additions (VERDICT r5 item 2): the last two perf-weak
+    # marks, probe-safe since format v5 — j7b's intervals live in
+    # disjoint per-replica time ranges (pairs scale K×), l24's
+    # vectors are sign-flip-decorrelated per replica (no cross-
+    # replica cosine matches). NOTE l24 keeps the catalog's FIXED
+    # n_bits=8 here, so same-bucket pair work grows ~K² for BOTH
+    # engines at 256 buckets — the documented scale knob is raising
+    # n_bits with the corpus (operators/dedup.py semantic_dedup
+    # docstring); docs/BENCH_NOTES.md records the n_bits-scaled
+    # operator measurement alongside this fixed-knob curve.
+    "j7b_interval_join",
+    "l24_semantic_dedup",
 ]
 
 
@@ -158,6 +170,37 @@ def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
         wide = df.crossJoin(F.broadcast(reps))
         for c in SHIFT_COLS[t]:
             wide = wide.withColumn(c, F.col(c) + F.col("__r") * F.lit(KEYSPACE))
+        if t == "events":
+            # disjoint per-replica TIME ranges (fixture spans ~30
+            # days; 64-day stride > 2x margin): interval/overlap
+            # joins (j7b's keyless bin join) pair only within a
+            # replica, so pair counts scale exactly Kx — identically
+            # replicated timestamps would overlap every replica with
+            # every other and manufacture K^2 pair growth the engine
+            # never sees on real data
+            wide = wide.withColumn(
+                "ts", F.expr("ts + make_dt_interval(__r * 64, 0, 0, 0)")
+            )
+        if t == "embeddings":
+            # decorrelate vectors per replica with a deterministic
+            # DIAGONAL SIGN FLIP (multiply component i by ±1 drawn
+            # from xxhash64(replica, i)): an orthogonal transform, so
+            # every within-replica inner product / cosine / sign
+            # bucket population is preserved EXACTLY (each replica
+            # keeps the fixture's full similarity structure), while
+            # cross-replica cosines collapse to ~N(0, 1/sqrt(64)) —
+            # identically replicated vectors would form exact-match
+            # K-cliques (the old UNSAFE rule). Semantic-dedup /
+            # cosine-threshold ops now scale honestly.
+            wide = wide.withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: F.when(
+                        F.xxhash64(F.col("__r"), i) % 2 == 0, x
+                    ).otherwise(-x),
+                ),
+            )
         if t == "documents":
             # decorrelate content per replica at the TOKEN level:
             # suffixing every token keeps each replica's internal
@@ -244,14 +287,23 @@ def main() -> None:
     # TEXT shingle-based near-dup ops are safe: the per-token replica
     # suffix keeps within-replica dup structure and zeroes
     # cross-replica shingle overlap, so their work scales K× honestly.
-    # NOT safe: (a) every "similarity"-tagged op — embeddings
-    # replicate identically, so each vector's K copies form a
-    # K-clique of exact cosine matches; (b) EDIT-DISTANCE matching
+    # Since format v5 the same holds for threshold-cosine ops over
+    # embeddings: the per-replica sign flip preserves within-replica
+    # structure exactly and kills cross-replica matches — l24 is
+    # therefore probe-safe. Still NOT safe: (a) TOP-K similarity ops
+    # (l3/l3b/l3c/l21/l2d) — k-nearest work scales with queries ×
+    # corpus, so replicating BOTH sides measures K² of honest work
+    # that a fixed-query-set deployment never runs; publish those
+    # curves only with a fixed query side; (b) EDIT-DISTANCE matching
     # (l19) — the suffix shifts levenshtein by only ~1 char per
-    # token, far below match thresholds, so replicas still pair up.
-    # Both are quadratic growth manufactured by the probe data, not
-    # the engine: refuse rather than publish that artifact.
-    UNSAFE = {n for n, q in registry.items() if "similarity" in q.tags}
+    # token, far below match thresholds, so replicas still pair up
+    # (quadratic growth manufactured by the probe data): refuse
+    # rather than publish that artifact.
+    UNSAFE = {
+        n
+        for n, q in registry.items()
+        if "similarity" in q.tags and n != "l24_semantic_dedup"
+    }
     UNSAFE.add("l19_fuzzy_blocked_pairs")
     bad = [n for n in names if n in UNSAFE]
     if bad:

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -14,11 +15,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    # FERAY_SPARK_EXTRA_CONF: JSON dict of extra session confs. The
+    # delta-twin leg (scripts/run_delta_twin.sh) uses it to inject
+    # the Delta SQL extension — a STATIC conf that must reach the
+    # builder before the first session exists.
+    extra = json.loads(os.environ.get("FERAY_SPARK_EXTRA_CONF", "{}"))
     s = get_spark(
         app_name="feray-spark-tests",
         cores=8,
         shuffle_partitions=8,
         driver_mem=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        extra_conf=extra,
     )
     yield s
     s.stop()

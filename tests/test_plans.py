@@ -764,3 +764,54 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for key, val in restore.items():
             spark.conf.set(key, val)
+
+
+def test_degenerate_skew_keeps_precut_plans_and_values(spark, tmp_path):
+    """a13/l15 claim mega-key safety; this runs them on a fixture
+    where ONE key owns 50% of all rows (the skew AQE actually
+    re-plans around) and asserts both that the pre-cut shapes hold —
+    TakeOrderedAndProject for a13, partial-before-exchange
+    WindowGroupLimit for l15 — and that the answers stay exact."""
+    import os
+
+    from feray_spark.queries.aggregates import _HH_K
+    from feray_spark.queries.llm import _SOURCE_CAP
+
+    sfd = str(tmp_path / "skew")
+    os.makedirs(sfd)
+    n = 20_000
+    hot = 2 * n  # outside the id range, so no accidental self-hit
+    spark.range(n).selectExpr(
+        f"CAST(CASE WHEN id % 2 = 0 THEN {hot} ELSE id END AS BIGINT)"
+        " AS o_custkey"
+    ).coalesce(4).write.parquet(os.path.join(sfd, "orders.parquet"))
+    spark.range(4_000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'megadomain.com' ELSE "
+        "concat('site', CAST(id % 37 AS STRING), '.com') END AS source",
+        "concat('document body number ', CAST(id AS STRING), "
+        "' with filler words here') AS text",
+    ).coalesce(4).write.parquet(os.path.join(sfd, "documents.parquet"))
+
+    reg = load_all()
+    a13 = reg["a13_heavy_hitters"].fn(spark, sfd)
+    plan = plan_of(a13)
+    assert "TakeOrderedAndProject" in plan, plan
+    rows = {r.rn: r for r in a13.collect()}
+    assert len(rows) == _HH_K
+    assert rows[1].key == hot and rows[1].n == n // 2
+    assert abs(rows[1].share - 0.5) < 1e-12
+    # every other key has exactly one row
+    assert rows[2].n == 1
+
+    l15 = reg["l15_source_cap"].fn(spark, sfd)
+    plan = plan_of(l15)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan and "Final" in plan, plan
+    got = l15.collect()
+    per_source = {}
+    for r in got:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert per_source["megadomain.com"] == _SOURCE_CAP
+    assert all(c <= _SOURCE_CAP for c in per_source.values())
+    assert max(r.rn for r in got) <= _SOURCE_CAP
