@@ -135,6 +135,38 @@ _ROUND6_PRIORITY = [
     "w4_running_agg",
 ]
 
+#: ROUND-7 ROTATION (swap in as _DRIVER_PRIORITY after CORRECTNESS_r06
+#: lands — EXACTLY 50 names). Construction rule: any catalog entry
+#: ADDED in round 6 goes to the TOP (none yet — prepend here in the
+#: same commit that registers one), then entries whose code/oracle
+#: changed after their last driver row, then oldest evidence first
+#: (computed from CORRECTNESS_r01–r05 + the r6 window: the r2-era
+#: pair w5/w6, all 32 r3-era rows, then the r4-era block
+#: alphabetically until the window is full).
+_ROUND7_PRIORITY = [
+    # oldest evidence: r2-era
+    "w5_sliding_rows", "w6_time_range_frame",
+    # r3-era (all 32)
+    "f2_pandas_udf", "f3_grouped_map", "f3b_grouped_partial",
+    "f4_pandas_udaf", "f7_isolated_fanout", "f_array_strings",
+    "f_array_vectors", "f_datetime_family", "f_hash_family",
+    "f_json_family", "f_map_family", "f_null_family",
+    "f_string_family", "f_struct_family", "fs4_feature_containers",
+    "fs5_asset_checks", "fs6_feature_flags", "fs7_backfill",
+    "l2c_ngram_jaccard", "l6_multimodal_payloads", "l6b_frame_sample",
+    "l7_quality_filter_pipeline", "l8_doc_chunking",
+    "t2_sliding_window", "t3_session_window", "t4_watermark_latedata",
+    "t7_stream_static_join", "t8_stream_stream_join",
+    "u2_union_distinct", "u3_intersect", "u4_except", "u4b_except_all",
+    # r4-era fill (alphabetical) to exactly 50
+    "a12_table_profile", "a13_heavy_hitters", "a14_exact_quantiles",
+    "a1_groupby_q1", "ep3c_tpch_q3", "ep3d_tpch_q5",
+    "ep4_recursive_cte", "f5b_polymorphic_udtf", "f_datetime_diff",
+    "f_hash_native", "f_math_family", "f_variant_family",
+    "fs10_drift_report", "fs1_record_versions", "fs8_training_set",
+    "fs9_partitioned_assets",
+]
+
 #: ACTIVE WINDOW (round 6): the staged rotation above. CORRECTNESS_r05
 #: landed green rows for the whole round-5 window (50/50 pass, zero
 #: errs), so the swap is pure evidence gain: ep5b/a5b get their first
