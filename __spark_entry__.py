@@ -144,6 +144,10 @@ _ROUND6_PRIORITY = [
 #: pair w5/w6, all 32 r3-era rows, then the r4-era block
 #: alphabetically until the window is full).
 _ROUND7_PRIORITY = [
+    # (1) entries REGISTERED in round 6 — never driver-checked
+    # (the TPC-H Q2/Q7/Q8/Q9 shapes)
+    "ep18_min_cost_supplier", "ep19_volume_shipping",
+    "ep20_market_share", "ep21_product_profit",
     # oldest evidence: r2-era
     "w5_sliding_rows", "w6_time_range_frame",
     # r3-era (all 32)
@@ -163,8 +167,6 @@ _ROUND7_PRIORITY = [
     "a1_groupby_q1", "ep3c_tpch_q3", "ep3d_tpch_q5",
     "ep4_recursive_cte", "f5b_polymorphic_udtf", "f_datetime_diff",
     "f_hash_native", "f_math_family", "f_variant_family",
-    "fs10_drift_report", "fs1_record_versions", "fs8_training_set",
-    "fs9_partitioned_assets",
 ]
 
 #: ACTIVE WINDOW (round 6): the staged rotation above. CORRECTNESS_r05

@@ -1635,3 +1635,222 @@ def ep17_majority_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EP17_SQL)
+
+
+_EP18_SQL = """
+    WITH eu_supply AS (
+        SELECT l_partkey AS ps_partkey,
+               s_name,
+               l_extendedprice / l_quantity AS unit_cost
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE' AND l_quantity > 0
+    )
+    SELECT DISTINCT
+           p.p_partkey,
+           e.s_name,
+           CAST(ROUND(e.unit_cost, 9) AS DOUBLE) AS unit_cost
+    FROM part p
+    JOIN eu_supply e ON e.ps_partkey = p.p_partkey
+    WHERE p.p_size BETWEEN 10 AND 20
+      AND p.p_type = 'PROMO'
+      AND e.unit_cost = (SELECT MIN(e2.unit_cost)
+                         FROM eu_supply e2
+                         WHERE e2.ps_partkey = p.p_partkey)
+"""
+
+
+@register(
+    "ep18_min_cost_supplier",
+    oracle=_EP18_SQL,
+    tags=("sql", "EP18", "subquery"),
+)
+def ep18_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP18: the TPC-H-Q2 shape — a correlated scalar MIN whose
+    subquery is itself a multi-table join (region-restricted
+    suppliers), referenced from the outer join's filter: for every
+    PROMO part in a size band, the EUROPE suppliers offering its
+    minimum unit price. Q2's "min ps_supplycost" adapted to
+    min-observed-unit-price because the fixture set has no partsupp.
+    ep5 covers a correlated MIN over ONE table; this is the form
+    where the correlated branch is a 4-table join shared (via the
+    CTE) with the outer query — the classic test that the optimizer
+    decorrelates ONCE instead of re-running the join per outer row.
+
+    Scale shape: Catalyst rewrites the scalar subquery into one
+    per-part MIN aggregate of eu_supply joined back on p_partkey —
+    eu_supply's join tree is planned once per side with the
+    region/nation dims broadcast; no per-row re-execution, no nested
+    loop. Equality on the raw IEEE doubles (division is bit-exact in
+    both engines); ROUND(,9) only on the printed column.
+    All achieving suppliers are returned (DISTINCT) — a set, so no
+    tie-break ordering is needed for the value hash."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP18_SQL)
+
+
+_EP19_SQL = """
+    SELECT cust_nation,
+           supp_nation,
+           l_year,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM (
+        SELECT n1.n_name AS cust_nation,
+               n2.n_name AS supp_nation,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                    AS DECIMAL(18,4)) AS rev
+        FROM lineitem
+        JOIN orders    ON o_orderkey = l_orderkey
+        JOIN customer  ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN supplier  ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                             AND TIMESTAMP '1996-12-31 23:59:59'
+    ) shipping
+    GROUP BY cust_nation, supp_nation, l_year
+"""
+
+
+@register(
+    "ep19_volume_shipping",
+    oracle=_EP19_SQL,
+    tags=("sql", "EP19"),
+)
+def ep19_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP19: the TPC-H-Q7 shape — a six-table join where the SAME
+    dimension (nation) joins twice under different roles (customer's
+    nation and supplier's nation) with a symmetric OR pair predicate,
+    grouped by both role names and the shipment year. The canonical
+    test of alias-aware join planning: n1/n2 must resolve as two
+    independent broadcasts, and the OR pair must not defeat the
+    dimension filters.
+
+    Scale shape: both nation sides and supplier broadcast; the
+    OR-pair predicate evaluates post-join on the two tiny name
+    columns (it cannot split into per-scan pushdowns, exactly as in
+    Q7); the date window pushes to the lineitem scan. Revenue rides
+    the ep3c exact-decimal product; year is extracted once scan-side.
+    ONE hash aggregate on (nation pair, year), map-side partials."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP19_SQL)
+
+
+_EP20_SQL = """
+    SELECT o_year,
+           CAST(ROUND(
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                             ELSE CAST(0 AS DECIMAL(18,4)) END)
+                    AS DOUBLE)
+               / CAST(SUM(rev) AS DOUBLE), 9) AS DOUBLE) AS mkt_share,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               n2.n_name AS supp_nation,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                    AS DECIMAL(18,4)) AS rev
+        FROM lineitem
+        JOIN part      ON p_partkey = l_partkey
+        JOIN orders    ON o_orderkey = l_orderkey
+        JOIN customer  ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region    ON r_regionkey = n1.n_regionkey
+        JOIN supplier  ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+          AND p_type = 'ECONOMY'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 23:59:59'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+
+@register(
+    "ep20_market_share",
+    oracle=_EP20_SQL,
+    tags=("sql", "EP20"),
+)
+def ep20_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP20: the TPC-H-Q8 shape — an eight-table star (nation twice,
+    region gating the CUSTOMER side only) folded into a per-year
+    MARKET SHARE: a conditional-sum / total-sum ratio where the
+    condition reads the SUPPLIER-side dimension. Composes Q7's
+    dual-role nation join with Q14's conditional-ratio aggregate at
+    one more join of depth.
+
+    Scale shape: every dimension broadcasts; lineitem is the only
+    fact scanned, with the date window pushed to the orders scan and
+    the type filter to part; numerator and denominator fold into ONE
+    aggregate over the joined stream (no second pass, no self-join).
+    Both sums are exact DECIMAL(18,4) accumulations cast to DOUBLE
+    before the one division (bit-identical in both engines),
+    ROUND(,9) guards the printed share."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP20_SQL)
+
+
+_EP21_SQL = """
+    SELECT nation,
+           o_year,
+           CAST(SUM(amount) AS DOUBLE) AS sum_profit,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                    AS DECIMAL(18,4))
+               - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(0.5 AS DECIMAL(2,1))
+                      AS DECIMAL(18,3))
+                 * CAST(l_quantity AS DECIMAL(4,1)) AS amount
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+"""
+
+
+@register(
+    "ep21_product_profit",
+    oracle=_EP21_SQL,
+    tags=("sql", "EP21"),
+)
+def ep21_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP21: the TPC-H-Q9 shape — profit per supplier-nation per
+    year over every part whose NAME matches an infix LIKE (the
+    predicate that cannot push into a dictionary/min-max filter),
+    with the measure an ARITHMETIC MIX of fact and dimension columns
+    (revenue minus imputed cost; Q9's ps_supplycost adapted to
+    0.5 x p_retailprice because the fixture set has no partsupp).
+
+    Scale shape: the LIKE filters part BEFORE its broadcast (the
+    only selective predicate in the query — it prunes the fact
+    stream through the join, which is Q9's planning lesson);
+    supplier/nation broadcast; ONE hash aggregate on (nation, year).
+    The mixed measure stays exact: each side of the subtraction is
+    a bounded-scale DECIMAL product (no precision-loss truncation in
+    either engine), summed exactly, cast to DOUBLE once."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP21_SQL)

@@ -815,3 +815,34 @@ def test_degenerate_skew_keeps_precut_plans_and_values(spark, tmp_path):
     assert per_source["megadomain.com"] == _SOURCE_CAP
     assert all(c <= _SOURCE_CAP for c in per_source.values())
     assert max(r.rn for r in got) <= _SOURCE_CAP
+
+
+def test_q2_shape_decorrelates_without_nested_loop(spark, sf_dir):
+    """ep18: the correlated min-cost subquery (itself a 4-table
+    join) must decorrelate into one aggregate joined back on the
+    part key — never a per-row nested-loop re-execution."""
+    q = load_all()["ep18_min_cost_supplier"]
+    plan = plan_of(q.fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dual_role_nation_joins_broadcast(spark, sf_dir):
+    """ep19/ep20: nation joins twice under different roles — both
+    sides (and every other dim) must broadcast; the fact side never
+    shuffles for a join."""
+    for name in ("ep19_volume_shipping", "ep20_market_share"):
+        plan = plan_of(load_all()[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_q9_like_filter_prunes_part_before_broadcast(spark, sf_dir):
+    """ep21: the infix LIKE is the query's only selective predicate;
+    it must run on the part SCAN (pruning the broadcast and, through
+    the join, the fact stream) rather than post-join."""
+    q = load_all()["ep21_product_profit"]
+    plan = formatted(q.fn(spark, sf_dir))
+    assert "Contains(p_name,widget)" in plan.replace(" ", ""), plan
