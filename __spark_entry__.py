@@ -136,10 +136,11 @@ _ROUND6_PRIORITY = [
 ]
 
 #: ROUND-7 ROTATION (swap in as _DRIVER_PRIORITY after CORRECTNESS_r06
-#: lands — EXACTLY 50 names). Construction rule: any catalog entry
-#: ADDED in round 6 goes to the TOP (none yet — prepend here in the
-#: same commit that registers one), then entries whose code/oracle
-#: changed after their last driver row, then oldest evidence first
+#: lands — EXACTLY 50 names). Construction rule: (1) catalog entries
+#: ADDED in round 6 (ep18–ep21 — prepend any later addition in the
+#: same commit that registers it), (2) entries whose operator code
+#: changed in round 6 after their last driver row (l2/l2e hot-bucket
+#: valve, j8 asof map canonicalization), (3) oldest evidence first
 #: (computed from CORRECTNESS_r01–r05 + the r6 window: the r2-era
 #: pair w5/w6, all 32 r3-era rows, then the r4-era block
 #: alphabetically until the window is full).
@@ -148,7 +149,12 @@ _ROUND7_PRIORITY = [
     # (the TPC-H Q2/Q7/Q8/Q9 shapes)
     "ep18_min_cost_supplier", "ep19_volume_shipping",
     "ep20_market_share", "ep21_product_profit",
-    # oldest evidence: r2-era
+    # (2) operator code changed in round 6 after the last driver row:
+    # l2/l2e execute the new hot-bucket valve path
+    # (minhash_lsh_pairs max_bucket_ids), j8 the map-canonicalized
+    # asof tiebreak
+    "l2_minhash_lsh_neardups", "l2e_neardup_clusters", "j8_asof_join",
+    # (3) oldest evidence: r2-era
     "w5_sliding_rows", "w6_time_range_frame",
     # r3-era (all 32)
     "f2_pandas_udf", "f3_grouped_map", "f3b_grouped_partial",
@@ -166,7 +172,6 @@ _ROUND7_PRIORITY = [
     "a12_table_profile", "a13_heavy_hitters", "a14_exact_quantiles",
     "a1_groupby_q1", "ep3c_tpch_q3", "ep3d_tpch_q5",
     "ep4_recursive_cte", "f5b_polymorphic_udtf", "f_datetime_diff",
-    "f_hash_native", "f_math_family", "f_variant_family",
 ]
 
 #: ACTIVE WINDOW (round 6): the staged rotation above. CORRECTNESS_r05

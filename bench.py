@@ -217,6 +217,18 @@ def attach_baseline(result: dict, duck: dict[str, float]) -> None:
     result["over_2x_non_floor"] = dict(
         sorted(offenders.items(), key=lambda kv: -(kv[1]["ratio"] or 0))
     )
+    # sweep provenance, recorded AT MEASUREMENT TIME so downstream
+    # docs (scripts/refresh_baseline_table.py) describe the run that
+    # produced these numbers, not whatever box regenerates the doc
+    import datetime
+
+    import duckdb as _duckdb
+
+    result["swept_at"] = datetime.datetime.now().astimezone().isoformat(
+        timespec="seconds"
+    )
+    result["duckdb_version"] = _duckdb.__version__
+    result["cores"] = os.cpu_count()
 
 
 #: printed-line budget. The round-1 driver stored only the last 2000

@@ -633,10 +633,16 @@ class FeatureStore:
         (upsert). Restarting from the bound checkpoint re-reads the
         same run_id and passes. Intentional checkpoint migration goes
         through :meth:`release_fastlane_lease`."""
+        import uuid
+
         table_dir = os.path.join(self.store.root, name)
         os.makedirs(table_dir, exist_ok=True)
         lease = os.path.join(table_dir, "_fastlane_lease.json")
-        tmp = os.path.join(table_dir, f".lease-{run_id}.tmp")
+        # tmp name must be unique PER CALL, not per run_id: two racing
+        # writers restarting from the SAME checkpoint share a run_id
+        # (and should both pass), but a shared tmp path would make the
+        # link-loser's cleanup race the winner's
+        tmp = os.path.join(table_dir, f".lease-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump({"run_id": run_id, "checkpoint": checkpoint}, f)
         try:
@@ -740,8 +746,6 @@ class FeatureStore:
                 f"{name}: streaming materialization takes exactly one "
                 f"input, got {list(view.inputs)}"
             )
-        run_id = self._fastlane_run_id(checkpoint)
-        self._acquire_fastlane_lease(name, run_id, checkpoint)
         stream = self._stream_input(view.inputs[0])
         result = view.fn(self.spark, {view.inputs[0]: stream})
         result = self._stamp_versions(result, view)
@@ -781,10 +785,19 @@ class FeatureStore:
             # table, where history() would re-read the whole log
             # every micro-batch.
             for c in self.store.history_tail(name, 16):
-                if (
-                    c.user_metadata.get("mode") == "fastlane"
-                    and c.user_metadata.get("epoch") == epoch_id
-                    and c.user_metadata.get("run_id") == run_id
+                if c.user_metadata.get("mode") != "fastlane":
+                    continue
+                if c.user_metadata.get("epoch") != epoch_id:
+                    continue
+                # legacy commits (written before run_id stamping)
+                # carry no run_id: treat a same-epoch match as a
+                # replay, or a crash window straddling the upgrade
+                # would re-append that batch. New commits require
+                # run_id equality — a fresh checkpoint's restarted
+                # numbering can never alias them (and the lease
+                # blocks that misuse outright going forward).
+                if "run_id" not in c.user_metadata or (
+                    c.user_metadata.get("run_id") == run_id
                 ):
                     return
             # checks gate the epoch BEFORE any commit — and on the RAW
@@ -839,6 +852,13 @@ class FeatureStore:
                     self.spark, name, batch, keys=keys, user_metadata=meta
                 )
 
+        # lease binds LAST — after every constructible-stream check
+        # above has passed — so a call that fails earlier (unknown
+        # input, view fn raising) never leaves a never-written target
+        # bound to a checkpoint. run_id is read by the sink closure
+        # at call time, so assigning it here is safe.
+        run_id = self._fastlane_run_id(checkpoint)
+        self._acquire_fastlane_lease(name, run_id, checkpoint)
         return (
             result.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint)

@@ -16,28 +16,9 @@ import argparse
 import datetime
 import json
 import os
-import subprocess
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SEPARATOR = "\n---\n"
-
-
-def _duckdb_version() -> str:
-    try:
-        import duckdb
-
-        return duckdb.__version__
-    except Exception:
-        return "unknown"
-
-
-def _nproc() -> str:
-    try:
-        return subprocess.run(
-            ["nproc"], capture_output=True, text=True, check=True
-        ).stdout.strip()
-    except Exception:
-        return str(os.cpu_count() or "?")
 
 
 def render(bench: dict, *, measured_on: str) -> str:
@@ -49,16 +30,25 @@ def render(bench: dict, *, measured_on: str) -> str:
     n = len(duck)
     runs = bench.get("runs_per_query", "?")
     sf = bench.get("sf", "?")
+    # provenance comes FROM THE SWEEP (bench.py records it at
+    # measurement time) — never from this script's environment, which
+    # may be a different box/duckdb than the one that produced the
+    # numbers the 2x gate is argued against
+    swept_at = bench.get("swept_at", "unrecorded (pre-r6 sweep)")
+    duck_ver = bench.get("duckdb_version", "unrecorded")
+    cores = bench.get("cores", "unrecorded")
     return f"""
-## Measured DuckDB baseline (sf{sf}, this machine)
+## Measured DuckDB baseline (sf{sf}, the sweep box)
 
-Generated {measured_on} by `scripts/refresh_baseline_table.py` from
-the committed full-sweep evidence in `BENCH_FULL.json` (produced by
-`python bench.py`): DuckDB {_duckdb_version()} default config,
-{_nproc()} cores, parquet inputs at `/root/testdata/sf{sf}`,
-page-cache warm, median of {runs} runs per query — the same run that
-produced the Spark-side numbers, so both sides share one box phase
-(docs/BENCH_NOTES.md documents the measured same-day sweep variance).
+Table regenerated {measured_on} by
+`scripts/refresh_baseline_table.py` from the committed full-sweep
+evidence in `BENCH_FULL.json` (produced by `python bench.py`).
+Sweep provenance as recorded by the sweep itself: swept {swept_at},
+DuckDB {duck_ver} default config, {cores} cores, parquet inputs at
+`/root/testdata/sf{sf}`, page-cache warm, median of {runs} runs per
+query — the same run that produced the Spark-side numbers, so both
+sides share one box phase (docs/BENCH_NOTES.md documents the
+measured same-day sweep variance).
 
 Interpreting the comparison: DuckDB executes these sub-second
 queries with ~zero fixed cost, while Spark pays a scheduling +

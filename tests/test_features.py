@@ -1653,3 +1653,77 @@ def test_fastlane_commits_carry_run_id(spark, tmp_root):
     marker = os.path.join(ckpt, "__feray_run_id__")
     with open(marker) as f:
         assert meta["run_id"] == f.read().strip()
+
+
+def test_fastlane_lease_is_reentrant_and_litter_free(spark, tmp_root):
+    """Same-run_id re-acquisition (a restart, or two racers off one
+    checkpoint) must pass — and never leave .tmp litter or crash on
+    the link-loser's cleanup."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    fs._acquire_fastlane_lease("t", "RUN", "/ck")
+    fs._acquire_fastlane_lease("t", "RUN", "/ck")  # no raise
+    with pytest.raises(RuntimeError, match="bound to the writer"):
+        fs._acquire_fastlane_lease("t", "OTHER", "/ck2")
+    table_dir = os.path.join(fs.store.root, "t")
+    litter = [x for x in os.listdir(table_dir) if x.endswith(".tmp")]
+    assert litter == []
+
+
+def test_fastlane_failed_call_does_not_bind_target(spark, tmp_root):
+    """A materialize_stream call that fails before a stream exists
+    (unknown input) must NOT leave the never-written target bound to
+    that checkpoint."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+
+    @fs.feature_view(name="broken", inputs=["no_such_input"])
+    def broken(spark, inputs):
+        return inputs["no_such_input"]
+
+    with pytest.raises(KeyError):
+        fs.materialize_stream(
+            "broken", checkpoint=os.path.join(tmp_root, "ckA"),
+            mode="append",
+        )
+    lease = os.path.join(fs.store.root, "broken", "_fastlane_lease.json")
+    assert not os.path.exists(lease)
+
+
+def test_fastlane_replay_guard_accepts_legacy_commits(spark, tmp_root):
+    """Commits written before run_id stamping carry no run_id; a
+    same-epoch fastlane commit without one must still read as a
+    replay, or a crash window straddling the upgrade would re-append
+    the batch."""
+    import os
+
+    fs = FeatureStore(spark, os.path.join(tmp_root, "store"))
+    fs.store.write(
+        spark.createDataFrame([(1, 60.0)], "user_id int, value double"),
+        "raw", mode="overwrite",
+    )
+
+    @fs.feature_view(name="legacy", inputs=["raw"], entities=["user_id"])
+    def legacy(spark, inputs):
+        return inputs["raw"]
+
+    # simulate the pre-upgrade state: the epoch-0 batch landed (no
+    # run_id in metadata) but the checkpoint commit was lost
+    pre = fs._stamp_versions(
+        spark.createDataFrame([(1, 60.0)], "user_id int, value double"),
+        fs.views["legacy"],
+    )
+    fs.store.write(
+        pre, "legacy", mode="overwrite",
+        user_metadata={"mode": "fastlane", "epoch": 0},
+    )
+    q = fs.materialize_stream(
+        "legacy", checkpoint=os.path.join(tmp_root, "ck"), mode="append"
+    )
+    q.awaitTermination(120)
+    # the replayed epoch 0 was skipped: still exactly one row, and no
+    # new commit landed for it
+    assert fs.store.read(spark, "legacy").count() == 1
+    assert fs.store.latest_version("legacy") == 0
