@@ -89,31 +89,58 @@ def learn_bpe(
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` merge rules from a weighted word-type list.
 
-    Classic Sennrich trainer over the type table: count adjacent
-    symbol pairs weighted by word frequency, merge the most frequent
-    pair (ties → lexicographically smallest, so the vocabulary is a
-    pure function of the corpus), repeat. Cost O(types × merges) —
-    vocab-sized, independent of corpus size."""
-    seqs: dict[tuple[str, ...], int] = {}
+    Classic Sennrich trainer over the type table, with the standard
+    INCREMENTAL bookkeeping: pair counts, a pair→containing-words
+    index, and a lazy-invalidation max-heap are maintained across
+    merges, so each merge touches only the words that actually
+    contain the merged pair — total cost O(Σ rewrite work), not
+    O(types × merges). A naive recount-everything loop is days of
+    driver CPU at the ``word_types`` cap (1M types × a 32k-merge
+    vocabulary); this shape is minutes. Selection is deterministic:
+    max count, ties → lexicographically smallest pair (the heap key
+    ``(-count, pair)`` pops exactly that order), so the vocabulary is
+    a pure function of the corpus. A merged pair can never re-form
+    (merging only concatenates symbols), so popped winners are final.
+    """
+    import heapq
+
+    # aggregate duplicate symbol sequences (distinct words can share
+    # one, e.g. after case folding upstream)
+    agg: dict[tuple[str, ...], int] = {}
     for w, n in types:
         if w:
             s = _symbols(w)
-            seqs[s] = seqs.get(s, 0) + int(n)
+            agg[s] = agg.get(s, 0) + int(n)
+    seqs: list[list] = [[s, n] for s, n in agg.items()]  # [symbols, weight]
+
+    pair_counts: Counter = Counter()
+    where: dict[tuple[str, str], set[int]] = {}
+    for idx, (s, n) in enumerate(seqs):
+        for p in zip(s, s[1:]):
+            pair_counts[p] += n
+            where.setdefault(p, set()).add(idx)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for s, n in seqs.items():
-            for a, b in zip(s, s[1:]):
-                pairs[(a, b)] += n
-        if not pairs:
-            break
-        top_n = max(pairs.values())
-        # ties → lexicographically smallest pair: deterministic vocab
-        best_pair = min(p for p, n in pairs.items() if n == top_n)
+    while len(merges) < n_merges and heap:
+        neg_c, best_pair = heapq.heappop(heap)
+        c = -neg_c
+        if c <= 0 or pair_counts.get(best_pair, 0) != c:
+            continue  # stale entry (count changed since the push)
         merges.append(best_pair)
         merged = "".join(best_pair)
-        nxt: dict[tuple[str, ...], int] = {}
-        for s, n in seqs.items():
+        touched: set[tuple[str, str]] = set()
+        # only the words CONTAINING the pair rewrite; the where sets
+        # may hold stale indices (a word rewritten past the pair) —
+        # the containment check below skips those
+        for idx in where.pop(best_pair, ()):
+            s, n = seqs[idx]
+            if best_pair not in zip(s, s[1:]):
+                continue
+            for q in zip(s, s[1:]):  # retract the old adjacencies
+                pair_counts[q] -= n
+                touched.add(q)
             out = []
             i = 0
             while i < len(s):
@@ -124,8 +151,15 @@ def learn_bpe(
                     out.append(s[i])
                     i += 1
             t = tuple(out)
-            nxt[t] = nxt.get(t, 0) + n
-        seqs = nxt
+            seqs[idx][0] = t
+            for q in zip(t, t[1:]):  # add the new adjacencies
+                pair_counts[q] += n
+                where.setdefault(q, set()).add(idx)
+                touched.add(q)
+        for q in touched:  # lazy heap: push the fresh counts
+            cq = pair_counts.get(q, 0)
+            if cq > 0:
+                heapq.heappush(heap, (-cq, q))
     return merges
 
 

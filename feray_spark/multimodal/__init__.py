@@ -41,10 +41,29 @@ MEDIA_STRUCT = T.StructType(
     ]
 )
 
+#: default-shaped output schemas (id_col="doc_id" over a long id).
+#: The extractors build their actual schema from the INPUT id
+#: column's name and type — string/int ids both work; these
+#: constants document the default shape.
 MEDIA_FEATURES_SCHEMA = (
     "doc_id long, mime string, n_bytes int, payload_sha256 string, "
     "width int, height int"
 )
+
+
+def _id_sql(df: DataFrame, id_col: str) -> str:
+    """``name type`` DDL fragment for the id column, resolved the way
+    Spark resolves names (exact then case-insensitive). Threading the
+    REAL id name/type into every output schema is what lets string
+    ids work — a hardcoded ``doc_id long`` dies in the pandas→Arrow
+    cast (the similarity operators' ``_dtype_of`` discipline)."""
+    for f in df.schema.fields:
+        if f.name == id_col:
+            return f"`{f.name}` {f.dataType.simpleString()}"
+    for f in df.schema.fields:
+        if f.name.lower() == id_col.lower():
+            return f"`{f.name}` {f.dataType.simpleString()}"
+    raise KeyError(id_col)
 
 
 def attach_media(
@@ -73,6 +92,11 @@ def _netpbm_header(data: bytes) -> tuple[str, int, int, int, int]:
     while len(fields) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(data):
+            # ran off the end scanning for a field: say so — letting
+            # int(b'') raise its opaque "invalid literal" hides the
+            # real problem from split_netpbm_stream's callers
+            raise ValueError("truncated netpbm header")
         if data[pos : pos + 1] == b"#":  # comment to end of line
             while pos < len(data) and data[pos] != 0x0A:
                 pos += 1
@@ -184,11 +208,14 @@ def extract_media_features(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [_payload(m) for m in pdf[media_col]]
-            dims = [decode(p) if p is not None else (None, None)
-                    for p in payloads]
+            # empty payloads (b'' — a zero-byte ingest is at least as
+            # common as a pointer row at scale) are accounted
+            # (n_bytes=0, real sha256) but never decoded: there is no
+            # header to parse, and raising would kill the whole task
+            dims = [decode(p) if p else (None, None) for p in payloads]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "mime": [_mime(m) for m in pdf[media_col]],
                     "n_bytes": pd.array(
                         [len(p) if p is not None else None for p in payloads],
@@ -204,7 +231,9 @@ def extract_media_features(
             )
 
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
-        extract, MEDIA_FEATURES_SCHEMA
+        extract,
+        f"{_id_sql(df, id_col)}, mime string, n_bytes int, "
+        "payload_sha256 string, width int, height int",
     )
 
 
@@ -288,7 +317,7 @@ def sample_frames(
             ids, idxs, frames, digests = [], [], [], []
             for doc_id, m in zip(pdf[id_col], pdf[media_col]):
                 p = _payload(m)
-                if p is None:  # pointer-only row: nothing to split here
+                if not p:  # pointer-only or empty payload: no frames
                     continue
                 for i, frame in enumerate(extract_frames(p)):
                     if i % every:
@@ -297,9 +326,11 @@ def sample_frames(
                     idxs.append(i)
                     frames.append(frame)
                     digests.append(hashlib.sha256(frame).hexdigest())
+            # id dtype follows the INPUT column (string ids work);
+            # a hardcoded int64 cast would die on non-numeric ids
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
                     "frame_idx": pd.Series(idxs, dtype="int32"),
                     "frame_bytes": pd.Series(frames, dtype=object),
                     "frame_sha256": pd.Series(digests, dtype=object),
@@ -307,7 +338,9 @@ def sample_frames(
             )
 
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
-        expand, FRAME_SCHEMA
+        expand,
+        f"{_id_sql(df, id_col)}, frame_idx int, frame_bytes binary, "
+        "frame_sha256 string",
     )
 
 
@@ -406,38 +439,57 @@ def resize_media(
     emitting a NEW media struct (same mime/uri, resized data) plus the
     recorded dimensions. Arrow-batched mapInPandas; the resized
     payload replaces the original so downstream stages see one
-    consistent media schema."""
+    consistent media schema. Pointer-only (data=None), NULL-struct
+    and empty (b'') rows pass through UNresized with NULL recorded
+    dimensions — stamping the target dims on a payload that was never
+    rewritten would lie to any consumer that later dereferences the
+    uri."""
     resize = resizer or resize_image
 
     def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             media = pdf[media_col]
+            out_media, out_w, out_h = [], [], []
+            for m in media:
+                p = _payload(m)
+                if m is None:
+                    out_media.append(None)
+                    out_w.append(None)
+                    out_h.append(None)
+                    continue
+                resized = bool(p)  # empty payloads have nothing to resize
+                out_media.append(
+                    {
+                        "mime": m["mime"],
+                        "uri": m["uri"],
+                        "data": resize(p, width, height) if resized else p,
+                    }
+                )
+                out_w.append(width if resized else None)
+                out_h.append(height if resized else None)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
-                    "media": [
-                        None
-                        if m is None
-                        else {
-                            "mime": m["mime"],
-                            "uri": m["uri"],
-                            # pointer-only rows pass through unresized —
-                            # the payload isn't here to rewrite
-                            "data": (
-                                resize(p, width, height)
-                                if (p := _payload(m)) is not None
-                                else None
-                            ),
-                        }
-                        for m in media
-                    ],
-                    "width": [width] * len(pdf),
-                    "height": [height] * len(pdf),
+                    id_col: pdf[id_col],
+                    "media": out_media,
+                    "width": pd.array(out_w, dtype="Int32"),
+                    "height": pd.array(out_h, dtype="Int32"),
                 }
             )
 
+    id_field = next(
+        f for f in df.schema.fields
+        if f.name == id_col or f.name.lower() == id_col.lower()
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_field.name, id_field.dataType),
+            T.StructField("media", MEDIA_STRUCT),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
-        rewrite, RESIZED_SCHEMA
+        rewrite, out_schema
     )
 
 
@@ -534,13 +586,13 @@ def extract_audio_features(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [_payload(m) for m in pdf[media_col]]
-            decoded = [
-                decode(p) if p is not None else (None, None, None)
-                for p in payloads
-            ]
+            # b'' has no RIFF header to decode — account it (n_bytes=0)
+            # with NULL audio features rather than raising per task
+            decoded = [decode(p) if p else (None, None, None)
+                       for p in payloads]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "mime": [_mime(m) for m in pdf[media_col]],
                     "n_bytes": pd.array(
                         [len(p) if p is not None else None for p in payloads],
@@ -555,5 +607,7 @@ def extract_audio_features(
             )
 
     return df.select(F.col(id_col), F.col(media_col)).mapInPandas(
-        extract, AUDIO_FEATURES_SCHEMA
+        extract,
+        f"{_id_sql(df, id_col)}, mime string, n_bytes long, "
+        "sample_rate int, duration_s double, rms double",
     )

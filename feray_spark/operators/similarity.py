@@ -49,6 +49,33 @@ def _dtype_of(df: DataFrame, name: str) -> str:
     raise KeyError(name)
 
 
+def _drop_null_vecs(df: DataFrame, vec_col: str) -> DataFrame:
+    """NULL embeddings can neither be nor have neighbors (the fold
+    path scores them NULL and filters) — drop them up front so the
+    numpy paths' ``np.stack`` over an Arrow batch never meets a None
+    and kills the task. Every ANN operator routes both of its sides
+    through this, keeping the vectorized and fold paths row-identical
+    on dirty corpora."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
+def _rank_topk(
+    scored: DataFrame, query_id: str, corpus_id: str, k: int
+) -> DataFrame:
+    """Shared finishing rank: exact top-k per query under the
+    documented total order (cosine desc, corpus id asc) — the ONE
+    place the tie-break lives, so the brute-force/scan/LSH/IVF paths
+    cannot drift apart."""
+    w = W.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -75,12 +102,7 @@ def brute_force_topk(
     # vectorized twin (exact_scan_topk) masks NaN pairs out. Filter so
     # the two stay row-identical, as documented.
     scored = scored.filter(F.col("cosine").isNotNull())
-    w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "cosine", "rank")
-    )
+    return _rank_topk(scored, query_id, corpus_id, k)
 
 
 def exact_scan_topk(
@@ -129,6 +151,31 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.n
     return rng.standard_normal((n_tables, n_planes, dim))
 
 
+def _bucket_plan(
+    dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> tuple[np.ndarray, np.ndarray]:
+    """(flat, pow2) for :func:`_bucket_ids` — the ONE place the
+    sign-projection bucket formula's constants are built, shared by
+    with_lsh_buckets and lsh_bucketed_topk's broadcast path so the
+    two physical shapes can never produce different candidate sets
+    for identical inputs/seeds."""
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    flat = planes.reshape(n_tables * n_planes, dim).astype(np.float64).T
+    pow2 = 1 << np.arange(n_planes, dtype=np.int64)  # plane j -> bit j
+    return flat, pow2
+
+
+def _bucket_ids(M: np.ndarray, flat: np.ndarray, pow2: np.ndarray) -> np.ndarray:
+    """(n, n_tables) int64 bucket ids: bit pattern of sign(v·plane),
+    plane 0 in the LSB. Zero rows short-circuit — a (0, 0) matrix
+    would mismatch flat's (dim, ·) in the matmul."""
+    n_tables = flat.shape[1] // len(pow2)
+    if not len(M):
+        return np.zeros((0, n_tables), dtype=np.int64)
+    bits = (M @ flat) >= 0.0
+    return (bits.reshape(len(M), n_tables, len(pow2)) * pow2).sum(axis=2)
+
+
 def with_lsh_buckets(
     df: DataFrame,
     *,
@@ -148,32 +195,35 @@ def with_lsh_buckets(
     function folds which dominated the wall-clock at any batch size.
     Planes come from a seeded driver-side RNG shipped in the closure,
     so bucket ids are deterministic across runs and cluster
-    topologies."""
-    planes = _hyperplanes(dim, n_planes, n_tables, seed)
-    # (dim, n_tables*n_planes), float64: dot in double like the
-    # exact-cosine path
-    flat = planes.reshape(n_tables * n_planes, dim).astype(np.float64).T
-    pow2 = (1 << np.arange(n_planes, dtype=np.int64))  # plane j -> bit j
+    topologies. A NULL vector gets a NULL bucket array (posexplode
+    then emits no candidate rows for it) instead of killing the task
+    in np.stack."""
+    flat, pow2 = _bucket_plan(dim, n_planes, n_tables, seed)
 
     @F.pandas_udf("array<long>")
     def bucket_ids(vecs: pd.Series) -> pd.Series:
-        if not len(vecs):  # empty Arrow batch
-            return pd.Series([], dtype=object)
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
-        bits = (mat @ flat) >= 0.0  # (n, tables*planes)
-        bits = bits.reshape(len(mat), -1, len(pow2))  # (n, tables, planes)
-        ids = (bits * pow2).sum(axis=2)  # (n, tables) int64
-        return pd.Series(list(ids))
+        out = np.empty(len(vecs), dtype=object)
+        ok = vecs.notna().to_numpy()
+        if ok.any():
+            mat = np.stack(vecs[ok].to_numpy()).astype(np.float64)
+            ids = _bucket_ids(mat, flat, pow2)
+            out[np.nonzero(ok)[0]] = list(ids)
+        return pd.Series(out)
 
     return df.withColumn("__buckets", bucket_ids(F.col(vec_col)))
 
 
 def _index_pdf(df: DataFrame, id_col: str, vec_col: str):
     """Collect (id, vector) to the driver as numpy: (ids, M, norms).
-    An empty frame (empty micro-batch, filter that matched nothing)
+    NULL vectors are dropped (they can have no neighbors) and an
+    empty frame (empty micro-batch, filter that matched nothing)
     returns empty arrays instead of letting np.stack raise its
     opaque 'need at least one array to stack'."""
-    pdf = df.select(F.col(id_col), F.col(vec_col)).toPandas()
+    pdf = (
+        _drop_null_vecs(df, vec_col)
+        .select(F.col(id_col), F.col(vec_col))
+        .toPandas()
+    )
     ids = pdf[id_col].to_numpy()
     if not len(pdf):
         return ids, np.zeros((0, 0)), np.zeros(0)
@@ -252,16 +302,17 @@ def _broadcast_scan_topk(
     cid_type = _dtype_of(corpus, corpus_id)
     # no fan_out: the per-batch numpy matmul is cheap next to an extra
     # round-robin exchange of the vectors (measured via l3b 0.45 s vs
-    # 0.70 s with, l3c 0.69 s vs 0.96 s with; sf0.1, local[32])
-    cand = corpus.select(F.col(corpus_id), F.col(vec_col)).mapInPandas(
-        score, f"{query_id} {qid_type}, {corpus_id} {cid_type}, cosine double"
+    # 0.70 s with, l3c 0.69 s vs 0.96 s with; sf0.1, local[32]).
+    # NULL-vec corpus rows are dropped scan-side (np.stack guard).
+    cand = (
+        _drop_null_vecs(corpus, vec_col)
+        .select(F.col(corpus_id), F.col(vec_col))
+        .mapInPandas(
+            score,
+            f"{query_id} {qid_type}, {corpus_id} {cid_type}, cosine double",
+        )
     )
-    w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "cosine", "rank")
-    )
+    return _rank_topk(cand, query_id, corpus_id, k)
 
 
 def lsh_bucketed_topk(
@@ -275,6 +326,7 @@ def lsh_bucketed_topk(
     dim: int = 64,
     n_planes: int = 3,
     n_tables: int = 6,
+    seed: int = 42,
     broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates = bucket collisions in any table,
@@ -292,23 +344,16 @@ def lsh_bucketed_topk(
       dedup move ONLY (id, table_idx, bucket) rows — vectors are
       attached after dedup."""
     if broadcast_queries:
-        planes = _hyperplanes(dim, n_planes, n_tables)
-        flat = planes.reshape(n_tables * n_planes, dim).astype(np.float64).T
-        pow2 = 1 << np.arange(n_planes, dtype=np.int64)
-
-        def buckets(M: np.ndarray) -> np.ndarray:
-            if not len(M):
-                # zero rows collapse _index_pdf's matrix to (0, 0),
-                # which would mismatch flat's (dim, ·) in the matmul
-                return np.zeros((0, n_tables), dtype=np.int64)
-            bits = (M @ flat) >= 0.0
-            return (bits.reshape(len(M), n_tables, n_planes) * pow2).sum(axis=2)
+        # the SAME constants/formula as with_lsh_buckets (shared
+        # helpers), so both physical shapes produce identical
+        # candidate sets for identical inputs/seeds
+        flat, pow2 = _bucket_plan(dim, n_planes, n_tables, seed)
 
         qids, qM, qnorm = _index_pdf(queries, query_id, vec_col)
-        qb = buckets(qM)  # (nq, n_tables)
+        qb = _bucket_ids(qM, flat, pow2)  # (nq, n_tables)
 
         def match_fn(cid, C):
-            cb = buckets(C)  # (n, n_tables)
+            cb = _bucket_ids(C, flat, pow2)  # (n, n_tables)
             return (cb[:, None, :] == qb[None, :, :]).any(axis=2)
 
         return _broadcast_scan_topk(
@@ -326,10 +371,12 @@ def lsh_bucketed_topk(
     qb = with_lsh_buckets(
         queries.select(F.col(query_id), F.col(vec_col)),
         vec_col=vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables,
+        seed=seed,
     ).select(query_id, F.posexplode("__buckets").alias("table_idx", "bucket"))
     cb = with_lsh_buckets(
         corpus.select(F.col(corpus_id), F.col(vec_col)),
         vec_col=vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables,
+        seed=seed,
     ).select(corpus_id, F.posexplode("__buckets").alias("table_idx", "bucket"))
     # query buckets broadcast (the query set is small by contract of
     # this entry point): the corpus bucket stream map-side joins and
@@ -355,12 +402,7 @@ def lsh_bucketed_topk(
         # which masks NaN cosines out before its partial top-k
         .filter(F.col("cosine").isNotNull())
     )
-    w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "cosine", "rank")
-    )
+    return _rank_topk(scored, query_id, corpus_id, k)
 
 
 def embedding_neardup_pairs(
@@ -399,7 +441,9 @@ def embedding_neardup_pairs(
     1e-9 canonical rounding — thresholds must keep a margin above
     that (fixtures: nearest gap to tau is >= 1e-5).
     """
-    sdf = corpus.select(F.col(id_col), F.col(vec_col))
+    # NULL embeddings pair with nothing — dropped up front so neither
+    # the driver index nor the executor np.stack meets a None
+    sdf = _drop_null_vecs(corpus, vec_col).select(F.col(id_col), F.col(vec_col))
     id_t = _dtype_of(corpus, id_col)  # string ids are the norm too
     out_schema = f"id_a {id_t}, id_b {id_t}, cosine double"
     if sdf.count() > max_index_rows:
@@ -465,7 +509,7 @@ def embedding_neardup_pairs_bucketed(
     attached AFTER dedup by two id-keyed joins, so full embeddings
     cross the wire O(candidates), never O(n²). Skewed buckets (dense
     regions) are the residual risk — raise n_planes to split them."""
-    sdf = corpus.select(F.col(id_col), F.col(vec_col))
+    sdf = _drop_null_vecs(corpus, vec_col).select(F.col(id_col), F.col(vec_col))
     b = with_lsh_buckets(
         sdf, vec_col=vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables
     ).select(F.col(id_col), F.posexplode("__buckets").alias("__t", "__b"))
@@ -503,9 +547,11 @@ def _kmeans_refine(
     most #cells × dim tiny rows each; only the (#cells, dim) centroid
     matrix ever reaches the driver, so the loop scales to arbitrary
     corpus sizes. Centroids are re-normalized per iteration (cosine
-    geometry); empty cells keep their previous centroid."""
+    geometry); empty cells keep their previous centroid. NULL and
+    zero-norm vectors are excluded from the refinement (a zero
+    vector has no direction — letting it into a cell's mean would
+    drag that centroid toward the origin)."""
     spark = corpus.sparkSession
-    dim = cent.shape[1]
     for _ in range(iters):
         bc = spark.sparkContext.broadcast(cent)
 
@@ -515,15 +561,22 @@ def _kmeans_refine(
             if not len(vecs):
                 return pd.Series([], dtype="int64")
             mat = np.stack(vecs.to_numpy()).astype(np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            return pd.Series((mat @ C.T).argmax(axis=1).astype("int64"))
+            norms = np.linalg.norm(mat, axis=1)
+            out = np.full(len(mat), -1, dtype="int64")  # -1 = no cell
+            ok = norms > 0
+            if ok.any():
+                unit = mat[ok] / norms[ok, None]
+                out[ok] = (unit @ C.T).argmax(axis=1)
+            return pd.Series(out)
 
         # no fan_out: the posexplode + groupBy shuffle dominates; an
         # extra pre-exchange only adds latency (the l3b/l3c measured
         # pattern for cheap-vectorized-work-into-a-shuffle)
         means = (
-            corpus.select(F.col(vec_col).alias("__v"))
+            _drop_null_vecs(corpus, vec_col)
+            .select(F.col(vec_col).alias("__v"))
             .withColumn("__cell", assign(F.col("__v")))
+            .filter(F.col("__cell") >= 0)
             .select("__cell", F.posexplode("__v").alias("__d", "__x"))
             .groupBy("__cell", "__d")
             .agg(F.avg("__x").alias("__m"))
@@ -576,16 +629,17 @@ def ivf_topk(
     the second scale path next to hyperplane LSH. Same output schema
     as brute force: (q_id, c_id, cosine, rank).
 
-    Cells: corpus vectors whose id is ≡ 0 (mod seed stride) seed the
-    centroids — deterministic sampled quantization (the standard
-    random-init shortcut; a k-means refinement would drop in here
-    without changing the dataflow). The stride derives from a target
+    Cells: corpus vectors whose id (numeric ids) or xxhash64(id)
+    (string ids) is ≡ 0 mod the seed stride seed the centroids —
+    deterministic sampled quantization for both id regimes (the
+    standard random-init shortcut; a k-means refinement drops in via
+    ``kmeans_iters`` without changing the dataflow). The stride derives from a target
     cell count (~4·√n, capped at ``max_cells`` — see
     :func:`_ivf_cell_plan`) via one cheap corpus count, so the cell
     count is BOUNDED at any corpus size; pass ``centroid_stride`` to
-    pin it explicitly instead. The seed selection runs as a pushed-
-    down filter on the corpus scan and is truncated to the target,
-    so only ~target_cells centroid rows are ever collected to the
+    pin it explicitly instead. The seed selection runs as a
+    scan-level filter and is truncated to the target, so only
+    ~target_cells centroid rows are ever collected to the
     driver — the full corpus is never driver-side materialized.
     Every corpus vector is assigned to its max-cosine cell by one
     numpy matmul per Arrow batch against the broadcast centroid
@@ -611,19 +665,32 @@ def ivf_topk(
     assignment with no shuffle, then shuffle ONCE on the cell id for
     the candidate join. Recall/cost tunes with nprobe x cells:
     probed fraction ~= nprobe / #cells."""
+    corpus = _drop_null_vecs(corpus, vec_col)
     if centroid_stride is None:
         # one cheap count; the stride then bounds the seed collect to
-        # ~n_cells rows (dense ids) before any driver materialization
+        # ~n_cells rows before any driver materialization
         n = corpus.count()
         n_cells, centroid_stride = _ivf_cell_plan(n, target_cells, max_cells)
     else:
         n_cells = None  # explicit stride: caller owns the cell count
+    # seed predicate by id TYPE: numeric ids keep the classic
+    # (id % stride) == 0 systematic sample; string ids (the norm for
+    # document corpora) get xxhash64(id) % stride instead — a raw
+    # modulo would cast the string to NULL under the non-ANSI
+    # session, match NOTHING, and silently degrade to the tiny
+    # fallback (8 cells, nprobe >= cells = a full brute-force scan
+    # per query with no warning). Both are deterministic and draw
+    # ~n/stride seeds.
+    numeric_id = _dtype_of(corpus, corpus_id).split("(")[0] in (
+        "tinyint", "smallint", "int", "bigint", "decimal",
+    )
+    sid = F.col("__sid") if numeric_id else F.xxhash64(F.col("__sid"))
     seed = (
         corpus.select(F.col(corpus_id).alias("__sid"), F.col(vec_col).alias("__sv"))
-        .filter((F.col("__sid") % centroid_stride) == 0)
+        .filter(F.pmod(sid, F.lit(centroid_stride)) == 0)
         .toPandas()
     )
-    if not len(seed):  # sparse/offset ids missed the stride — fall back small
+    if not len(seed):  # stride > n corner — fall back small
         seed = (
             corpus.select(
                 F.col(corpus_id).alias("__sid"), F.col(vec_col).alias("__sv")
@@ -652,7 +719,21 @@ def ivf_topk(
         # cell count — see the docstring's recall-vs-scale argument
         nprobe = max(8, len(seed) // 4)
     cent = np.stack(seed["__sv"].to_numpy()).astype(np.float64)
-    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(cent, axis=1)
+    if not (cnorm > 0).all():
+        # a zero-norm seed would normalize to NaN and poison every
+        # argmax it participates in — drop it from the quantizer
+        cent = cent[cnorm > 0]
+        cnorm = cnorm[cnorm > 0]
+    if not len(cent):  # corpus of only zero vectors: nothing to probe
+        spark = corpus.sparkSession
+        id_t = _dtype_of(queries, query_id)
+        cid_t = _dtype_of(corpus, corpus_id)
+        return spark.createDataFrame(
+            [], f"{query_id} {id_t}, {corpus_id} {cid_t}, "
+                "cosine double, rank int"
+        )
+    cent = cent / cnorm[:, None]
     if kmeans_iters:
         cent = _kmeans_refine(corpus, cent, vec_col=vec_col, iters=kmeans_iters)
 
@@ -673,8 +754,15 @@ def ivf_topk(
             probes = np.zeros((0, nprobe), dtype=np.int64)
 
         def match_fn(cid, C):
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-            cells = (Cn @ cent.T).argmax(axis=1)  # (n,)
+            # zero-norm rows get cell -1 (match nothing) — their
+            # cosine would be NaN-masked later anyway, but silencing
+            # them here avoids the divide warnings and the wasted
+            # candidate rows
+            norms = np.linalg.norm(C, axis=1)
+            cells = np.full(len(C), -1, dtype=np.int64)
+            ok = norms > 0
+            if ok.any():
+                cells[ok] = ((C[ok] / norms[ok, None]) @ cent.T).argmax(axis=1)
             return (cells[:, None, None] == probes[None, :, :]).any(axis=2)
 
         return _broadcast_scan_topk(
@@ -697,10 +785,16 @@ def ivf_topk(
         if not len(vecs):  # empty Arrow batch
             return pd.Series([], dtype="int64" if top == 1 else object)
         mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ C.T
+        norms = np.linalg.norm(mat, axis=1)
+        ok = norms > 0
+        sims = np.full((len(mat), len(C)), -np.inf)
+        if ok.any():
+            sims[ok] = (mat[ok] / norms[ok, None]) @ C.T
         if top == 1:
-            return pd.Series(sims.argmax(axis=1).astype("int64"))
+            # zero-norm rows land in cell -1 (joins nothing; their
+            # cosine would be NULL-filtered anyway)
+            cells = np.where(ok, sims.argmax(axis=1), -1).astype("int64")
+            return pd.Series(cells)
         idx = np.argsort(-sims, axis=1)[:, :top].astype("int64")
         return pd.Series(list(idx))
 
@@ -717,8 +811,10 @@ def ivf_topk(
     cvec = corpus.select(F.col(corpus_id), F.col(vec_col)).withColumn(
         "__cell", assign_cell(F.col(vec_col))
     )
-    qvec = queries.select(F.col(query_id), F.col(vec_col).alias("__qv")).withColumn(
-        "__cell", F.explode(probe_cells(F.col("__qv")))
+    qvec = (
+        _drop_null_vecs(queries, vec_col)
+        .select(F.col(query_id), F.col(vec_col).alias("__qv"))
+        .withColumn("__cell", F.explode(probe_cells(F.col("__qv"))))
     )
     scored = (
         cvec.join(F.broadcast(qvec), "__cell")
@@ -726,9 +822,4 @@ def ivf_topk(
         .withColumn("cosine", cosine_similarity_batch("__qv", vec_col))
         .filter(F.col("cosine").isNotNull())  # zero-norm pairs (see above)
     )
-    w = W.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "cosine", "rank")
-    )
+    return _rank_topk(scored, query_id, corpus_id, k)

@@ -926,3 +926,58 @@ def test_lsh_hot_bucket_valve_preserves_pairs(spark):
     assert {(a, b) for a, b in valved if a < 30 and b < 30} == {
         (a, b) for a in range(30) for b in range(a + 1, 30)
     }
+
+
+def test_incremental_bpe_trainer_matches_naive_recount():
+    """The heap/index trainer must pick the EXACT same merge sequence
+    as the naive recount-everything reference (max count, ties to the
+    lexicographically smallest pair) — the optimization is
+    bookkeeping, never a semantics change."""
+    import random
+    from collections import Counter
+
+    from feray_spark.functions.bpe import EOW, learn_bpe
+
+    def naive(types, n_merges):
+        seqs = {}
+        for w, n in types:
+            if w:
+                s = (*w, EOW)
+                seqs[s] = seqs.get(s, 0) + int(n)
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for s, n in seqs.items():
+                for a, b in zip(s, s[1:]):
+                    pairs[(a, b)] += n
+            if not pairs:
+                break
+            top = max(pairs.values())
+            best = min(p for p, c in pairs.items() if c == top)
+            merges.append(best)
+            merged = "".join(best)
+            nxt = {}
+            for s, n in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                nxt[tuple(out)] = nxt.get(tuple(out), 0) + n
+            seqs = nxt
+        return merges
+
+    rng = random.Random(13)
+    alphabet = "abcdef"
+    types = [
+        (
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 7))),
+            rng.randint(1, 40),
+        )
+        for _ in range(300)
+    ]
+    for n_merges in (1, 5, 25, 80):
+        assert learn_bpe(types, n_merges) == naive(types, n_merges)

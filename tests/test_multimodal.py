@@ -269,3 +269,92 @@ def test_dhash_wide_sizes_fit_longtype():
     out = dhash_image(header + pixels, hash_size=16)
     assert -(1 << 63) <= out < (1 << 63)
     assert out == dhash_image(header + pixels, hash_size=16)  # stable
+
+
+def test_string_ids_thread_through_every_extractor(spark):
+    """Output schemas follow the INPUT id column's name and type —
+    a hardcoded 'doc_id long' used to kill tasks at Arrow cast for
+    string-keyed media tables."""
+    from feray_spark.multimodal import (
+        attach_media,
+        extract_audio_features,
+        extract_media_features,
+        fake_chunk_frames,
+        fake_decode,
+        fake_decode_audio,
+        fake_resize,
+        resize_media,
+        sample_frames,
+        synth_wav,
+    )
+    import numpy as np
+
+    wav = synth_wav(np.zeros(160, dtype="<i2"), 16000)
+    df = attach_media(
+        spark.createDataFrame(
+            [("img_a", bytearray(wav)), ("img_b", bytearray(wav))],
+            "img_id string, payload binary",
+        ),
+        "payload", "audio/wav", id_col="img_id",
+    )
+    feats = extract_media_features(
+        df, id_col="img_id", decoder=fake_decode
+    ).collect()
+    assert {r.img_id for r in feats} == {"img_a", "img_b"}
+    frames = sample_frames(
+        df, id_col="img_id", frame_extractor=fake_chunk_frames
+    ).collect()
+    assert frames and all(isinstance(r.img_id, str) for r in frames)
+    resized = resize_media(
+        df, 4, 4, id_col="img_id", resizer=fake_resize
+    ).collect()
+    assert {r.img_id for r in resized} == {"img_a", "img_b"}
+    audio = extract_audio_features(df, id_col="img_id").collect()
+    assert {r.img_id for r in audio} == {"img_a", "img_b"}
+    assert all(r.sample_rate == 16000 for r in audio)
+
+
+def test_empty_payloads_account_but_never_decode(spark):
+    """b'' is real ingested data (n_bytes=0, real sha256) but has no
+    header — extractors must not raise NotImplementedError and kill
+    the task, and resize must pass it through with NULL recorded
+    dims (stamping target dims on an unresized payload would lie)."""
+    import hashlib
+
+    from feray_spark.multimodal import (
+        attach_media,
+        extract_audio_features,
+        extract_media_features,
+        resize_media,
+        sample_frames,
+    )
+
+    df = attach_media(
+        spark.createDataFrame(
+            [(1, bytearray(b""))], "doc_id long, payload binary"
+        ),
+        "payload", "image/x-portable-graymap",
+    )
+    r = extract_media_features(df).collect()[0]
+    assert r.n_bytes == 0 and r.width is None and r.height is None
+    assert r.payload_sha256 == hashlib.sha256(b"").hexdigest()
+    assert sample_frames(df).count() == 0
+    rz = resize_media(df, 4, 4).collect()[0]
+    assert rz.media.data == bytearray(b"") or rz.media.data == b""
+    assert rz.width is None and rz.height is None
+    a = extract_audio_features(df).collect()[0]
+    assert a.n_bytes == 0 and a.sample_rate is None
+
+
+def test_truncated_netpbm_header_raises_clearly():
+    """A stream truncated mid-header must raise the designed
+    'truncated netpbm' ValueError, not int(b'')'s opaque literal
+    error."""
+    import pytest as _pytest
+
+    from feray_spark.multimodal import image_dimensions, split_netpbm_stream
+
+    with _pytest.raises(ValueError, match="truncated netpbm"):
+        split_netpbm_stream(b"P5\n4 4\n255\n" + bytes(16) + b"P5\n4 ")
+    with _pytest.raises(ValueError, match="truncated netpbm"):
+        image_dimensions(b"P5\n12 ")

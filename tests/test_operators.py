@@ -117,3 +117,67 @@ def test_asof_map_tiebreak_canonicalizes_entry_order(spark):
         ).collect()[0]
         wins.add(tuple(sorted(row.attrs.items())))
     assert len(wins) == 1, f"construction order changed the winner: {wins}"
+
+
+def test_ann_paths_tolerate_null_embeddings(spark):
+    """One NULL embedding row must not kill the job on any ANN path
+    (np.stack over a None-bearing Arrow batch) — NULL vectors simply
+    drop, exactly like the fold path's NULL-cosine filter."""
+    from feray_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        exact_scan_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    rows = [(i, [float(i + d) for d in range(4)]) for i in range(12)]
+    rows += [(98, None), (99, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id IN (0, 98)").selectExpr(
+        "vec_id AS q_id", "embedding"
+    )
+    c = df.selectExpr("vec_id AS c_id", "embedding")
+
+    got = exact_scan_topk(q, c, k=3).collect()
+    assert {r.q_id for r in got} == {0}  # NULL query vanished
+    assert all(r.c_id not in (98, 99) for r in got)
+    for fn in (
+        lambda: lsh_bucketed_topk(q, c, k=3, dim=4),
+        lambda: lsh_bucketed_topk(q, c, k=3, dim=4, broadcast_queries=False),
+        lambda: ivf_topk(q, c, k=3, centroid_stride=3, nprobe=4),
+    ):
+        out = fn().collect()
+        assert all(r.c_id not in (98, 99) and r.q_id == 0 for r in out)
+    pairs = embedding_neardup_pairs(
+        df, id_col="vec_id", tau=0.9
+    ).collect()
+    assert all(98 not in (r.id_a, r.id_b) and 99 not in (r.id_a, r.id_b)
+               for r in pairs)
+
+
+def test_ivf_topk_string_ids_keep_real_cell_plan(spark):
+    """String corpus ids must hash-sample real seed cells — the old
+    (id % stride) predicate cast strings to NULL, matched nothing,
+    and silently degraded to an 8-cell brute-force scan."""
+    import numpy as np
+
+    from feray_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (f"doc_{i}", [float(x) for x in rng.standard_normal(8)])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    q = df.limit(5).selectExpr("doc_id AS q_id", "embedding")
+    c = df.selectExpr("doc_id AS c_id", "embedding")
+    got = ivf_topk(
+        q, c, query_id="q_id", corpus_id="c_id", k=3,
+        centroid_stride=10, nprobe=4,
+    ).collect()
+    # approximate path: every query returns <= k ranked rows
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert per_q and all(sorted(v) == list(range(1, len(v) + 1))
+                         for v in per_q.values())
