@@ -47,7 +47,16 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # FLOOR division in exact integer math: `ts div 1000`
+        # truncates toward zero, which rounds PRE-EPOCH nanos the
+        # wrong way (-1500 ns -> -1 us instead of -2), and a float
+        # divide would lose precision at 1e18-scale nanos —
+        # subtracting the non-negative pmod first floors both signs
+        # losslessly
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
+        )
     elif isinstance(ts_type, T.TimestampNTZType):
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -96,7 +96,12 @@ def run_external_job(
                     parsed = json.load(f)
                 if isinstance(parsed, dict):
                     report = parsed
-            except (json.JSONDecodeError, OSError):
+            # ValueError covers BOTH JSONDecodeError and the
+            # UnicodeDecodeError a non-UTF-8 (binary/latin-1) channel
+            # raises before the JSON parser even runs — the
+            # degrade-to-empty-report contract must hold for every
+            # malformed byte stream an external job can produce
+            except (ValueError, OSError):
                 pass
         # same degrade-don't-crash rule one level down: "metadata":
         # null (or a non-dict) in an otherwise well-formed channel must

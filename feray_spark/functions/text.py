@@ -166,7 +166,17 @@ def quality_score(col: str | Column) -> Column:
     )
     len_ok = (F.length(c) >= 20) & (F.length(c) <= 100000)
     stop_ok = (stop_hits.cast("double") / n) >= 0.05
-    mean_wlen = (F.length(c) - n + 1).cast("double") / n
+    # TRUE mean word length (exact integer sum of word lengths / n):
+    # the earlier (length - n + 1) / n shortcut assumed exactly one
+    # separator char between words, so double-spaced / columnar text
+    # inflated the estimate and lost a third of its score despite
+    # normal words
+    mean_wlen = (
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / n
+    )
     wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
     score = (
         len_ok.cast("int") + stop_ok.cast("int") + wlen_ok.cast("int")

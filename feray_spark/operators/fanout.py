@@ -38,6 +38,13 @@ def isolated_map(
             f"id_col {id_col!r} collides with isolated_map's reserved "
             "output columns (status/result/error); rename it"
         )
+    if id_col not in df.columns:
+        # fail fast on the driver: row[id_col] would otherwise raise
+        # a KeyError inside every executor task after spin-up — the
+        # opaque failure mode every guard in this block pre-empts
+        raise ValueError(
+            f"id_col {id_col!r} not in the input columns {df.columns}"
+        )
     schema = result_schema or f"{id_col} long, status string, result double, error string"
     if result_schema is not None:
         # run() always emits exactly (id_col, status, result, error):

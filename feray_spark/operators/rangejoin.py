@@ -49,12 +49,19 @@ def point_interval_join(
     interval_hi: str,
     bin_width_sec: int = 3600,
     how: str = "inner",
+    max_bins_per_interval: int = 100_000,
 ) -> DataFrame:
     """Join each ``points`` row to every ``intervals`` row with
     ``lo <= ts < hi`` — no equi key required. Output carries all
     columns of both inputs (names must be disjoint; alias before
     calling). ``how`` ∈ {inner, left} (left keeps unmatched points).
-    """
+
+    ``max_bins_per_interval`` is the dirty-data valve: ONE corrupt
+    wide interval (hi in year 9999) would otherwise ask ``sequence``
+    for tens of millions of elements and kill the whole join with an
+    array-size error. Such a row now fails loudly, by itself, with a
+    message naming the knob (raise ``bin_width_sec`` or the cap for
+    legitimately huge intervals)."""
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(f"column names must be disjoint, both have {sorted(overlap)}")
@@ -62,6 +69,14 @@ def point_interval_join(
         raise ValueError(f"how must be inner|left, got {how!r}")
     if bin_width_sec <= 0:
         raise ValueError(f"bin_width_sec must be positive, got {bin_width_sec}")
+    reserved = {_BIN, _BIN_IV} & (set(points.columns) | set(intervals.columns))
+    if reserved:
+        # withColumn would silently overwrite (points side) or the
+        # join condition bind ambiguously (intervals side)
+        raise ValueError(
+            f"point_interval_join reserves column names {sorted(reserved)};"
+            " rename them"
+        )
     w_us = F.lit(int(bin_width_sec) * 1_000_000)
     p = points.withColumn(
         _BIN, F.floor(F.unix_micros(F.col(point_ts)) / w_us)
@@ -70,8 +85,23 @@ def point_interval_join(
     hi_bin = F.floor((F.unix_micros(F.col(interval_hi)) - 1) / w_us)  # hi exclusive
     # empty intervals (hi <= lo) cover no bins and must drop out —
     # an unguarded sequence(start > stop) would count DOWN
-    bins = F.when(hi_bin >= lo_bin, F.sequence(lo_bin, hi_bin)).otherwise(
-        F.array().cast("array<bigint>")
+    bins = (
+        F.when(
+            hi_bin - lo_bin >= F.lit(int(max_bins_per_interval)),
+            F.raise_error(
+                F.format_string(
+                    "point_interval_join: interval [%s, %s) spans %s bins "
+                    f"(cap {int(max_bins_per_interval)}); raise "
+                    "bin_width_sec or max_bins_per_interval, or filter "
+                    "corrupt intervals",
+                    F.col(interval_lo).cast("string"),
+                    F.col(interval_hi).cast("string"),
+                    (hi_bin - lo_bin + 1).cast("string"),
+                )
+            ).cast("array<bigint>"),
+        )
+        .when(hi_bin >= lo_bin, F.sequence(lo_bin, hi_bin))
+        .otherwise(F.array().cast("array<bigint>"))
     )
     iv = intervals.withColumn(_BIN_IV, F.explode(bins))
     residual = (F.col(point_ts) >= F.col(interval_lo)) & (

@@ -44,6 +44,12 @@ def salted_join(
     null-padded copy of each unmatched SMALL row per salt —
     ``salts``× duplication, silently wrong — so they are rejected;
     salt the other side's frame for those.
+
+    Residual skew caveat: rows that are BYTE-IDENTICAL across all
+    columns share a salt (same content hash), so a hot key made of
+    exact duplicate rows stays on one reducer. That is the price of
+    a deterministic salt; if exact-duplicate floods are your skew,
+    aggregate them to (row, count) first and join the distinct rows.
     """
     allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
                "leftsemi", "left_anti", "leftanti", "semi", "anti"}
@@ -55,6 +61,11 @@ def salted_join(
             "right/full would duplicate unmatched small-side rows "
             "once per salt"
         )
+    if salts < 1:
+        # pmod(x, 0) is NULL under the non-ANSI session and range(0)
+        # is empty — the join would silently return zero rows (inner)
+        # or all-null padding (left) instead of erroring
+        raise ValueError(f"salts must be >= 1, got {salts}")
     on = list(on)
     overlapping = [c for c in small.columns if c in large.columns and c not in on]
     if overlapping:
@@ -65,14 +76,17 @@ def salted_join(
         raise ValueError(
             f"salted_join reserves the column name {_SALT!r}; rename it"
         )
-    # the salt must spread rows that are BYTE-IDENTICAL (duplicated
-    # hot-key events are the common real-world skew): a content hash
-    # would give them all one salt and leave the hot key on one
-    # reducer. A per-row counter spreads them uniformly; the salt
-    # value never affects the join result (the small side replicates
-    # across ALL salts), so its run-to-run instability is harmless.
+    # the salt MUST be deterministic per row content, never a per-row
+    # counter: monotonically_increasing_id / rand re-derive different
+    # values when a lost map output is recomputed while other reduce
+    # tasks already consumed the old output (fetch-failure partial
+    # recompute, the SPARK-23207 corruption class) — a row would then
+    # join under TWO salts (duplicate) or none (loss). xxhash64 over
+    # every column is stable under any recompute; distinct rows of a
+    # hot key still spread across salts (see the docstring's
+    # exact-duplicate caveat).
     salted_large = large.withColumn(
-        _SALT, F.pmod(F.monotonically_increasing_id(), F.lit(salts))
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salts))
     )
     replicated_small = small.crossJoin(
         F.broadcast(

@@ -59,7 +59,8 @@ _QUALITY_SQL = f"""(CASE WHEN len({_WORDS_SQL}) = 0 THEN 0.0
                 + CAST((len(list_filter({_WORDS_SQL},
                        x -> list_contains(['the','a','of','and','to','in'], x)
                        ))::DOUBLE / len({_WORDS_SQL}) >= 0.05) AS INT)
-                + CAST(((length(text) - len({_WORDS_SQL}) + 1)::DOUBLE
+                + CAST((list_sum(list_transform({_WORDS_SQL},
+                        x -> length(x)))::DOUBLE
                         / len({_WORDS_SQL}) BETWEEN 2.0 AND 12.0) AS INT)
                )::DOUBLE / 3.0 END)"""
 

@@ -19,15 +19,21 @@ import tempfile
 
 def private_stage_root(prefix: str = "feray_stage") -> str:
     """A per-user 0700 directory under the system tempdir. Raises if
-    the path exists but is owned by someone else or group/world
-    accessible — never silently stage through a dir another user
-    controls."""
+    the path exists but is owned by someone else, is a symlink, or is
+    group/world accessible — never silently stage through a dir
+    another user controls (and never silently "repair" loose perms:
+    during the loose window a foreign tag dir may already have been
+    planted inside, so the only safe move is to stop)."""
     root = os.path.join(tempfile.gettempdir(), f"{prefix}_{os.getuid()}")
     os.makedirs(root, mode=0o700, exist_ok=True)
     st = os.lstat(root)
     if st.st_uid != os.getuid() or os.path.islink(root):
         raise RuntimeError(f"stage root {root} is not owned by this user")
-    os.chmod(root, 0o700)
+    if st.st_mode & 0o077:
+        raise RuntimeError(
+            f"stage root {root} is group/world accessible "
+            f"(mode {oct(st.st_mode & 0o777)}); remove it and rerun"
+        )
     return root
 
 
@@ -46,6 +52,13 @@ def stage_single_file(src: str, stage_root: str) -> str:
     tag = hashlib.sha256(src.encode()).hexdigest()[:12]
     stage = os.path.join(stage_root, tag)
     os.makedirs(stage, exist_ok=True)
+    # re-validate the TAG dir with the same discipline as the root: a
+    # planted symlink here (possible if the root ever sat loose)
+    # would otherwise route the stream link into a directory someone
+    # else controls — makedirs(exist_ok=True) happily follows it
+    st = os.lstat(stage)
+    if os.path.islink(stage) or st.st_uid != os.getuid():
+        raise RuntimeError(f"stage dir {stage} is not owned by this user")
     link = os.path.join(stage, os.path.basename(src))
     if not (os.path.islink(link) and os.readlink(link) == src):
         if os.path.lexists(link):

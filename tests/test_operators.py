@@ -181,3 +181,125 @@ def test_ivf_topk_string_ids_keep_real_cell_plan(spark):
         per_q.setdefault(r.q_id, []).append(r.rank)
     assert per_q and all(sorted(v) == list(range(1, len(v) + 1))
                          for v in per_q.values())
+
+
+def test_salted_join_guards_and_determinism(spark):
+    """salts<1 fails fast (pmod NULL would silently return 0 rows);
+    the salt is a content hash, so the join result equals the plain
+    join even with exact-duplicate rows in play."""
+    import pytest as _pytest
+
+    from feray_spark.operators.skew import salted_join
+
+    large = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    small = spark.createDataFrame([(1, "X"), (3, "Y")], "k long, w string")
+    with _pytest.raises(ValueError, match="salts must be"):
+        salted_join(large, small, ["k"], salts=0)
+    got = sorted(
+        (r.k, r.v, r.w) for r in salted_join(large, small, ["k"], salts=4).collect()
+    )
+    want = sorted((r.k, r.v, r.w) for r in large.join(small, "k").collect())
+    assert got == want
+
+
+def test_point_interval_join_dirty_interval_valve(spark):
+    """One corrupt wide interval fails loudly with the knob named,
+    instead of asking sequence() for 70M elements and killing the
+    join; reserved __rj_* names are rejected up front."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from feray_spark.operators.rangejoin import point_interval_join
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 05:30:00")], "pid long, ts string"
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:00", "9999-12-31 00:00:00")],
+        "iid long, lo string, hi string",
+    ).select(
+        "iid",
+        F.col("lo").cast("timestamp").alias("lo"),
+        F.col("hi").cast("timestamp").alias("hi"),
+    )
+    with _pytest.raises(Exception, match="max_bins_per_interval"):
+        point_interval_join(
+            pts, iv, point_ts="ts", interval_lo="lo", interval_hi="hi"
+        ).count()
+    with _pytest.raises(ValueError, match="reserves column"):
+        point_interval_join(
+            pts.withColumn("__rj_bin", F.lit(1)), iv,
+            point_ts="ts", interval_lo="lo", interval_hi="hi",
+        )
+
+
+def test_isolated_map_rejects_missing_id_col(spark):
+    from feray_spark.operators.fanout import isolated_map
+
+    df = spark.createDataFrame([(1, 2.0)], "event_id long, x double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in the input columns"):
+        isolated_map(df, lambda r: r["x"], id_col="event_ID_typo")
+
+
+def test_events_nanos_floor_pre_epoch(spark, tmp_path):
+    """Nanos->micros must FLOOR for both signs: a pre-epoch -1500 ns
+    is -2 us, not the toward-zero -1 us."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feray_spark.catalog import normalize_events_ts
+
+    p = str(tmp_path / "e.parquet")
+    pq.write_table(pa.table({"ts": pa.array([-1500, 1500], pa.int64())}), p)
+    df = spark.read.parquet(p)
+    out = normalize_events_ts(df).selectExpr("unix_micros(ts) AS us")
+    assert sorted(r.us for r in out.collect()) == [-2, 1]
+
+
+def test_external_job_tolerates_non_utf8_channel(tmp_path):
+    """A binary/latin-1 channel file degrades to an empty report (the
+    documented contract), never an escaping UnicodeDecodeError."""
+    import sys
+
+    from feray_spark.external import CHANNEL_ENV, run_external_job
+
+    script = tmp_path / "bad_channel.py"
+    script.write_text(
+        "import os\n"
+        f"open(os.environ['{CHANNEL_ENV}'], 'wb').write(b'\\xff\\xfe junk')\n"
+        "print('done')\n"
+    )
+    res = run_external_job([sys.executable, str(script)])
+    assert res.returncode == 0
+    assert res.metadata == {} and res.data_version is None
+
+
+def test_stage_root_rejects_loose_permissions(tmp_path, monkeypatch):
+    import os
+
+    import pytest as _pytest
+
+    from feray_spark.sources.staging import private_stage_root, stage_single_file
+
+    monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+    root = private_stage_root("t1")
+    assert oct(os.lstat(root).st_mode & 0o777) == "0o700"
+    os.chmod(root, 0o775)
+    with _pytest.raises(RuntimeError, match="group/world accessible"):
+        private_stage_root("t1")
+    os.chmod(root, 0o700)
+    # a planted symlink tag dir is refused, not followed
+    src = tmp_path / "data.parquet"
+    src.write_bytes(b"x")
+    import hashlib
+
+    tag = hashlib.sha256(str(src).encode()).hexdigest()[:12]
+    evil = tmp_path / "evil"
+    evil.mkdir()
+    os.symlink(evil, os.path.join(root, tag))
+    with _pytest.raises(RuntimeError, match="not owned|stage dir"):
+        stage_single_file(str(src), root)
