@@ -52,16 +52,20 @@ def cosine_similarity_batch(a: str | Column, b: str | Column) -> Column:
     Zero-norm vectors yield NULL, aligned with the fold (non-ANSI
     division returns NULL, and Spark sorts NULL last under desc
     while IEEE NaN would sort FIRST — emitting NaN here would
-    reorder top-k results relative to the fold). NULL vectors and
-    RAGGED pairs (len(a) != len(b)) yield NULL per row, matching the
-    fold twin (zip_with over NULL is NULL; a ragged pair NULL-pads
-    the shorter side and the fold NULL-poisons) — np.stack on a
-    ragged/None-bearing object array would otherwise kill the whole
-    task for one bad row. Consistent pairs are scored whatever their
-    dimension: rows are grouped BY PAIR LENGTH, never against the
-    batch's first row, so a mixed-dimension table scores
-    deterministically regardless of batch composition or row
-    order."""
+    reorder top-k results relative to the fold). A vector CONTAINING
+    a NaN element keeps IEEE NaN, also aligned with the fold (the
+    sequential fold propagates NaN; only a clean zero-norm hits the
+    NULL-producing division) — mapping input-NaN rows to NULL would
+    flip their desc-sort position and diverge the two paths' top-k.
+    NULL vectors and RAGGED pairs (len(a) != len(b)) yield NULL per
+    row, matching the fold twin (zip_with over NULL is NULL; a
+    ragged pair NULL-pads the shorter side and the fold
+    NULL-poisons) — np.stack on a ragged/None-bearing object array
+    would otherwise kill the whole task for one bad row. Consistent
+    pairs are scored whatever their dimension: rows are grouped BY
+    PAIR LENGTH, never against the batch's first row, so a
+    mixed-dimension table scores deterministically regardless of
+    batch composition or row order."""
 
     @F.pandas_udf("double")
     def _cos(xs: pd.Series, ys: pd.Series) -> pd.Series:
@@ -71,7 +75,8 @@ def cosine_similarity_batch(a: str | Column, b: str | Column) -> Column:
         len_x = np.array([len(v) if v is not None else -1 for v in xv])
         len_y = np.array([len(v) if v is not None else -2 for v in yv])
         ok = (len_x == len_y) & (len_x > 0)
-        res = pd.Series([pd.NA] * len(xv), dtype="Float64")
+        vals = np.zeros(len(xv), dtype=np.float64)
+        mask = np.ones(len(xv), dtype=bool)  # True = NULL
         for dim in np.unique(len_x[ok]):
             sel = ok & (len_x == dim)
             mx = np.stack(xv[sel]).astype(np.float64)
@@ -80,10 +85,14 @@ def cosine_similarity_batch(a: str | Column, b: str | Column) -> Column:
             den = np.linalg.norm(mx, axis=1) * np.linalg.norm(my, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 out = num / den
-            vals = pd.array(out, dtype="Float64")
-            vals[np.isnan(out)] = pd.NA  # zero-norm -> NULL
-            res[sel] = vals
-        return res
+            # NULL only for a CLEAN zero-norm (den == 0); a NaN that
+            # came in through the data stays NaN like the fold (the
+            # masked Float64 array keeps NaN-with-mask-False distinct
+            # from NA, which pd.array() construction would conflate)
+            has_nan = np.isnan(mx).any(axis=1) | np.isnan(my).any(axis=1)
+            vals[sel] = out
+            mask[sel] = np.isnan(out) & ~has_nan
+        return pd.Series(pd.arrays.FloatingArray(vals, mask))
 
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b

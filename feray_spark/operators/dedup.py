@@ -41,6 +41,24 @@ from feray_spark.functions.text import (
 from feray_spark.queries.util import fan_out
 
 
+def content_keep_flag(
+    content: F.Column, id_col: str, eligible: F.Column
+) -> F.Column:
+    """THE exact-dedup winner rule, shared by :func:`exact_dedup` and
+    the pipeline attrition funnel so the two can never drift: True
+    iff the row is the deterministic keeper of its content group —
+    the lowest ``id_col`` among ELIGIBLE rows sharing
+    ``sha2(content, 256)``. Ineligible rows (NULL text, gate-failed)
+    key on their own id, so they never contend with any content
+    group and flag True trivially; callers that also want them
+    dropped AND the flag with their eligibility predicate."""
+    key = F.when(eligible, F.sha2(content, 256)).otherwise(
+        F.concat(F.lit("__solo__"), F.col(id_col).cast("string"))
+    )
+    w = W.partitionBy(key).orderBy(F.col(id_col))
+    return F.row_number().over(w) == 1
+
+
 def exact_dedup(
     df: DataFrame, text_col: str, id_col: str, *, canonical: bool = False
 ) -> DataFrame:
@@ -64,15 +82,11 @@ def exact_dedup(
         from feray_spark.functions.text import canonical_text
 
         content = canonical_text(content)
-    h = F.coalesce(
-        F.sha2(content, 256),
-        F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
-    )
-    w = W.partitionBy(h).orderBy(F.col(id_col))
+    keep = content_keep_flag(content, id_col, content.isNotNull())
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.withColumn("__keep", keep)
+        .filter(F.col("__keep"))
+        .drop("__keep")
     )
 
 

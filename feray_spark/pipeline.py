@@ -245,23 +245,22 @@ def attrition_report(
     the clustering fixpoint the pipeline pays anyway; nothing is
     counted corpus-scan-per-stage."""
     from feray_spark.functions.text import canonical_text
+    from feray_spark.operators.dedup import content_keep_flag
 
     gate = F.col(text_col).isNotNull() & (
         quality_score(text_col) >= F.lit(quality_min)
     )
-    content_hash = F.sha2(canonical_text(F.col(text_col)), 256)
-    # ungated rows get unique window keys: they pass through the
-    # winner window without contending with any canonical group
-    key = F.when(gate, content_hash).otherwise(
-        F.concat(F.lit("__ungated__"), F.col(id_col).cast("string"))
-    )
-    w = W.partitionBy(key).orderBy(F.col(id_col))
+    # THE exact_dedup winner rule, shared (operators.dedup): ungated
+    # rows key on their own id, so they pass through the winner
+    # window without contending with any canonical group — the
+    # funnel's counts can never drift from the pipeline it audits
+    keep = content_keep_flag(canonical_text(F.col(text_col)), id_col, gate)
     flagged = documents.select(
         F.col(id_col),
         F.col(text_col),
         token_count(text_col).alias("__n_tok"),
         gate.alias("__gated"),
-        (gate & (F.row_number().over(w) == 1)).alias("__winner"),
+        (gate & keep).alias("__winner"),
     # pin the flagged pass: it feeds BOTH the pair generator and the
     # final aggregate, and the clustering in between is eager anyway —
     # without the checkpoint the scan + canonical window re-execute

@@ -182,7 +182,12 @@ def fan_out(df):
     except Exception:
         files = []
     if files:
-        if len(files) >= target:
+        # 2x margin, not 1x: Spark bin-packs small files (each padded
+        # by openCostInBytes), so file count only LOOSELY bounds scan
+        # partitions — measured: 35 tiny files on 32 cores packed to
+        # 18 scan partitions. At twice the core count the packing
+        # floor (maxSplitBytes >= bytesPerCore) lands within ~target.
+        if len(files) >= 2 * target:
             return df  # enough files to split across the cluster
         # few files: repartition only if they're genuinely small.
         # Local paths we can stat; remote stores (s3a/hdfs) we can't —

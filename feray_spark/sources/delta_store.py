@@ -27,12 +27,21 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Delta's userMetadata / CDF-default knobs are SESSION-GLOBAL confs;
+#: the set -> operation -> restore windows below would cross-
+#: contaminate concurrent writers sharing one SparkSession (one
+#: write's metadata stamped on another's commit, a CDF default
+#: flipped mid-create). Serialized per process; separate sessions/
+#: processes are unaffected (each has its own conf).
+_CONF_LOCK = threading.Lock()
 
 
 @dataclass(frozen=True)
@@ -119,36 +128,40 @@ class DeltaTableStore:
             "spark.databricks.delta.properties.defaults."
             "enableChangeDataFeed"
         )
-        prev_cdf = None
-        try:
-            prev_cdf = df.sparkSession.conf.get(cdf_conf, None)
-            # scoped to THIS write: a leaked session default would
-            # both ignore a later enable_cdf=False and silently turn
-            # CDF on for Delta tables created by unrelated code
-            df.sparkSession.conf.set(
-                cdf_conf, "true" if enable_cdf else "false"
-            )
-        except Exception:  # pragma: no cover - locked-down conf
-            pass
-        writer = df.write.format("delta").mode(mode)
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        if user_metadata:
-            writer = writer.option("userMetadata", json.dumps(user_metadata))
-        if mode == "overwrite":
-            writer = writer.option("overwriteSchema", "true")
-        if merge_schema:
-            writer = writer.option("mergeSchema", "true")
-        try:
-            writer.save(self._path(table))
-        finally:
+        with _CONF_LOCK:  # session-global conf: see the lock's note
+            prev_cdf = None
             try:
-                if prev_cdf is None:
-                    df.sparkSession.conf.unset(cdf_conf)
-                else:
-                    df.sparkSession.conf.set(cdf_conf, prev_cdf)
+                prev_cdf = df.sparkSession.conf.get(cdf_conf, None)
+                # scoped to THIS write: a leaked session default would
+                # both ignore a later enable_cdf=False and silently
+                # turn CDF on for Delta tables created by unrelated
+                # code
+                df.sparkSession.conf.set(
+                    cdf_conf, "true" if enable_cdf else "false"
+                )
             except Exception:  # pragma: no cover - locked-down conf
                 pass
+            writer = df.write.format("delta").mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            if user_metadata:
+                writer = writer.option(
+                    "userMetadata", json.dumps(user_metadata)
+                )
+            if mode == "overwrite":
+                writer = writer.option("overwriteSchema", "true")
+            if merge_schema:
+                writer = writer.option("mergeSchema", "true")
+            try:
+                writer.save(self._path(table))
+            finally:
+                try:
+                    if prev_cdf is None:
+                        df.sparkSession.conf.unset(cdf_conf)
+                    else:
+                        df.sparkSession.conf.set(cdf_conf, prev_cdf)
+                except Exception:  # pragma: no cover - locked-down conf
+                    pass
         return self._latest_commit(df.sparkSession, table, mode)
 
     def _latest_commit(
@@ -169,10 +182,13 @@ class DeltaTableStore:
             row_count = -1
         # TableStore's Commit.row_count is the TOTAL table rows after
         # the commit (its tests pin 2-append-1 == 3). Delta's
-        # numOutputRows on an append is the BATCH size — total only
-        # for overwrite-ish modes — so append (and metric-absent)
-        # commits take the full count to keep the twin contract.
-        if row_count < 0 or mode == "append":
+        # numOutputRows equals that total ONLY for overwrite (the one
+        # commit that rewrote everything): on append it is the batch
+        # size, and on merge/replaceWhere it counts rows written to
+        # the REWRITTEN files only (untouched files excluded) — so
+        # every non-overwrite mode (and a metric-absent commit) takes
+        # the full recount to keep the twin contract.
+        if row_count < 0 or mode != "overwrite":
             row_count = self.read(spark, table).count()
         raw = hist["userMetadata"]
         return DeltaCommit(
@@ -269,33 +285,54 @@ class DeltaTableStore:
         (via the session's commit-info conf for the MERGE command)."""
         from delta.tables import DeltaTable
 
-        um_conf = "spark.databricks.delta.commitInfo.userMetadata"
-        prev_um = None
-        if user_metadata is not None:
-            try:
-                prev_um = spark.conf.get(um_conf, None)
-                spark.conf.set(um_conf, json.dumps(user_metadata))
-            except Exception:  # pragma: no cover - locked-down conf
-                pass
-        try:
-            target = DeltaTable.forPath(spark, self._path(table))
-            cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
-            (
-                target.alias("t")
-                .merge(source.alias("s"), cond)
-                .whenMatchedUpdateAll()
-                .whenNotMatchedInsertAll()
-                .execute()
+        from pyspark.sql import functions as F
+
+        # SAME duplicate-source-key contract as TableStore.merge:
+        # Delta only errors when duplicate source rows MATCH a target
+        # row — duplicates of an UNMATCHED key would both insert,
+        # turning the twin's loud error into silent data duplication
+        # (and poisoning every later merge on that key)
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__merge_dup_n"))
+            .filter(F.col("__merge_dup_n") > 1)
+            .take(1)
+        )
+        if dup:
+            key_vals = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"{table}: MERGE source has multiple rows per key "
+                f"(e.g. {key_vals}); deduplicate to one row per key first"
             )
-        finally:
+
+        um_conf = "spark.databricks.delta.commitInfo.userMetadata"
+        with _CONF_LOCK:  # session-global conf: see the lock's note
+            prev_um = None
             if user_metadata is not None:
                 try:
-                    if prev_um is None:
-                        spark.conf.unset(um_conf)
-                    else:
-                        spark.conf.set(um_conf, prev_um)
-                except Exception:  # pragma: no cover
+                    prev_um = spark.conf.get(um_conf, None)
+                    spark.conf.set(um_conf, json.dumps(user_metadata))
+                except Exception:  # pragma: no cover - locked-down conf
                     pass
+            try:
+                target = DeltaTable.forPath(spark, self._path(table))
+                cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+                (
+                    target.alias("t")
+                    .merge(source.alias("s"), cond)
+                    .whenMatchedUpdateAll()
+                    .whenNotMatchedInsertAll()
+                    .execute()
+                )
+            finally:
+                if user_metadata is not None:
+                    try:
+                        if prev_um is None:
+                            spark.conf.unset(um_conf)
+                        else:
+                            spark.conf.set(um_conf, prev_um)
+                    except Exception:  # pragma: no cover
+                        pass
         return self._latest_commit(spark, table, "merge")
 
     # ----------------------------------------------------- backfill

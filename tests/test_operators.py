@@ -303,3 +303,40 @@ def test_stage_root_rejects_loose_permissions(tmp_path, monkeypatch):
     os.symlink(evil, os.path.join(root, tag))
     with _pytest.raises(RuntimeError, match="not owned|stage dir"):
         stage_single_file(str(src), root)
+
+
+def test_cosine_fold_and_batch_agree_on_every_degenerate_input(spark):
+    """The fold and batch cosine paths must agree row-for-row on the
+    degenerate inputs: clean pair (equal values), NaN ELEMENT (both
+    NaN — desc-sorts FIRST), zero-norm / NULL vector / ragged pair
+    (both NULL — desc-sorts LAST). A NaN-vs-NULL swap between the
+    paths reorders any top-k that switches scorer."""
+    import math
+
+    from feray_spark.functions.vectors import (
+        cosine_similarity,
+        cosine_similarity_batch,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], [1.0, 2.0]),
+            (2, [float("nan"), 1.0], [1.0, 1.0]),
+            (3, [0.0, 0.0], [1.0, 1.0]),
+            (4, None, [1.0, 1.0]),
+            (5, [1.0], [1.0, 2.0]),
+        ],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = df.select(
+        "id",
+        cosine_similarity("a", "b").alias("fold"),
+        cosine_similarity_batch("a", "b").alias("batch"),
+    ).collect()
+    for r in rows:
+        if r.fold is None:
+            assert r.batch is None, r
+        elif math.isnan(r.fold):
+            assert r.batch is not None and math.isnan(r.batch), r
+        else:
+            assert r.fold == r.batch, r
