@@ -548,7 +548,7 @@ def a12_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             # harness's 1e-9 rounding at scale (all four columns are
             # 2-decimal fixed-point in the fixtures)
             (
-                F.sum(F.col(c).cast("decimal(18,2)") * F.col("__n")).cast("double")
+                F.sum(dec(c) * F.col("__n")).cast("double")
                 / F.sum(F.when(F.col(c).isNotNull(), F.col("__n")).otherwise(0))
             ).alias("mean_v"),
         ).select("col_name", "n_nulls", "n_distinct", "min_v", "max_v", "mean_v")

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feray_spark.catalog import load_table
-from feray_spark.queries.util import dsum, fan_out
+from feray_spark.queries.util import dec, dsum, fan_out
 from feray_spark.queries.util import scratch_store as _scratch_store
 from feray_spark.functions.hashing import row_version
 from feray_spark.queries import register
@@ -53,7 +53,7 @@ def fs1_record_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     polars-hash parity per SURVEY §2.8 hashing row). fan_out
     measured: 4.48 s with vs 7.04 s without (sf0.1, local[32])."""
     li = fan_out(load_table(spark, sf_dir, "lineitem"))
-    d = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    d = dec  # util.py's money-precision helper (one DEC definition)
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -84,10 +84,12 @@ def fs1_record_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
                p.ts    AS f_last_purchase_ts
         FROM (SELECT event_id, user_id, ts FROM events
               WHERE event_id % 7 = 0) s
-        ASOF LEFT JOIN events a
+        ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                        FROM events GROUP BY user_id, ts) a
           ON s.user_id = a.user_id AND s.ts > a.ts
-        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                        WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                        FROM events WHERE event_type = 'purchase'
+                        GROUP BY user_id, ts) p
           ON s.user_id = p.user_id AND s.ts > p.ts
     """,
     tags=("feature", "FS8", "asof"),

@@ -156,6 +156,7 @@ def t6_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     worse as keys grow). Partition state is bounded by the shuffle
     partition size; the unbounded-stream variant of the same fold is
     the applyInPandasWithState path."""
+    import numpy as np
     import pandas as pd
 
     def fold(batches):
@@ -164,17 +165,27 @@ def t6_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
-        # nullable Int64 + dropna=False: a NULL value must not abort
-        # the cast and a NULL key must keep its group, exactly like
-        # the oracle's SUM-skips-NULLs / GROUP BY-keeps-NULL contract
-        # (the operators/grouped.py rule)
-        pdf["__cents"] = pdf["value"].mul(100).round().astype("Int64")
+        # HALF-UP (away from zero) cents, the scaled_long/F.round
+        # discipline — pandas .round() is banker's half-EVEN, which
+        # disagrees with the oracle's decimal cast on every exact
+        # half-cent. NULLs ride through as NA (nullable Int64).
+        v = pdf["value"].to_numpy(dtype="float64")
+        cents = np.where(v >= 0, np.floor(v * 100 + 0.5), np.ceil(v * 100 - 0.5))
+        pdf["__cents"] = pd.Series(cents, index=pdf.index).astype("Int64")
         g = pdf.groupby("user_id", sort=False, dropna=False)
         out = pd.DataFrame(
             {
+                # min_count=1: SQL SUM over an all-NULL group is NULL;
+                # pandas' default min_count=0 would fabricate 0.0
                 "n_events": g.size(),
-                "total_value": g["__cents"].sum() / 100.0,
-                "last_event_type": g["event_type"].last(),
+                "total_value": g["__cents"].sum(min_count=1) / 100.0,
+                # POSITIONAL last (the oracle's last(x ORDER BY ...)
+                # returns the final value even when it is NULL);
+                # groupby.last() skips NULLs and would resurrect an
+                # earlier value
+                "last_event_type": g["event_type"].agg(
+                    lambda s: s.iloc[-1]
+                ),
             }
         ).reset_index()
         yield out[["user_id", "n_events", "total_value", "last_event_type"]]

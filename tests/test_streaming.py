@@ -565,3 +565,49 @@ def test_serving_upsert_drops_null_keyed_rows(spark, tmp_dir):
     q2.awaitTermination(120)
     assert store.latest_version("serving_nn") == v
     assert store.read(spark, "serving_nn").count() == 1
+
+
+def test_t6_fold_null_semantics_match_oracle(spark, tmp_path):
+    """The stateful fold's batch twin must keep SQL NULL semantics on
+    NULL-bearing fixtures: an all-NULL-value group totals NULL (not a
+    fabricated 0.0), and the positional last event_type is returned
+    even when it is NULL (pandas' groupby.last would skip it and
+    resurrect an earlier value)."""
+    import os
+
+    import duckdb
+
+    from feray_spark.queries import load_all
+    from tests.oracle_utils import canonicalize
+
+    sfd = str(tmp_path / "sf")
+    os.makedirs(sfd)
+    rows = [
+        (1, 7, "2024-01-01 00:00:00", None, "view"),
+        (2, 7, "2024-01-01 00:01:00", None, None),
+        (3, 8, "2024-01-01 00:00:30", 1.25, "purchase"),
+        (4, 8, "2024-01-01 00:02:00", None, None),
+        (5, None, "2024-01-01 00:03:00", 2.0, "view"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts string, value double,"
+        " event_type string",
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts",
+        "value", "event_type",
+    ).coalesce(1).write.parquet(os.path.join(sfd, "events.parquet"))
+
+    q = load_all()["t6_stateful_running"]
+    got = q.fn(spark, sfd).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sfd}/events.parquet/*.parquet')"
+    )
+    want = con.sql(q.oracle).df()
+    assert canonicalize(got) == canonicalize(want)
+    by_user = {r.user_id: r for r in q.fn(spark, sfd).collect()}
+    assert by_user[7].total_value is None  # not 0.0
+    assert by_user[7].last_event_type is None  # not 'view'
+    assert by_user[8].total_value == 1.25
