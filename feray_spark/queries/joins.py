@@ -168,9 +168,9 @@ def j5_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j6_theta_join",
-    oracle="""
-        SELECT p_brand, COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS
-               DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    oracle=f"""
+        SELECT p_brand, COUNT(*) AS n,
+               {sql_dsum('l_quantity')} AS total_qty
         FROM lineitem JOIN part
           ON l_partkey = p_partkey AND l_quantity < p_size
         GROUP BY p_brand
@@ -334,10 +334,10 @@ def j10_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j7b_interval_join",
-    oracle="""
+    oracle=f"""
         SELECT p.event_id AS purchase_id,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+               {sql_dsum('e.value')} AS total_value
         FROM (SELECT event_id, ts FROM events
               WHERE event_type = 'purchase') p
         JOIN events e

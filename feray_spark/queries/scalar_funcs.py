@@ -387,11 +387,13 @@ def f_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing family — the FS1 record-version primitive (reference
-    README.md:23, polars-hash dep): sha256 over the canonical row
-    rendering (0x1f-joined, NULL→0x00 sentinel, money via decimal),
-    recomputed identically by the DuckDB oracle. sha256 per row is
-    CPU-bound -> fan_out (measured: 4.02 s with vs 4.94 s without,
-    sf0.1, local[32])."""
+    README.md:23, polars-hash dep): sha256 over the canonical
+    PREFIX-FREE row rendering ('n' for NULL, 'v<len>:<value>' per
+    field — functions/hashing.py row_version; a separator-joined
+    scheme was rejected there as non-injective), recomputed
+    identically by the DuckDB oracle. sha256 per row is CPU-bound ->
+    fan_out (measured: 4.02 s with vs 4.94 s without, sf0.1,
+    local[32])."""
     li = fan_out(load_table(spark, sf_dir, "lineitem"))
     return li.select(
         "l_orderkey",
@@ -446,9 +448,13 @@ def f_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(array_to_string(list_sort(list_intersect(
                    string_split(o_orderpriority, '-'),
                    ['1', '2', 'URGENT'])), ','), '')            AS inter_sorted,
-               array_to_string(list_sort(list_filter(
+               -- list_distinct pins MULTIPLICITY to Spark's
+               -- array_except (which dedups); a bare filter keeps
+               -- repeated tokens and would diverge on any input
+               -- whose split parts repeat
+               array_to_string(list_sort(list_distinct(list_filter(
                    string_split(o_orderpriority, '-'),
-                   x -> NOT list_contains(['URGENT', 'LOW'], x))), ',')
+                   x -> NOT list_contains(['URGENT', 'LOW'], x)))), ',')
                                                                 AS except_sorted,
                CAST(len(list_zip(string_split(o_orderpriority, '-'),
                     string_split(o_orderpriority, '-'))) AS INT) AS zip_len,

@@ -161,10 +161,14 @@ def f3b_grouped_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("udf", "F4"),
 )
 def f4_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F4: custom aggregates as GROUPED_AGG pandas UDFs — partial
-    aggregation still applies (Spark feeds each UDAF the group's
-    values per partition tree), and the chosen reducers are
-    order-independent."""
+    """F4: custom aggregates as GROUPED_AGG pandas UDFs. Scale
+    honesty: GROUPED_AGG runs as AggregateInPandasExec with NO
+    map-side combine — every group's full value set shuffles to one
+    reducer, so a skewed hot key lands whole on one task. That makes
+    this surface right for modest-cardinality keys (as here) and
+    WRONG for web-scale hot keys, where the built-in aggregates (or
+    a two-level scaled-long pattern, see a1) keep partials map-side.
+    The chosen reducers are order-independent."""
 
     @F.pandas_udf("double")
     def max_price(v: pd.Series) -> float:
@@ -202,7 +206,13 @@ def f5_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, word string")
     class SplitWords:
         def eval(self, name: str):
-            for i, w in enumerate((name or "").split(" ")):
+            if name is None:
+                # NULL in, NO rows out (f1's NULL-propagation rule):
+                # the oracle's unnest(string_split(NULL)) emits
+                # nothing, and (name or "") would fabricate a phantom
+                # (0, '') row per NULL input
+                return
+            for i, w in enumerate(name.split(" ")):
                 yield i, w
 
     spark.udtf.register("split_words", SplitWords)
@@ -319,6 +329,10 @@ def f7_isolated_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return isolated_map(
         e.select("event_id"),
-        lambda row: 1.0 / (row["event_id"] % 7),
+        # int(): pandas to_dict gives native ints today, but a numpy
+        # scalar here would make 1.0/np.int64(0) return inf with a
+        # warning instead of raising — silently un-isolating the
+        # poisoned records this demo exists to isolate
+        lambda row: 1.0 / int(row["event_id"] % 7),
         id_col="event_id",
     )
