@@ -146,7 +146,12 @@ _ROUND6_PRIORITY = [
 #: alphabetically until the window is full).
 _ROUND7_PRIORITY = [
     # (1) entries REGISTERED in round 6 — never driver-checked
-    # (the TPC-H Q2/Q7/Q8/Q9 shapes)
+    # (the TPC-H Q2/Q7/Q8/Q9 shapes, then the Q10/Q6 shapes that
+    # completed 22/22 coverage; prepended in their registering
+    # commits per the construction rule — the two displaced r4-era
+    # fills, f5b_polymorphic_udtf and f_datetime_diff, move to the
+    # round-8 fill pool)
+    "ep22_returned_items", "ep23_forecast_revenue",
     "ep18_min_cost_supplier", "ep19_volume_shipping",
     "ep20_market_share", "ep21_product_profit",
     # (2) operator code changed in round 6 after the last driver row:
@@ -171,7 +176,7 @@ _ROUND7_PRIORITY = [
     # r4-era fill (alphabetical) to exactly 50
     "a12_table_profile", "a13_heavy_hitters", "a14_exact_quantiles",
     "a1_groupby_q1", "ep3c_tpch_q3", "ep3d_tpch_q5",
-    "ep4_recursive_cte", "f5b_polymorphic_udtf", "f_datetime_diff",
+    "ep4_recursive_cte",
 ]
 
 #: ACTIVE WINDOW (round 6): the staged rotation above. CORRECTNESS_r05

@@ -1854,3 +1854,99 @@ def ep21_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_EP21_SQL)
+
+
+_EP22_SQL = """
+    SELECT c_custkey,
+           c_name,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS acctbal,
+           n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM (
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                    AS DECIMAL(18,4)) AS rev
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+    ) returned
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY SUM(rev) DESC, c_custkey
+    LIMIT 20
+"""
+
+
+@register(
+    "ep22_returned_items",
+    oracle=_EP22_SQL,
+    tags=("sql", "EP22", "topk"),
+)
+def ep22_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP22: the TPC-H-Q10 shape — the classic "top customers by
+    returned-item revenue" report: a one-quarter order window and a
+    fact-side flag filter feed a four-table join, grouped by the
+    FULL customer identity (key, name, balance, nation) and cut to
+    the global top 20 by revenue. Completes the 22/22 TPC-H shape
+    coverage of the EP SQL surface (Q1 is a1, Q2/Q7/Q8/Q9 are
+    ep18-ep21, the rest ep3-ep17).
+
+    Scale shape: customer/nation broadcast; the quarter window
+    pushes to the orders scan and the returnflag to the lineitem
+    scan, so only matched fact rows reach the join; ONE hash
+    aggregate on the customer identity (the key makes grouping
+    skew-free); ORDER BY + LIMIT plans as TakeOrderedAndProject
+    (per-partition top-20, then a 20-row driver merge — never a
+    global sort). Ordering ties break on the EXACT decimal revenue
+    then c_custkey, so the selected 20 rows are deterministic in
+    both engines; the printed revenue is the exact sum cast to
+    DOUBLE once."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP22_SQL)
+
+
+_EP23_SQL = """
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_discount AS DECIMAL(8,2))
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@register(
+    "ep23_forecast_revenue",
+    oracle=_EP23_SQL,
+    tags=("sql", "EP23"),
+)
+def ep23_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP23: the TPC-H-Q6 shape — the pure scan-side query: one
+    fact table, three range predicates, one global SUM, no join and
+    no grouping. Deliberately the simplest EP entry: it isolates
+    whether range predicates on timestamp and double columns reach
+    the parquet scan as pushed filters (row-group min/max pruning at
+    scale) with nothing else in the plan to hide behind.
+
+    Scale shape: all three predicates push to the scan
+    (PushedFilters shows the shipdate window, the discount band and
+    the quantity cut); the single global aggregate runs as map-side
+    partials into a one-row final — no shuffle of data rows, only
+    of 32 partial states. The revenue measure is the exact
+    DECIMAL(18,2) x DECIMAL(8,2) product accumulated exactly and
+    cast to DOUBLE once (the discount-band comparison itself happens
+    on the raw IEEE doubles, bit-identical in both engines)."""
+    from feray_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EP23_SQL)

@@ -846,3 +846,35 @@ def test_q9_like_filter_prunes_part_before_broadcast(spark, sf_dir):
     q = load_all()["ep21_product_profit"]
     plan = formatted(q.fn(spark, sf_dir))
     assert "Contains(p_name,widget)" in plan.replace(" ", ""), plan
+
+
+def test_q10_topk_broadcast_and_pushdown(spark, sf_dir):
+    """ep22: the global top-20 must plan TakeOrderedAndProject (never
+    a full sort), every dim must broadcast, and the quarter window /
+    returnflag must reach their scans as pushed filters."""
+    q = load_all()["ep22_returned_items"]
+    df = q.fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    fmt = formatted(df)
+    assert "EqualTo(l_returnflag,R)" in fmt, fmt
+    assert "GreaterThanOrEqual(o_orderdate," in fmt, fmt
+
+
+def test_q6_all_predicates_push_to_scan(spark, sf_dir):
+    """ep23: the pure-scan query — all three range predicates must
+    appear in PushedFilters and the plan must contain no exchange of
+    data rows (single global agg = partials into one final)."""
+    q = load_all()["ep23_forecast_revenue"]
+    df = q.fn(spark, sf_dir)
+    fmt = formatted(df)
+    pushed = [l for l in fmt.splitlines() if "PushedFilters" in l]
+    assert pushed, fmt
+    line = pushed[0]
+    assert "GreaterThanOrEqual(l_shipdate," in line, line
+    assert "LessThan(l_quantity,24.0)" in line, line
+    assert "GreaterThanOrEqual(l_discount,0.05)" in line, line
+    plan = plan_of(df)
+    assert "Join" not in plan, plan

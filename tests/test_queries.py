@@ -92,7 +92,9 @@ def test_ep4_bounds_its_temp_views(spark, sf_dir):
     assert len(views) <= 1, views
 
 
-@pytest.mark.parametrize("attr", ["_ROUND5_PRIORITY", "_ROUND6_PRIORITY"])
+@pytest.mark.parametrize(
+    "attr", ["_ROUND5_PRIORITY", "_ROUND6_PRIORITY", "_ROUND7_PRIORITY"]
+)
 def test_staged_rotation_names_resolve(attr):
     """The rotation lists are hand-maintained; a typo'd name would
     silently fall out of _ordered() and the intended query would miss
