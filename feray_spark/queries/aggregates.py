@@ -566,7 +566,8 @@ def a12_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT o_orderpriority AS priority,
                    o_totalprice AS v,
                    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                                      ORDER BY o_totalprice) AS rn,
+                                      ORDER BY o_totalprice
+                                      ASC NULLS LAST) AS rn,
                    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
             FROM orders
         )
@@ -606,7 +607,13 @@ def a14_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("v"),
         )
         .withColumn(
-            "rn", F.row_number().over(W.partitionBy("priority").orderBy("v"))
+            # NULLS LAST pinned on both sides: Spark's bare ASC is
+            # NULLS FIRST vs DuckDB's NULLS LAST — a NULL price would
+            # shift every rank and the ceil(p*n)-th picks with it
+            "rn",
+            F.row_number().over(
+                W.partitionBy("priority").orderBy(F.col("v").asc_nulls_last())
+            ),
         )
         .withColumn("n", F.count("*").over(W.partitionBy("priority")))
     )

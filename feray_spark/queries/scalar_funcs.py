@@ -133,9 +133,13 @@ def f_datetime_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                abs(l_discount - 0.05)                  AS disc_dev,
                CAST(floor(l_extendedprice) AS BIGINT)  AS price_floor,
                CAST(ceil(l_extendedprice) AS BIGINT)   AS price_ceil,
-               round(sqrt(l_quantity), 9)              AS qty_sqrt,
-               round(ln(l_extendedprice), 9)           AS price_ln,
-               round(log10(l_extendedprice), 9)        AS price_log10,
+               CASE WHEN l_quantity >= 0
+                    THEN round(sqrt(l_quantity), 9) END AS qty_sqrt,
+               CASE WHEN l_extendedprice > 0
+                    THEN round(ln(l_extendedprice), 9) END AS price_ln,
+               CASE WHEN l_extendedprice > 0
+                    THEN round(log10(l_extendedprice), 9) END
+                                                        AS price_log10,
                pow(l_quantity, 2)                      AS qty_sq,
                CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
                CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod7,
@@ -157,12 +161,26 @@ def f_math_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
         F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
-        F.round(F.sqrt("l_quantity"), 9).alias("qty_sqrt"),
-        F.round(F.log("l_extendedprice"), 9).alias("price_ln"),
-        F.round(F.log10("l_extendedprice"), 9).alias("price_log10"),
+        # domain guards pinned on BOTH sides: out-of-domain inputs
+        # (negative sqrt, non-positive log) are NULL — Spark's native
+        # non-ANSI behavior — while unguarded DuckDB RAISES, so the
+        # twins would diverge by crash on one dirty row
+        F.when(
+            F.col("l_quantity") >= 0, F.round(F.sqrt("l_quantity"), 9)
+        ).alias("qty_sqrt"),
+        F.when(
+            F.col("l_extendedprice") > 0, F.round(F.log("l_extendedprice"), 9)
+        ).alias("price_ln"),
+        F.when(
+            F.col("l_extendedprice") > 0,
+            F.round(F.log10("l_extendedprice"), 9),
+        ).alias("price_log10"),
         F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
         F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
-        F.pmod(F.col("l_quantity").cast("bigint"), F.lit(7))
+        # % (Remainder), not F.pmod: the oracle's % keeps the
+        # dividend's sign on negatives (DuckDB -3 % 7 = -3) while
+        # pmod(-3, 7) = 4 — the twins must pin the SAME operator
+        (F.col("l_quantity").cast("bigint") % F.lit(7))
         .cast("bigint")
         .alias("qty_mod7"),
         F.round(F.col("l_discount") * 100, 0).alias("disc_pct"),
@@ -242,12 +260,14 @@ def f_array_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                CAST(len(embedding) AS INT) AS dim,
                CAST(embedding[1] AS DOUBLE) AS first_elem,
-               sqrt(list_reduce(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                    (acc, x) -> acc + x)) AS l2,
-               list_reduce(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                    (acc, x) -> acc + x) AS self_dot
+               CASE WHEN len(embedding) = 0 THEN 0.0
+                    ELSE sqrt(list_reduce(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                         (acc, x) -> acc + x)) END AS l2,
+               CASE WHEN len(embedding) = 0 THEN 0.0
+                    ELSE list_reduce(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                         (acc, x) -> acc + x) END AS self_dot
         FROM embeddings
     """,
     tags=("scalar", "array", "vector"),
@@ -255,11 +275,20 @@ def f_array_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f_array_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over float vectors: higher-order fns (transform /
     zip_with / aggregate) — sequential fold, float→double cast before
-    arithmetic, bit-identical across engines."""
+    arithmetic, bit-identical across engines. The oracle guards its
+    folds with an empty-list CASE: DuckDB's seedless ``list_reduce``
+    RAISES on an empty list, while Spark's ``F.aggregate`` starts
+    from the 0.0 seed — on an empty embedding the twins would
+    diverge by crash, not by hash. (NULL embeddings already agree:
+    both engines fold NULL to NULL.)"""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        # isNotNull guard: Spark's legacy (non-ANSI) size(NULL) is -1
+        # while DuckDB's len(NULL) is NULL — pin the SQL semantics
+        F.when(F.col("embedding").isNotNull(), F.size("embedding")).alias(
+            "dim"
+        ),
         F.element_at("embedding", 1).cast("double").alias("first_elem"),
         l2_norm("embedding").alias("l2"),
         dot("embedding", "embedding").alias("self_dot"),

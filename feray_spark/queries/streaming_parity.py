@@ -165,6 +165,12 @@ def t6_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
+        # nullable Int64 BEFORE the groupby: a NULL user_id arrives
+        # as float64 NaN, and a NaN group key flowing into the
+        # 'user_id long' output schema becomes a garbage long under
+        # Spark's unsafe pandas->Arrow cast (the oracle's GROUP BY
+        # keeps a NULL group) — pd.NA round-trips to a true NULL
+        pdf["user_id"] = pdf["user_id"].astype("Int64")
         # HALF-UP (away from zero) cents, the scaled_long/F.round
         # discipline — pandas .round() is banker's half-EVEN, which
         # disagrees with the oracle's decimal cast on every exact
@@ -204,7 +210,10 @@ def t6_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id, user_id, event_type FROM (
             SELECT event_id, user_id, event_type,
-                   ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+                   ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts,
+                       md5(concat(
+                           coalesce(CAST(user_id AS VARCHAR), '__null__'),
+                           '|', coalesce(event_type, '__null__')))) AS rn
             FROM events) t
         WHERE rn = 1
     """,
@@ -223,10 +232,26 @@ def t5_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped."""
     e = load_table(spark, sf_dir, "events")
     # ONE min_by over the whole payload struct: per-column min_bys
-    # could mix columns from different rows on a ts tie
+    # could mix columns from different rows on a ts tie. The ordering
+    # key carries a deterministic payload surrogate (the asof.py
+    # tiebreak pattern, md5 = engine-portable) so a (event_id, ts)
+    # tie between rows with DIFFERENT payloads still picks the same
+    # winner in both engines and across runs.
+    tiebreak = F.md5(
+        F.concat(
+            F.coalesce(F.col("user_id").cast("string"), F.lit("__null__")),
+            F.lit("|"),
+            F.coalesce(F.col("event_type"), F.lit("__null__")),
+        )
+    )
     return (
         e.groupBy("event_id")
-        .agg(F.min_by(F.struct("user_id", "event_type"), "ts").alias("p"))
+        .agg(
+            F.min_by(
+                F.struct("user_id", "event_type"),
+                F.struct(F.col("ts").alias("ts"), tiebreak.alias("tb")),
+            ).alias("p")
+        )
         .select("event_id", "p.user_id", "p.event_type")
     )
 

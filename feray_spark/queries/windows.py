@@ -55,14 +55,21 @@ def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
                percent_rank() OVER w AS pr
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority
-                     ORDER BY o_totalprice, o_orderkey)
+                     ORDER BY o_totalprice ASC NULLS LAST,
+                              o_orderkey ASC NULLS LAST)
     """,
     tags=("window", "W2"),
 )
 def w2_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: distribution ranks within each priority class."""
+    """W2: distribution ranks within each priority class. The window
+    order pins NULLS LAST on both sides (Spark bare ASC is NULLS
+    FIRST, DuckDB's is NULLS LAST — a NULL price would otherwise
+    land in opposite quartiles and shift every rank)."""
     o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc_nulls_last(),
+        F.col("o_orderkey").asc_nulls_last(),
+    )
     return o.select(
         "o_orderkey",
         "o_orderpriority",
@@ -258,20 +265,25 @@ def w8_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderkey, o_orderstatus, o_totalprice
         FROM orders
-        ORDER BY o_orderstatus ASC, o_totalprice DESC NULLS LAST, o_orderkey
+        ORDER BY o_orderstatus ASC NULLS LAST,
+                 o_totalprice DESC NULLS LAST,
+                 o_orderkey ASC NULLS LAST
         LIMIT 100
     """,
     tags=("sort", "O1"),
 )
 def o1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1+O2: multi-key sort with explicit null placement, limited so
-    the ordering is observable in the result set."""
+    the ordering is observable in the result set. EVERY key pins its
+    null placement on BOTH sides: Spark's bare ASC is NULLS FIRST
+    while DuckDB's is NULLS LAST, so an unpinned ASC key over a
+    nullable column would select different top-100 row sets."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.orderBy(
-            F.col("o_orderstatus").asc(),
+            F.col("o_orderstatus").asc_nulls_last(),
             F.col("o_totalprice").desc_nulls_last(),
-            F.col("o_orderkey"),
+            F.col("o_orderkey").asc_nulls_last(),
         )
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .limit(100)

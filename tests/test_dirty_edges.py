@@ -1,0 +1,119 @@
+"""Dirty-data parity: manufactured edge rows through BOTH engines.
+
+The oracle-gated catalog is only as strong as the fixtures it runs
+on — the driver's tables carry no NULL keys, no empty arrays, no
+negative quantities, no duplicate event ids. Each test here clones
+the fixture set, injects exactly the edge rows a 100 TB corpus WILL
+contain, and re-runs the full cross-engine parity assertion on the
+affected queries. These pin the fixes for the round-6 latent-edge
+review findings:
+
+- empty / NULL embeddings (DuckDB ``list_reduce`` raises on empty;
+  Spark legacy ``size(NULL)`` is -1 vs DuckDB NULL),
+- out-of-domain math (DuckDB raises on sqrt/ln/log10 of negatives
+  and zero; Spark yields NaN/NULL) and %-vs-pmod sign semantics,
+- NULL keys through ASC orderings (Spark bare ASC is NULLS FIRST,
+  DuckDB's is NULLS LAST) in o1/w2/a14,
+- NULL user_id through t6's pandas fold (NaN group key must emerge
+  as a true NULL, never a garbage long),
+- (event_id, ts) ties with different payloads through t5's dedup
+  (deterministic md5 payload surrogate on both sides).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from feray_spark.queries import load_all
+from tests.oracle_utils import assert_parity
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+_TS = datetime.datetime
+
+
+def _edge_rows(sf_dir: str) -> dict[str, list[dict]]:
+    # an existing priority so the NULL-price rows shift ranks inside
+    # a REAL partition rather than forming their own
+    prio = (
+        pq.read_table(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_orderpriority"]
+        )
+        .column(0)[0]
+        .as_py()
+    )
+    return {
+        "events": [
+            # NULL user_id (t6's NaN-group-key edge; two rows so the
+            # NULL group exercises last_event_type ordering too, and
+            # a -0.005 value exercises half-up cents on negatives)
+            dict(event_id=900001, ts=_TS(1999, 1, 1), user_id=None,
+                 event_type="junk", value=1.23, props=None),
+            dict(event_id=900003, ts=_TS(1999, 1, 2), user_id=None,
+                 event_type="junk2", value=-0.005, props=None),
+            # exact (event_id, ts) tie with DIFFERENT payloads — the
+            # t5 dedup winner must be deterministic in both engines
+            dict(event_id=900002, ts=_TS(1999, 1, 3), user_id=7,
+                 event_type="zzz", value=1.0, props=None),
+            dict(event_id=900002, ts=_TS(1999, 1, 3), user_id=3,
+                 event_type="aaa", value=2.0, props=None),
+        ],
+        "orders": [
+            dict(o_orderkey=999001, o_custkey=1, o_orderstatus=None,
+                 o_totalprice=None, o_orderdate=_TS(1997, 1, 1),
+                 o_orderpriority=prio),
+            dict(o_orderkey=999002, o_custkey=1, o_orderstatus="F",
+                 o_totalprice=None, o_orderdate=_TS(1997, 1, 2),
+                 o_orderpriority=prio),
+        ],
+        "lineitem": [
+            # negative quantity (sqrt domain + % sign), zero price
+            # (ln/log10 domain), negative discount (sign/abs)
+            dict(l_orderkey=999001, l_partkey=1, l_suppkey=1,
+                 l_linenumber=1, l_quantity=-3.0, l_extendedprice=0.0,
+                 l_discount=-0.02, l_tax=0.0, l_returnflag="X",
+                 l_linestatus="X", l_shipdate=_TS(1997, 2, 1)),
+        ],
+        "embeddings": [
+            dict(vec_id=999001, embedding=[], label=0),
+            dict(vec_id=999002, embedding=None, label=0),
+        ],
+    }
+
+
+@pytest.fixture(scope="module")
+def dirty_sf_dir(tmp_path_factory, sf_dir) -> str:
+    root = tmp_path_factory.mktemp("sf_dirty")
+    extra = _edge_rows(sf_dir)
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        rows = extra.get(t)
+        if rows:
+            add = pa.Table.from_pylist(rows, schema=tbl.schema)
+            tbl = pa.concat_tables([tbl, add])
+        pq.write_table(tbl, str(root / f"{t}.parquet"))
+    return str(root)
+
+
+EDGE_QUERIES = (
+    "f_array_vectors",
+    "f_math_family",
+    "t5_dedup",
+    "t6_stateful_running",
+    "o1_multikey_sort",
+    "w2_ntile_percent_rank",
+    "a14_exact_quantiles",
+)
+
+
+@pytest.mark.parametrize("name", EDGE_QUERIES)
+def test_edge_rows_keep_cross_engine_parity(spark, dirty_sf_dir, name):
+    assert_parity(spark, dirty_sf_dir, load_all()[name])
