@@ -775,6 +775,11 @@ def semantic_dedup(
     recall trade of every bucketed near-dup tier (same as
     minhash_lsh_pairs' banding).
 
+    NULL/empty vectors are always KEPT: their cosine is undefined
+    (the fold scores such pairs NULL, which never clears ``tau``),
+    so they can neither drop a neighbor nor be dropped — flagging
+    invalid vectors is FS5 asset-check territory, not dedup's.
+
     Returns the KEPT rows: (id, bucket).
     """
     bits = [

@@ -50,13 +50,14 @@ def _dtype_of(df: DataFrame, name: str) -> str:
 
 
 def _drop_null_vecs(df: DataFrame, vec_col: str) -> DataFrame:
-    """NULL embeddings can neither be nor have neighbors (the fold
-    path scores them NULL and filters) — drop them up front so the
-    numpy paths' ``np.stack`` over an Arrow batch never meets a None
-    and kills the task. Every ANN operator routes both of its sides
-    through this, keeping the vectorized and fold paths row-identical
-    on dirty corpora."""
-    return df.filter(F.col(vec_col).isNotNull())
+    """NULL and EMPTY embeddings can neither be nor have neighbors
+    (cosine is undefined: the fold path scores them NULL — 0/0 — and
+    filters) — drop them up front so the numpy paths' ``np.stack``
+    over an Arrow batch never meets a None or a ragged zero-length
+    row and kills the task. Every ANN operator routes both of its
+    sides through this, keeping the vectorized and fold paths
+    row-identical on dirty corpora."""
+    return df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
 
 
 def _rank_topk(

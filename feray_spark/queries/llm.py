@@ -351,7 +351,9 @@ def l2c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * sqrt(list_reduce(list_transform(b.embedding,
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                       (acc, x) -> acc + x))) AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM (SELECT * FROM embeddings WHERE len(embedding) > 0) a
+        JOIN (SELECT * FROM embeddings WHERE len(embedding) > 0) b
+          ON a.vec_id < b.vec_id
         WHERE list_reduce(list_transform(
                   list_zip(a.embedding, b.embedding),
                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
@@ -395,8 +397,10 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * sqrt(list_reduce(list_transform(c.embedding,
                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                           (acc, x) -> acc + x))) AS cosine
-            FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
-            CROSS JOIN embeddings c
+            FROM (SELECT * FROM embeddings
+                  WHERE vec_id % 50 = 0 AND len(embedding) > 0) q
+            CROSS JOIN (SELECT * FROM embeddings
+                        WHERE len(embedding) > 0) c
             WHERE q.vec_id != c.vec_id
         )
         SELECT q_id, c_id, ROUND(cosine, 9) AS cosine, rank FROM (
@@ -416,6 +420,10 @@ def l3_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on near-ties, not just values (the matmul-vectorized twin
     exact_scan_topk is ~1 ulp off per pair, which is enough to
     reorder a near-tied (cosine DESC, id) rank between engines).
+    Both sides exclude NULL/empty embeddings (cosine undefined; the
+    Spark guard is operators.similarity._drop_null_vecs, the oracle's
+    is len(embedding) > 0 — DuckDB's seedless list_reduce would
+    otherwise RAISE on the empty norm fold).
     Output cosine additionally rounds to 9 decimals on both sides.
     Corpus never shuffles; only the partial top-k ranks exchange.
     l3b/l3c carry the vectorized + ANN scale tiers."""
@@ -561,7 +569,10 @@ def l3c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars_computed,
-               length(text) = n_chars AS n_chars_ok,
+               -- coalesce: a NULL-text row must yield a REAL boolean
+               -- (NULL booleans reach pandas as None on the Spark
+               -- side but NaN from DuckDB — an untyped mismatch)
+               coalesce(length(text) = n_chars, FALSE) AS n_chars_ok,
                CAST(len({_WORDS_SQL}) AS INT) AS n_tokens,
                CAST(len(regexp_extract_all(text,
                    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT)
@@ -595,7 +606,9 @@ def l4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars_computed"),
-        (F.length("text") == F.col("n_chars")).alias("n_chars_ok"),
+        F.coalesce(
+            F.length("text") == F.col("n_chars"), F.lit(False)
+        ).alias("n_chars_ok"),
         token_count("text").alias("n_tokens"),
         bpe_ish_token_count("text").alias("n_bpe_tokens"),
         lang_id("text").alias("lang_guess"),
@@ -666,7 +679,14 @@ def l5b_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows-only: hashed feature indices are Spark-internal)."""
     from pyspark.ml.feature import IDF, HashingTF, Tokenizer
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", F.lower("text").alias("text"))
+    d = (
+        load_table(spark, sf_dir, "documents")
+        # the ML Tokenizer's java UDF raises on NULL input (no SQL
+        # NULL-propagation); NULL-text docs have no tokens — absent
+        # from the result, exactly like the exact path's explode
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.lower("text").alias("text"))
+    )
     tok = Tokenizer(inputCol="text", outputCol="tokens")
     tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12)
     # No persist: IDF.fit is the FIRST materialization (one pass for doc
@@ -963,7 +983,8 @@ def l6d_video_frame_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "l8_doc_chunking",
     oracle=f"""
-        WITH words_t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+        WITH words_t AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+                         WHERE len({_WORDS_SQL}) > 0),
         chunks AS (
             SELECT doc_id,
                    CAST(i AS INT) AS chunk_idx,
@@ -1014,6 +1035,11 @@ def l8_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         d.select("doc_id", w.alias("__w"))
+        # zero-word docs (NULL or empty text) chunk to NOTHING on
+        # both sides; unguarded, Spark would emit ('' , 0) while
+        # DuckDB emits (NULL, 0) — and legacy size(NULL) = -1 would
+        # poison n_chunks for NULL texts
+        .filter(F.size("__w") > 0)
         .select("doc_id", F.explode(chunks).alias("c"))
         .select(
             "doc_id",
@@ -1565,8 +1591,12 @@ _MIX_BUDGET_FRAC = 0.5  # token budget as a fraction of the corpus
                    len({_WORDS_SQL}) AS n_tok
             FROM documents
         ), per_src AS (
+            -- TRY_CAST + coalesce: a source id without a numeric
+            -- suffix must yield a defined weight (DuckDB's plain
+            -- CAST raises where Spark's returns NULL)
             SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
-                   1 + CAST(substr(source, 4) AS INT) % 5 AS w_raw
+                   1 + coalesce(TRY_CAST(substr(source, 4) AS INT), 0) % 5
+                       AS w_raw
             FROM tok GROUP BY source
         ), tot AS (
             SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens,
@@ -1620,7 +1650,13 @@ def l17_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "source", u.alias("u"), token_count("text").alias("n_tok")
     )
-    w_raw = 1 + F.expr("CAST(substring(source, 4) AS INT)") % 5
+    w_raw = (
+        1
+        + F.coalesce(
+            F.expr("CAST(substring(source, 4) AS INT)"), F.lit(0)
+        )
+        % 5
+    )
     per_src = tok.groupBy("source").agg(
         F.sum("n_tok").cast("bigint").alias("src_tokens")
     ).withColumn("w_raw", w_raw)
@@ -1938,7 +1974,8 @@ _LINE_W = 8  # tokens per span for the span-dedup query
 @register(
     "l20_span_dedup",
     oracle=f"""
-        WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+        WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+                      WHERE len({_WORDS_SQL}) > 0),
         chunks AS (
           SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
                  array_to_string(
@@ -1992,6 +2029,12 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.greatest(
         F.ceil(F.size(words_fn("text")) / F.lit(_LINE_W)), F.lit(1)
     ).cast("int")
+    # zero-word docs (NULL/empty text) have no spans — absent from
+    # the output on both sides. Unfiltered, Spark manufactures a ''
+    # chunk (array_join of an empty slice) where DuckDB manufactures
+    # NULL, and NULL chunks from DIFFERENT docs would share one
+    # dedup partition — three divergences from one degenerate row.
+    d = d.filter(F.size(words_fn("text")) > 0)
     # fan_out measured: 0.85-1.01 s vs 1.08-1.17 s without (sf0.1,
     # local[32]) — the tokenize+explode is CPU-bound while the
     # fixture scan yields only 3 partitions
@@ -2017,10 +2060,10 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_chunks"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
-        # NULL (not md5('')) when every span was removed OR every kept
-        # chunk is NULL (a NULL-text doc): the oracle's string_agg
-        # skips NULL values, so an all-NULL kept set aggregates to
-        # NULL — array_join would silently drop them and emit md5('')
+        # NULL (not md5('')) when every span was removed: the
+        # oracle's string_agg over zero kept chunks aggregates to
+        # NULL — array_join would emit md5('') instead (zero-word
+        # docs never reach here; they are filtered on both sides)
         F.when(
             F.sum(
                 F.when(F.col("keep") & F.col("chunk").isNotNull(), 1).otherwise(0)
@@ -2069,7 +2112,9 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           (acc, x) -> acc + x))
                       * sqrt(list_reduce(list_transform(a.c, x -> x * x),
                           (acc, x) -> acc + x))) AS cosine
-            FROM embeddings e JOIN carr a USING (label)
+            FROM (SELECT * FROM embeddings
+                  WHERE len(embedding) > 0) e
+            JOIN carr a USING (label)
         )
         SELECT label, vec_id,
                ROUND(cosine, 6) AS cos_centroid, rank
@@ -2115,10 +2160,15 @@ def l21_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     )
     from feray_spark.functions.vectors import cosine_similarity
+    from feray_spark.operators.similarity import _drop_null_vecs
 
-    scored = d.join(F.broadcast(carr), "label").withColumn(
-        "cosine", cosine_similarity("embedding", "c")
-    )
+    # NULL/empty vectors have no defined centroid cosine — they are
+    # invalid inputs (FS5 null-rate territory), not "outliers", and
+    # Spark's NULLS-FIRST ASC rank would otherwise seat them in the
+    # bottom-5 while the oracle's fold RAISES on the empty list
+    scored = _drop_null_vecs(d, "embedding").join(
+        F.broadcast(carr), "label"
+    ).withColumn("cosine", cosine_similarity("embedding", "c"))
     w = W_llm.partitionBy("label").orderBy("cosine", "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -2294,14 +2344,23 @@ _L24_COS_SQL = """
             SELECT vec_id, embedding,
                    concat({_L24_BITS_SQL}) AS bucket
             FROM embeddings
-        )
+        ),
+        -- NULL/empty vectors have no defined cosine: they can neither
+        -- drop nor be dropped (always kept). The split keeps the fold
+        -- away from empty lists — DuckDB's seedless list_reduce
+        -- RAISES there (and SQL AND gives no short-circuit guarantee)
+        valid AS (SELECT * FROM tagged WHERE len(embedding) > 0),
+        invalid AS (SELECT * FROM tagged
+                    WHERE embedding IS NULL OR len(embedding) = 0)
         SELECT a.vec_id AS vec_id, a.bucket AS bucket
-        FROM tagged a
+        FROM valid a
         WHERE NOT EXISTS (
-            SELECT 1 FROM tagged b
+            SELECT 1 FROM valid b
             WHERE b.bucket = a.bucket AND b.vec_id < a.vec_id
               AND {_L24_COS_SQL} >= 0.4
         )
+        UNION ALL
+        SELECT vec_id, bucket FROM invalid
     """,
     tags=("llm", "L24", "dedup", "similarity"),
 )
@@ -2550,9 +2609,14 @@ def l26b_curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT vec_id,
                scale,
-               array_to_string(list_transform(embedding, x ->
-                   CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5)
-                        AS INT) AS VARCHAR)), ',') AS q_csv,
+               -- empty-vs-NULL pinned: Spark array_join([]) is ''
+               -- while DuckDB array_to_string([]) is NULL; a NULL
+               -- embedding stays NULL on both sides
+               CASE WHEN embedding IS NULL THEN NULL
+                    WHEN len(embedding) = 0 THEN ''
+                    ELSE array_to_string(list_transform(embedding, x ->
+                        CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5)
+                             AS INT) AS VARCHAR)), ',') END AS q_csv,
                CASE WHEN scale = 0.0 THEN 0.0
                     ELSE ROUND(list_max(list_transform(embedding, x ->
                         abs(CAST(x AS DOUBLE)

@@ -367,9 +367,27 @@ def f_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_json_family",
     oracle="""
         SELECT event_id,
-               CAST(json_extract(props, '$.k') AS INT) AS k_value,
-               json_extract_string(props, '$.k')       AS k_str,
-               CAST(len(json_keys(props)) AS INT)      AS n_keys
+               -- object guards: Spark's from_json(map) yields NULL
+               -- for malformed AND valid-but-non-object documents,
+               -- while DuckDB RAISES on malformed and returns [] keys
+               -- for scalars/arrays — pin NULL for every non-object.
+               -- NESTED case (not AND): only CASE THEN branches are
+               -- guaranteed lazy, so json_type never sees bad input
+               CASE WHEN json_valid(props) THEN
+                    CASE WHEN json_type(props) = 'OBJECT'
+                         THEN CAST(json_extract(props, '$.k') AS INT)
+                    END
+               END AS k_value,
+               CASE WHEN json_valid(props) THEN
+                    CASE WHEN json_type(props) = 'OBJECT'
+                         THEN json_extract_string(props, '$.k')
+                    END
+               END AS k_str,
+               CASE WHEN json_valid(props) THEN
+                    CASE WHEN json_type(props) = 'OBJECT'
+                         THEN CAST(len(json_keys(props)) AS INT)
+                    END
+               END AS n_keys
         FROM events
     """,
     tags=("scalar", "json"),
@@ -389,7 +407,10 @@ def f_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(m, "k").cast("int").alias("k_value"),
         F.element_at(m, "k").alias("k_str"),
-        F.size(F.map_keys(m)).alias("n_keys"),
+        # isNotNull guard: from_json yields a NULL map for NULL or
+        # malformed props, and legacy size(NULL) is -1 where the
+        # oracle has NULL (the f_array_vectors dim discipline)
+        F.when(m.isNotNull(), F.size(F.map_keys(m))).alias("n_keys"),
     )
 
 
@@ -471,9 +492,15 @@ def f_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- harness's local TimeZone, which no harness pins
                TIMESTAMP '1999-11-30 00:00:00'                  AS fixed_epoch,
                CAST(hour(o_orderdate) AS INT)                   AS order_hour,
-               array_to_string(list_sort(list_distinct(
-                   string_split(o_orderpriority, '-') ||
-                   string_split(o_orderstatus, '-'))), ',')     AS union_sorted,
+               -- NULL-propagation pinned: Spark's array_union is
+               -- NULL if EITHER side is NULL, while DuckDB's list
+               -- concat treats a NULL side as absent
+               CASE WHEN o_orderpriority IS NULL
+                         OR o_orderstatus IS NULL THEN NULL
+                    ELSE array_to_string(list_sort(list_distinct(
+                        string_split(o_orderpriority, '-') ||
+                        string_split(o_orderstatus, '-'))), ',')
+               END                                              AS union_sorted,
                coalesce(array_to_string(list_sort(list_intersect(
                    string_split(o_orderpriority, '-'),
                    ['1', '2', 'URGENT'])), ','), '')            AS inter_sorted,
@@ -554,17 +581,26 @@ def f_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "f_variant_family",
     oracle="""
+        WITH v AS (
+            -- nested-CASE json_valid guard (the f_json_family
+            -- discipline): DuckDB's json_extract RAISES on malformed
+            -- documents while try_parse_json yields a NULL variant
+            SELECT event_type,
+                   CASE WHEN json_valid(props)
+                        THEN json_extract(props, '$.k') END AS k_raw,
+                   CASE WHEN json_valid(props)
+                        THEN json_extract(props, '$.missing')
+                   END AS miss_raw
+            FROM events
+        )
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
-                   AS BIGINT) AS k_sum,
-               CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT))
-                   AS BIGINT) AS k_min,
-               CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT))
-                   AS BIGINT) AS k_max,
-               CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+               CAST(SUM(CAST(k_raw AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(MIN(CAST(k_raw AS BIGINT)) AS BIGINT) AS k_min,
+               CAST(MAX(CAST(k_raw AS BIGINT)) AS BIGINT) AS k_max,
+               CAST(SUM(CASE WHEN miss_raw IS NULL
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
-        FROM events GROUP BY event_type
+        FROM v GROUP BY event_type
     """,
     tags=("function", "variant", "json"),
 )
@@ -584,8 +620,10 @@ def f_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in wide JSON event pipelines. Zero shuffles beyond the
     final rollup; the parse+access is a codegen projection."""
     e = load_table(spark, sf_dir, "events")
+    # try_parse_json, not parse_json: malformed props must yield a
+    # NULL variant (every path access then NULL), never a task error
     v = e.select(
-        "event_type", F.parse_json("props").alias("v")
+        "event_type", F.try_parse_json("props").alias("v")
     ).select(
         "event_type",
         F.try_variant_get("v", "$.k", "bigint").alias("k"),

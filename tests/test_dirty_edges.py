@@ -65,6 +65,13 @@ def _edge_rows(sf_dir: str) -> dict[str, list[dict]]:
                  event_type="zzz", value=1.0, props=None),
             dict(event_id=900002, ts=_TS(1999, 1, 3), user_id=3,
                  event_type="aaa", value=2.0, props=None),
+            # malformed and valid-but-non-object JSON props (DuckDB's
+            # json fns raise on the former and return [] keys on the
+            # latter; Spark's from_json yields NULL for both)
+            dict(event_id=900004, ts=_TS(1999, 1, 4), user_id=11,
+                 event_type="junk3", value=0.0, props="not json"),
+            dict(event_id=900005, ts=_TS(1999, 1, 5), user_id=11,
+                 event_type="junk4", value=0.0, props="5"),
         ],
         "orders": [
             dict(o_orderkey=999001, o_custkey=1, o_orderstatus=None,
@@ -86,6 +93,23 @@ def _edge_rows(sf_dir: str) -> dict[str, list[dict]]:
             dict(vec_id=999001, embedding=[], label=0),
             dict(vec_id=999002, embedding=None, label=0),
         ],
+        "documents": [
+            # NULL everything — the junk row every web crawl contains
+            dict(doc_id=999001, text=None, lang=None, source=None,
+                 n_chars=None),
+            # empty and single-token texts (zero word counts, no
+            # shingles, zero-length chunks)
+            dict(doc_id=999002, text="", lang="en", source="edge",
+                 n_chars=0),
+            dict(doc_id=999003, text="x", lang="xx", source="edge",
+                 n_chars=1),
+            # an exact-duplicate pair from different sources — dedup
+            # winner rules must pick deterministically
+            dict(doc_id=999004, text="dup text dup text", lang="en",
+                 source="edgeA", n_chars=17),
+            dict(doc_id=999005, text="dup text dup text", lang="en",
+                 source="edgeB", n_chars=17),
+        ],
     }
 
 
@@ -103,17 +127,11 @@ def dirty_sf_dir(tmp_path_factory, sf_dir) -> str:
     return str(root)
 
 
-EDGE_QUERIES = (
-    "f_array_vectors",
-    "f_math_family",
-    "t5_dedup",
-    "t6_stateful_running",
-    "o1_multikey_sort",
-    "w2_ntile_percent_rank",
-    "a14_exact_quantiles",
-)
-
-
-@pytest.mark.parametrize("name", EDGE_QUERIES)
+# The WHOLE catalog runs on the dirty clone (the test_empty_inputs
+# discipline, lifted from well-defined to value-correct): ~2 min at
+# suite settings, and it is the only net that catches the next
+# "DuckDB raises where Spark folds" or NULLS-FIRST edge the moment a
+# new entry registers.
+@pytest.mark.parametrize("name", sorted(load_all()))
 def test_edge_rows_keep_cross_engine_parity(spark, dirty_sf_dir, name):
     assert_parity(spark, dirty_sf_dir, load_all()[name])
