@@ -210,7 +210,12 @@ def bpe_token_count(
             if t is None:
                 return None
             total = 0
-            for w in _ws.split(str(t).lower()):
+            # the canon_lower pins (İ→I pre-lower, ς→σ post-lower),
+            # applied in Python so the encoder sees the SAME word
+            # types the Spark-side trainer learned — bare .lower()
+            # maps İ to 'i'+combining-dot where canon_lower gives 'i'
+            canon = str(t).replace("İ", "I").lower().replace("ς", "σ")
+            for w in _ws.split(canon):
                 if not w:
                     continue
                 hit = cache.get(w)

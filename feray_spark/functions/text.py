@@ -21,11 +21,31 @@ EN_STOPWORDS = ("the", "a", "of", "and", "to", "in")
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
-def words(col: str | Column) -> Column:
-    """Whitespace tokens of the lowercased text (empty strings
-    filtered — Spark's split keeps a trailing empty token)."""
+def canon_lower(col: str | Column) -> Column:
+    """Engine-portable lowercasing: Unicode simple lowercase plus an
+    explicit pin of the two mappings where Java (Spark's UTF8String)
+    and utf8proc (DuckDB) legitimately disagree:
+
+    - U+0130 İ — Java's special casing emits 'i' + combining dot
+      (U+0307, two codepoints), utf8proc a plain 'i'; pinned by
+      pre-mapping İ→I so neither engine takes its special path.
+    - Greek capital sigma — Java applies the CONTEXT-SENSITIVE final
+      form (ς at word end, 'ΑΣ'→'ας'), utf8proc the context-free σ;
+      pinned by post-mapping ς→σ (which also canonicalizes literal
+      final sigmas in the input, on both sides).
+
+    Every oracle-gated text canonicalization must pair this with the
+    identical SQL twin (queries/llm.py `_canon_lower_sql`) — a bare
+    lower()/lower() pair silently diverges on Turkish/Greek text."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(c), "\\s+"), lambda w: w != "")
+    return F.translate(F.lower(F.translate(c, "İ", "I")), "ς", "σ")
+
+
+def words(col: str | Column) -> Column:
+    """Whitespace tokens of the canonically-lowercased text (empty
+    strings filtered — Spark's split keeps a trailing empty token)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(canon_lower(c), "\\s+"), lambda w: w != "")
 
 
 def _null_safe_size(arr: Column) -> Column:
@@ -190,7 +210,7 @@ def doc_fingerprint(col: str | Column, gram: int = 8) -> Column:
     = whole doc). Robust to small appends/prepends unlike a full-text
     hash; identical docs ⇒ identical fingerprint."""
     c = F.col(col) if isinstance(col, str) else col
-    low = F.lower(c)
+    low = canon_lower(c)
     idx = F.sequence(F.lit(1), F.greatest(F.length(low) - gram + 1, F.lit(1)))
     grams = F.transform(idx, lambda i: F.substr(low, i, F.lit(gram)))
     return F.array_min(F.transform(grams, lambda g: hash64(g, 0)))

@@ -19,6 +19,7 @@ from feray_spark.functions.text import (
     MINHASH_COEFFS,
     MINHASH_P,
     bpe_ish_token_count,
+    canon_lower,
     doc_fingerprint,
     lang_id,
     md5_bucket,
@@ -50,7 +51,18 @@ MH_BANDS = 4
 MH_ROWS = MH_NUM_HASHES // MH_BANDS
 JACCARD_T = 0.5
 
-_WORDS_SQL = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+#: DuckDB twin of functions.text.canon_lower — engine-portable
+#: lowercasing with the İ (U+0130) and final-sigma special-casing
+#: pins (see canon_lower's docstring for why bare lower() diverges
+#: between Java and utf8proc on Turkish/Greek text)
+def _canon_lower_sql(expr: str = "text") -> str:
+    return f"replace(lower(replace({expr}, 'İ', 'I')), 'ς', 'σ')"
+
+
+_WORDS_SQL = (
+    "list_filter(string_split_regex("
+    f"{_canon_lower_sql('text')}, '\\s+'), x -> x != '')"
+)
 
 # DuckDB twin of functions.text.quality_score (same integer/ratio
 # arithmetic, same IEEE ops) — shared by l4 and the sampling/cap oracles.
@@ -587,9 +599,11 @@ def l3c_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- collapse every NULL doc to md5('0'))
                CASE WHEN text IS NULL THEN NULL
                ELSE list_min(list_transform(
-                   generate_series(1, greatest(length(text) - 7, 1)),
+                   generate_series(1,
+                       greatest(length({_canon_lower_sql('text')}) - 7, 1)),
                    i -> substr(md5(concat_ws('|', '0',
-                        substr(lower(text), i, 8))), 1, 16))) END AS fingerprint
+                        substr({_canon_lower_sql('text')}, i, 8))),
+                        1, 16))) END AS fingerprint
         FROM documents
     """,
     tags=("llm", "L4"),
@@ -685,7 +699,7 @@ def l5b_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # NULL-propagation); NULL-text docs have no tokens — absent
         # from the result, exactly like the exact path's explode
         .filter(F.col("text").isNotNull())
-        .select("doc_id", F.lower("text").alias("text"))
+        .select("doc_id", canon_lower("text").alias("text"))
     )
     tok = Tokenizer(inputCol="text", outputCol="tokens")
     tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12)
@@ -743,13 +757,17 @@ def l6_multimodal_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l6b_frame_sample",
     oracle="""
         WITH frames AS (
-            -- fixture text is pure ASCII (asserted in tests), so char
-            -- slicing on VARCHAR equals the byte chunking the engine
-            -- does on the encoded payload
+            -- the ORACLE char-slices VARCHAR, which equals the byte
+            -- chunking the engine does only when every char is one
+            -- byte — so the GATE restricts to ASCII payloads on both
+            -- sides (DuckDB 1.0 cannot slice/sha256 BLOBs). The
+            -- engine path itself is byte-generic; its non-ASCII
+            -- byte-exactness is pinned by the multimodal unit tests.
             SELECT doc_id,
                    CAST(i AS INT) AS frame_idx,
                    substring(text, CAST(i * 32 + 1 AS BIGINT), 32) AS frame
-            FROM documents,
+            FROM (SELECT * FROM documents
+                  WHERE length(text) = octet_length(encode(text))) documents,
                  LATERAL unnest(generate_series(0,
                      CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)
                          - 1)) AS t(i)
@@ -771,7 +789,9 @@ def l6b_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame_extractor slot (multimodal.extract_video_frames stub)."""
     from feray_spark.multimodal import attach_media, fake_chunk_frames, sample_frames
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") == F.octet_length("text")
+    )
     with_media = attach_media(
         d.withColumn("payload", F.encode("text", "UTF-8")), "payload", "video/fake"
     )

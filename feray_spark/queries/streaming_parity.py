@@ -134,7 +134,12 @@ def t4_watermark_latedata(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                    AS total_value,
-               last(event_type ORDER BY ts, event_id) AS last_event_type
+               -- event_type itself is the FINAL ordering key: rows
+               -- tied on (ts, event_id) — duplicate ids in dirty
+               -- data — would otherwise make "last" an arbitrary
+               -- pick on each engine (the t5 tie discipline)
+               last(event_type ORDER BY ts, event_id, event_type)
+                   AS last_event_type
         FROM events GROUP BY user_id
     """,
     tags=("streaming", "T6"),
@@ -164,7 +169,12 @@ def t6_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        pdf = pdf.sort_values(["ts", "event_id"])
+        # event_type joins the sort so a (ts, event_id) tie cannot
+        # make the positional "last" pick engine-arbitrary;
+        # na_position='last' matches the oracle's NULLS LAST default
+        pdf = pdf.sort_values(
+            ["ts", "event_id", "event_type"], na_position="last"
+        )
         # nullable Int64 BEFORE the groupby: a NULL user_id arrives
         # as float64 NaN, and a NaN group key flowing into the
         # 'user_id long' output schema becomes a garbage long under

@@ -227,8 +227,12 @@ def f5_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f5b_polymorphic_udtf",
     oracle="""
         WITH toks AS (
+            -- canon_lower twin (functions.text): İ→I pre-lower and
+            -- ς→σ post-lower pin the two Java-vs-utf8proc
+            -- case-folding divergences
             SELECT doc_id,
-                   unnest(list_filter(string_split_regex(lower(text),
+                   unnest(list_filter(string_split_regex(
+                       replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'),
                        '\\s+'), x -> x != '')) AS tok
             FROM documents
         ),
@@ -282,12 +286,14 @@ def f5b_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             import re
 
             # Java \s (ASCII-only), matching the oracle's regex split —
-            # python str.split() would also break on Unicode whitespace
-            toks = [
-                w
-                for w in re.split("[ \t\n\x0b\f\r]+", (text or "").lower())
-                if w
-            ]
+            # python str.split() would also break on Unicode
+            # whitespace. The lowercasing applies the canon_lower pins
+            # (İ→I pre-lower, ς→σ post-lower): bare .lower() maps İ to
+            # 'i'+combining-dot where both oracles emit plain 'i'.
+            canon = (
+                (text or "").replace("İ", "I").lower().replace("ς", "σ")
+            )
+            toks = [w for w in re.split("[ \t\n\x0b\f\r]+", canon) if w]
             best = sorted(
                 Counter(toks).items(), key=lambda kv: (-kv[1], kv[0])
             )[: int(k)]

@@ -109,6 +109,19 @@ def _edge_rows(sf_dir: str) -> dict[str, list[dict]]:
                  source="edgeA", n_chars=17),
             dict(doc_id=999005, text="dup text dup text", lang="en",
                  source="edgeB", n_chars=17),
+            # unicode case-folding edges: İ (Java lower emits
+            # 'i'+combining-dot, utf8proc plain 'i') and the Greek
+            # final sigma (Java context-sensitive ς, utf8proc σ) —
+            # pinned by canon_lower / _canon_lower_sql on both sides
+            dict(doc_id=999006,
+                 text="CafÉ İstanbul STRASSE ß ΑΣ ΤΕΛΟΣ ςigma",
+                 lang="tr", source="edge", n_chars=38),
+            # unicode whitespace vs Java's ASCII-only \s, regex
+            # metacharacters, CJK (no spaces), control whitespace
+            dict(doc_id=999007,
+                 text="nbsp ideographic　zero​width regex []()*+?^$|\\ "
+                      "汉字テスト\tmixed汉words字here\r\n",
+                 lang="xx", source="edge", n_chars=70),
         ],
     }
 

@@ -594,3 +594,72 @@ def test_table_store_matches_reference_model(spark, ops):
             assert got == snap, (v, got, snap)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------
+# Generative differential parity (the dirty-fixture net, generalized):
+# hypothesis builds a hostile events table — duplicate event ids, tied
+# timestamps, NULL keys/payloads/values, malformed JSON — and the REAL
+# registered queries must hold cross-engine parity on every draw, not
+# just on the fixed edge rows tests/test_dirty_edges.py plants.
+
+_EV_TS = [
+    __import__("datetime").datetime(1999, 1, 1, 0, m) for m in (0, 7, 30)
+]
+_ev_rows = st.lists(
+    st.tuples(
+        st.integers(900_000, 900_004),              # id collisions likely
+        st.sampled_from(_EV_TS),                    # tie-heavy event times
+        st.one_of(st.none(), st.integers(0, 3)),    # user_id
+        st.one_of(st.none(), st.sampled_from(["a", "zzz", "<|x|>"])),
+        st.one_of(st.none(), money),                # value
+        st.sampled_from([None, 'not json', '{"k": 3}', '5', '{"a":1,"k":2}']),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+#: queries whose semantics the generated table can stress: dedup
+#: winner rule (t5), the stateful cents fold (t6), event-time
+#: bucketing + dsum (t1), JSON guards (f_json_family)
+_EV_QUERIES = (
+    "t5_dedup",
+    "t6_stateful_running",
+    "t1_tumbling_window",
+    "f_json_family",
+)
+
+
+@given(data=_ev_rows)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_event_queries_hold_parity_on_generated_tables(
+    spark, tmp_path_factory, data
+):
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from feray_spark.queries import load_all
+    from tests.oracle_utils import assert_parity
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path_factory.mktemp("sf_gen"))
+    schema = pq.read_schema(os.path.join(sf, "events.parquet"))
+    rows = [
+        dict(event_id=e, ts=t, user_id=u, event_type=y, value=v, props=p)
+        for e, t, u, y, v, p in data
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(root, "events.parquet"),
+    )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        shutil.copy(os.path.join(sf, f"{t}.parquet"),
+                    os.path.join(root, f"{t}.parquet"))
+    reg = load_all()
+    for name in _EV_QUERIES:
+        assert_parity(spark, root, reg[name])
