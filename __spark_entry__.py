@@ -148,35 +148,40 @@ _ROUND7_PRIORITY = [
     # (1) entries REGISTERED in round 6 — never driver-checked
     # (the TPC-H Q2/Q7/Q8/Q9 shapes, then the Q10/Q6 shapes that
     # completed 22/22 coverage; prepended in their registering
-    # commits per the construction rule — the two displaced r4-era
-    # fills, f5b_polymorphic_udtf and f_datetime_diff, move to the
-    # round-8 fill pool)
+    # commits per the construction rule)
     "ep22_returned_items", "ep23_forecast_revenue",
     "ep18_min_cost_supplier", "ep19_volume_shipping",
     "ep20_market_share", "ep21_product_profit",
-    # (2) operator code changed in round 6 after the last driver row:
-    # l2/l2e execute the new hot-bucket valve path
-    # (minhash_lsh_pairs max_bucket_ids), j8 the map-canonicalized
-    # asof tiebreak
-    "l2_minhash_lsh_neardups", "l2e_neardup_clusters", "j8_asof_join",
-    # (3) oldest evidence: r2-era
+    # (2) code/oracle changed in round 6 after the entry's last
+    # driver row and NOT in the active r6 window (which verifies the
+    # new code already). The round-6 dirty-fixture/unicode hardening
+    # touched the shared tokenizer (canon_lower), the ANN empty-vec
+    # guard, the tie disciplines and a dozen oracles — every entry
+    # downstream of those re-verifies, oldest evidence first.
+    # r3/r4-era rows:
+    "t1_tumbling_window", "f_json_family", "f_array_vectors",
+    "f_math_family", "l8_doc_chunking", "l6b_frame_sample",
+    "l2c_ngram_jaccard", "l11_repetition_signals",
+    "l12_contamination_check", "l14_quality_weighted_sample",
+    "l15_source_cap", "l16_unigram_logprob",
+    "l19_fuzzy_blocked_pairs", "f5b_polymorphic_udtf",
+    "l21_embedding_outliers", "a14_exact_quantiles", "j8_asof_join",
+    "l2_minhash_lsh_neardups", "l2e_neardup_clusters",
+    # r5-era rows:
+    "t5_dedup", "t6_stateful_running", "l13_sequence_packing",
+    "f_scalar_extras", "f_variant_family", "l2b_simhash",
+    "l2d_embedding_neardup", "l3_embedding_topk", "l3b_lsh_topk",
+    "l3c_ivf_topk", "l4_text_stats", "l5_token_df_idf",
+    "l17_mixture_sampling", "l24_semantic_dedup",
+    "l27_embedding_quantize", "l31_split_leakage",
+    "l18b_incremental_neardup", "l26_curation_pipeline",
+    "l26b_curation_attrition", "l29_temperature_mixture",
+    "l30_length_bucket_batches",
+    # (3) oldest-evidence unchanged fill to exactly 50 (r2-era pair,
+    # then r3-era alphabetical; the rest of the r3-era block moves
+    # to the round-8 pool)
     "w5_sliding_rows", "w6_time_range_frame",
-    # r3-era (all 32)
-    "f2_pandas_udf", "f3_grouped_map", "f3b_grouped_partial",
-    "f4_pandas_udaf", "f7_isolated_fanout", "f_array_strings",
-    "f_array_vectors", "f_datetime_family", "f_hash_family",
-    "f_json_family", "f_map_family", "f_null_family",
-    "f_string_family", "f_struct_family", "fs4_feature_containers",
-    "fs5_asset_checks", "fs6_feature_flags", "fs7_backfill",
-    "l2c_ngram_jaccard", "l6_multimodal_payloads", "l6b_frame_sample",
-    "l7_quality_filter_pipeline", "l8_doc_chunking",
-    "t2_sliding_window", "t3_session_window", "t4_watermark_latedata",
-    "t7_stream_static_join", "t8_stream_stream_join",
-    "u2_union_distinct", "u3_intersect", "u4_except", "u4b_except_all",
-    # r4-era fill (alphabetical) to exactly 50
-    "a12_table_profile", "a13_heavy_hitters", "a14_exact_quantiles",
-    "a1_groupby_q1", "ep3c_tpch_q3", "ep3d_tpch_q5",
-    "ep4_recursive_cte",
+    "f2_pandas_udf", "f3_grouped_map",
 ]
 
 #: ACTIVE WINDOW (round 6): the staged rotation above. CORRECTNESS_r05
