@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from feray_spark.functions.text import words
+from feray_spark.functions.text import canon_lower_py, words
 
 #: marks end-of-word so merges can't cross word boundaries
 EOW = "▁"
@@ -210,12 +210,10 @@ def bpe_token_count(
             if t is None:
                 return None
             total = 0
-            # the canon_lower pins (İ→I pre-lower, ς→σ post-lower),
-            # applied in Python so the encoder sees the SAME word
+            # canon_lower_py: the encoder must see the SAME word
             # types the Spark-side trainer learned — bare .lower()
             # maps İ to 'i'+combining-dot where canon_lower gives 'i'
-            canon = str(t).replace("İ", "I").lower().replace("ς", "σ")
-            for w in _ws.split(canon):
+            for w in _ws.split(canon_lower_py(str(t))):
                 if not w:
                     continue
                 hit = cache.get(w)

@@ -41,6 +41,16 @@ def canon_lower(col: str | Column) -> Column:
     return F.translate(F.lower(F.translate(c, "İ", "I")), "ς", "σ")
 
 
+def canon_lower_py(s: str) -> str:
+    """Python twin of :func:`canon_lower` for driver/UDF-side code
+    (the BPE encoder, UDTF eval bodies): str.lower() carries the same
+    Java-style İ and final-sigma special casings, so the identical
+    pre/post maps apply. Keep the THREE canon twins (Column, SQL,
+    Python) in lockstep — a new pin edits all three or silently
+    desynchronizes the trainer from the encoder."""
+    return s.replace("İ", "I").lower().replace("ς", "σ")
+
+
 def words(col: str | Column) -> Column:
     """Whitespace tokens of the canonically-lowercased text (empty
     strings filtered — Spark's split keeps a trailing empty token)."""

@@ -242,7 +242,13 @@ def j7_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT e.event_id, e.user_id, e.ts,
                p.value AS prev_value, p.event_type AS prev_type
-        FROM events e
+        -- ts IS NOT NULL on the probe side, BOTH engines: DuckDB's
+        -- native ASOF seats a NULL probe time after every quote
+        -- (matches the latest event) while the operator follows
+        -- polars join_asof (a NULL time matches nothing) — a
+        -- NULL-time probe is excluded rather than given either
+        -- engine's arbitrary answer
+        FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
         ASOF LEFT JOIN events p
           ON e.user_id = p.user_id AND e.ts > p.ts
     """,
@@ -255,7 +261,9 @@ def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     prev = e.select("user_id", "ts", "value", "event_type")
     joined = asof_join(
-        e.select("event_id", "user_id", "ts"),
+        e.select("event_id", "user_id", "ts").filter(
+            F.col("ts").isNotNull()
+        ),
         prev,
         on=["user_id"],
         left_ts="ts",
@@ -276,8 +284,10 @@ def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.event_id AS spine_id, s.user_id, s.ts,
                e.value AS last_value, e.event_type AS last_type,
                c.c_acctbal AS acctbal
+        -- ts IS NOT NULL: the j8 NULL-probe-time pin (DuckDB ASOF
+        -- treats NULL time as +inf, the operator as no-match)
         FROM (SELECT event_id, user_id, ts FROM events
-              WHERE event_id % 10 = 0) s
+              WHERE event_id % 10 = 0 AND ts IS NOT NULL) s
         ASOF LEFT JOIN events e
           ON s.user_id = e.user_id AND s.ts > e.ts
         LEFT JOIN customer c ON s.user_id = c.c_custkey
@@ -290,7 +300,9 @@ def j9_point_in_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     static entity feature. FS8's assembly surface."""
     e = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer")
-    spine = e.filter(F.col("event_id") % 10 == 0).select("event_id", "user_id", "ts")
+    spine = e.filter(
+        (F.col("event_id") % 10 == 0) & F.col("ts").isNotNull()
+    ).select("event_id", "user_id", "ts")
     feats = point_in_time_join(
         spine,
         {"_f": (e.select("user_id", "ts", "value", "event_type"), ["user_id"], "ts")},

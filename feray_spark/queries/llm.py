@@ -2139,8 +2139,14 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label, vec_id,
                ROUND(cosine, 6) AS cos_centroid, rank
         FROM (SELECT label, vec_id, cosine,
+                     -- NULLS LAST pinned on both sides: a vector
+                     -- with a NULL element slips past the len()>0
+                     -- guard, scores a NULL cosine on BOTH engines,
+                     -- and Spark's bare ASC would seat it at rank 1
+                     -- while DuckDB ranks it last
                      ROW_NUMBER() OVER (PARTITION BY label
-                         ORDER BY cosine, vec_id) AS rank
+                         ORDER BY cosine ASC NULLS LAST, vec_id)
+                         AS rank
               FROM scored) t
         WHERE rank <= 5
     """,
@@ -2189,7 +2195,9 @@ def l21_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _drop_null_vecs(d, "embedding").join(
         F.broadcast(carr), "label"
     ).withColumn("cosine", cosine_similarity("embedding", "c"))
-    w = W_llm.partitionBy("label").orderBy("cosine", "vec_id")
+    w = W_llm.partitionBy("label").orderBy(
+        F.col("cosine").asc_nulls_last(), "vec_id"
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)

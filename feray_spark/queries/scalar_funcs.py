@@ -142,7 +142,11 @@ def f_datetime_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                         AS price_log10,
                pow(l_quantity, 2)                      AS qty_sq,
                CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
-               CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod7,
+               -- trunc() before the cast: DuckDB's double->BIGINT
+               -- cast ROUNDS (3.5 -> 4) where Spark's truncates
+               -- toward zero (3.5 -> 3); trunc pins both
+               CAST(CAST(trunc(l_quantity) AS BIGINT) % 7 AS BIGINT)
+                   AS qty_mod7,
                round(l_discount * 100)                 AS disc_pct
         FROM lineitem
     """,
@@ -353,7 +357,18 @@ def f_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_type = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
     mapped = per_type.groupBy("user_id").agg(
         F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+            # NULL event_type cannot be a map key (Spark raises
+            # "null as map key"); the when() makes collect_list SKIP
+            # that entry, matching the oracle's COUNT(DISTINCT) —
+            # which also skips NULL — while keeping the user row
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("event_type").isNotNull(),
+                        F.struct("event_type", "n"),
+                    )
+                )
+            )
         ).alias("type_counts")
     )
     return mapped.select(
@@ -373,9 +388,15 @@ def f_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- for scalars/arrays — pin NULL for every non-object.
                -- NESTED case (not AND): only CASE THEN branches are
                -- guaranteed lazy, so json_type never sees bad input
+               -- k_value routes through DOUBLE + trunc + TRY_CAST:
+               -- Spark's string->int cast is NULL for non-numerics
+               -- and TRUNCATES decimals, while DuckDB's plain CAST
+               -- raises on 'abc' and ROUNDS 3.7 to 4
                CASE WHEN json_valid(props) THEN
                     CASE WHEN json_type(props) = 'OBJECT'
-                         THEN CAST(json_extract(props, '$.k') AS INT)
+                         THEN TRY_CAST(trunc(TRY_CAST(
+                              json_extract_string(props, '$.k')
+                              AS DOUBLE)) AS INT)
                     END
                END AS k_value,
                CASE WHEN json_valid(props) THEN
@@ -593,11 +614,19 @@ def f_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
                    END AS miss_raw
             FROM events
         )
+        -- the k cast routes through DOUBLE + trunc + TRY_CAST, the
+        -- f_json_family discipline: Spark's try_variant_get(bigint)
+        -- is NULL for string values and truncates decimals, DuckDB's
+        -- plain CAST raises/rounds. (Bound: the double route is
+        -- exact only to 2^53 — fixture k values are small ints.)
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(k_raw AS BIGINT)) AS BIGINT) AS k_sum,
-               CAST(MIN(CAST(k_raw AS BIGINT)) AS BIGINT) AS k_min,
-               CAST(MAX(CAST(k_raw AS BIGINT)) AS BIGINT) AS k_max,
+               CAST(SUM(TRY_CAST(trunc(TRY_CAST(k_raw AS DOUBLE))
+                   AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(MIN(TRY_CAST(trunc(TRY_CAST(k_raw AS DOUBLE))
+                   AS BIGINT)) AS BIGINT) AS k_min,
+               CAST(MAX(TRY_CAST(trunc(TRY_CAST(k_raw AS DOUBLE))
+                   AS BIGINT)) AS BIGINT) AS k_max,
                CAST(SUM(CASE WHEN miss_raw IS NULL
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
         FROM v GROUP BY event_type
@@ -621,12 +650,19 @@ def f_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     final rollup; the parse+access is a codegen projection."""
     e = load_table(spark, sf_dir, "events")
     # try_parse_json, not parse_json: malformed props must yield a
-    # NULL variant (every path access then NULL), never a task error
+    # NULL variant (every path access then NULL), never a task error.
+    # k extracts as DOUBLE then truncates to bigint (the oracle's
+    # route): a direct bigint variant_get is NULL for the STRING
+    # value "3.7" while it truncates the NUMBER 3.7 — the double
+    # route treats both identically in both engines. The isnan guard
+    # covers the "NaN"-string corner (Spark's NaN->bigint cast is 0
+    # where DuckDB's TRY_CAST is NULL).
+    kd = F.try_variant_get(F.col("v"), "$.k", "double")
     v = e.select(
         "event_type", F.try_parse_json("props").alias("v")
     ).select(
         "event_type",
-        F.try_variant_get("v", "$.k", "bigint").alias("k"),
+        F.when(F.isnan(kd), None).otherwise(kd).cast("bigint").alias("k"),
         F.try_variant_get("v", "$.missing", "bigint").alias("miss"),
     )
     return v.groupBy("event_type").agg(

@@ -30,7 +30,10 @@ from feray_spark.streaming.fastlane import (
                event_type,
                COUNT(*) AS n,
                {sql_dsum('value')} AS total
-        FROM events GROUP BY 1, 2, 3
+        -- ts IS NOT NULL matches Spark's F.window, which injects an
+        -- implicit isnotnull(ts) and DROPS null-event-time rows; a
+        -- bare GROUP BY would keep them as a NULL-window group
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
     """,
     tags=("streaming", "T1"),
 )
@@ -67,10 +70,12 @@ def t2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t3_session_window",
     oracle="""
         WITH marked AS (
+            -- ts IS NOT NULL matches Spark's session_window, which
+            -- (like F.window) drops null-event-time rows
             SELECT user_id, ts,
                    CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
-            FROM events
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), sessions AS (
             SELECT user_id, ts,
@@ -220,10 +225,20 @@ def t6_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id, user_id, event_type FROM (
             SELECT event_id, user_id, event_type,
-                   ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts,
+                   -- (ts IS NULL) leads: Spark's struct ordering is
+                   -- NULLS FIRST where DuckDB's bare ASC is NULLS
+                   -- LAST, so the flag pins NULL-ts rows LAST on both
+                   -- sides. The surrogate carries explicit null FLAGS
+                   -- (never a sentinel string — a real '__null__'
+                   -- payload must not collide with an actual NULL).
+                   ROW_NUMBER() OVER (PARTITION BY event_id
+                       ORDER BY (ts IS NULL), ts,
                        md5(concat(
-                           coalesce(CAST(user_id AS VARCHAR), '__null__'),
-                           '|', coalesce(event_type, '__null__')))) AS rn
+                           CAST(CAST(user_id IS NULL AS INT) AS VARCHAR),
+                           '|', coalesce(CAST(user_id AS VARCHAR), ''),
+                           '|',
+                           CAST(CAST(event_type IS NULL AS INT) AS VARCHAR),
+                           '|', coalesce(event_type, '')))) AS rn
             FROM events) t
         WHERE rn = 1
     """,
@@ -246,12 +261,20 @@ def t5_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key carries a deterministic payload surrogate (the asof.py
     # tiebreak pattern, md5 = engine-portable) so a (event_id, ts)
     # tie between rows with DIFFERENT payloads still picks the same
-    # winner in both engines and across runs.
+    # winner in both engines and across runs. Null handling pinned:
+    # the leading (ts IS NULL) flag seats NULL-ts rows LAST on both
+    # engines (struct ordering is NULLS FIRST, DuckDB ASC is NULLS
+    # LAST), and the surrogate encodes explicit null FLAGS so a real
+    # '__null__'-like payload string can never collide with NULL.
     tiebreak = F.md5(
         F.concat(
-            F.coalesce(F.col("user_id").cast("string"), F.lit("__null__")),
+            F.col("user_id").isNull().cast("int").cast("string"),
             F.lit("|"),
-            F.coalesce(F.col("event_type"), F.lit("__null__")),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+            F.lit("|"),
+            F.col("event_type").isNull().cast("int").cast("string"),
+            F.lit("|"),
+            F.coalesce(F.col("event_type"), F.lit("")),
         )
     )
     return (
@@ -259,7 +282,11 @@ def t5_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min_by(
                 F.struct("user_id", "event_type"),
-                F.struct(F.col("ts").alias("ts"), tiebreak.alias("tb")),
+                F.struct(
+                    F.col("ts").isNull().cast("int").alias("ts_null"),
+                    F.col("ts").alias("ts"),
+                    tiebreak.alias("tb"),
+                ),
             ).alias("p")
         )
         .select("event_id", "p.user_id", "p.event_type")

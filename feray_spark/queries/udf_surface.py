@@ -27,6 +27,10 @@ from feray_spark.catalog import load_table
 from feray_spark.operators.fanout import isolated_map
 from feray_spark.operators.grouped import grouped_partial_agg
 from feray_spark.queries import register
+from feray_spark.queries.llm import _canon_lower_sql
+
+#: shared canon-lower SQL twin over the documents text column
+_CANON_LOWER_TEXT = _canon_lower_sql("text")
 
 
 @register(
@@ -225,14 +229,14 @@ def f5_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "f5b_polymorphic_udtf",
-    oracle="""
+    oracle=f"""
         WITH toks AS (
-            -- canon_lower twin (functions.text): İ→I pre-lower and
-            -- ς→σ post-lower pin the two Java-vs-utf8proc
-            -- case-folding divergences
+            -- canon-lower SQL twin interpolated from queries.llm
+            -- (İ→I pre-lower, ς→σ post-lower: the Java-vs-utf8proc
+            -- case-folding pins)
             SELECT doc_id,
                    unnest(list_filter(string_split_regex(
-                       replace(lower(replace(text, 'İ', 'I')), 'ς', 'σ'),
+                       {_CANON_LOWER_TEXT},
                        '\\s+'), x -> x != '')) AS tok
             FROM documents
         ),
@@ -287,12 +291,10 @@ def f5b_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             # Java \s (ASCII-only), matching the oracle's regex split —
             # python str.split() would also break on Unicode
-            # whitespace. The lowercasing applies the canon_lower pins
-            # (İ→I pre-lower, ς→σ post-lower): bare .lower() maps İ to
-            # 'i'+combining-dot where both oracles emit plain 'i'.
-            canon = (
-                (text or "").replace("İ", "I").lower().replace("ς", "σ")
-            )
+            # whitespace. canon_lower_py carries the shared İ/ς pins.
+            from feray_spark.functions.text import canon_lower_py
+
+            canon = canon_lower_py(text or "")
             toks = [w for w in re.split("[ \t\n\x0b\f\r]+", canon) if w]
             best = sorted(
                 Counter(toks).items(), key=lambda kv: (-kv[1], kv[0])

@@ -86,14 +86,20 @@ def w2_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                LEAD(value)    OVER w AS next_value,
                LAG(value, 2)  OVER w AS prev2_value
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        -- ts NULLS LAST pinned on both sides (Spark bare ASC is
+        -- NULLS FIRST, DuckDB's is NULLS LAST): a NULL-event-time
+        -- row must hold the SAME timeline slot in both engines
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts ASC NULLS LAST, event_id)
     """,
     tags=("window", "W3"),
 )
 def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: offset access within each user's event timeline."""
     e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     return e.select(
         "event_id",
         "user_id",
@@ -143,7 +149,8 @@ def w4_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
                    / COUNT(value) OVER w AS moving_avg3
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts ASC NULLS LAST, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     tags=("window", "W5"),
@@ -154,7 +161,7 @@ def w5_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
         .rowsBetween(-2, W.currentRow)
     )
     return e.select(
@@ -210,7 +217,8 @@ def w6_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                LAST_VALUE(event_type)  OVER w AS latest_type,
                NTH_VALUE(event_type, 2) OVER w AS second_type
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts ASC NULLS LAST, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     tags=("window", "W7"),
@@ -221,7 +229,7 @@ def w7_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return e.select(

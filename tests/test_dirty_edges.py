@@ -72,6 +72,13 @@ def _edge_rows(sf_dir: str) -> dict[str, list[dict]]:
                  event_type="junk3", value=0.0, props="not json"),
             dict(event_id=900005, ts=_TS(1999, 1, 5), user_id=11,
                  event_type="junk4", value=0.0, props="5"),
+            # NULL event time: F.window drops it, bare ASC orderings
+            # seat it at opposite ends of the two engines, and string
+            # k='3.7' / k='abc' exercise the value-type cast pins
+            dict(event_id=900006, ts=None, user_id=11,
+                 event_type="junk5", value=1.0, props='{"k":"3.7"}'),
+            dict(event_id=900007, ts=None, user_id=None,
+                 event_type=None, value=None, props='{"k":"abc"}'),
         ],
         "orders": [
             dict(o_orderkey=999001, o_custkey=1, o_orderstatus=None,

@@ -609,7 +609,7 @@ _EV_TS = [
 _ev_rows = st.lists(
     st.tuples(
         st.integers(900_000, 900_004),              # id collisions likely
-        st.sampled_from(_EV_TS),                    # tie-heavy event times
+        st.one_of(st.none(), st.sampled_from(_EV_TS)),  # NULL + ties
         st.one_of(st.none(), st.integers(0, 3)),    # user_id
         st.one_of(st.none(), st.sampled_from(["a", "zzz", "<|x|>"])),
         st.one_of(st.none(), money),                # value
