@@ -184,12 +184,51 @@ _ROUND7_PRIORITY = [
     "f2_pandas_udf", "f3_grouped_map",
 ]
 
-#: ACTIVE WINDOW (round 6): the staged rotation above. CORRECTNESS_r05
-#: landed green rows for the whole round-5 window (50/50 pass, zero
-#: errs), so the swap is pure evidence gain: ep5b/a5b get their first
-#: driver rows, l5b/l20 re-verify post-change, and the tail re-verifies
-#: the oldest r1/r2-era evidence.
-_DRIVER_PRIORITY = _ROUND6_PRIORITY
+#: ROUND-8 ROTATION (swap in as _DRIVER_PRIORITY after CORRECTNESS_r07
+#: lands — EXACTLY 50 names). Construction rule: (1) catalog entries
+#: ADDED in round 7 — prepend any later addition in the SAME commit
+#: that registers it; (2) entries whose code/oracle changed in round 7
+#: after their last driver row and NOT in the active r7 window
+#: (f_json_family k_value double-route and l17 weight-cast twins ARE
+#: in the r7 window, so they self-verify); (3) oldest evidence first —
+#: the r3-era rows the r7 window could not hold, then the r4-era block
+#: alphabetically until the window is full.
+_ROUND8_PRIORITY = [
+    # (1) entries registered in round 7 — prepend here as they land
+    # (2) round-7 code changes outside the r7 window — none yet
+    # (3) oldest-evidence fill (computed from CORRECTNESS_r01–r06 +
+    #     the active r7 window): the full r3-era block (25)
+    "f3b_grouped_partial", "f4_pandas_udaf", "f7_isolated_fanout",
+    "f_array_strings", "f_datetime_family", "f_hash_family",
+    "f_map_family", "f_null_family", "f_string_family",
+    "f_struct_family", "fs4_feature_containers", "fs5_asset_checks",
+    "fs6_feature_flags", "fs7_backfill", "l6_multimodal_payloads",
+    "l7_quality_filter_pipeline", "t2_sliding_window",
+    "t3_session_window", "t4_watermark_latedata",
+    "t7_stream_static_join", "t8_stream_stream_join",
+    "u2_union_distinct", "u3_intersect", "u4_except", "u4b_except_all",
+    # the full r4-era block (24), alphabetical
+    "a12_table_profile", "a13_heavy_hitters", "a1_groupby_q1",
+    "ep3c_tpch_q3", "ep3d_tpch_q5", "ep4_recursive_cte",
+    "f_datetime_diff", "f_hash_native", "fs10_drift_report",
+    "fs1_record_versions", "fs8_training_set", "fs9_partitioned_assets",
+    "j5_broadcast_star", "l10_pii_redaction", "l18_incremental_dedup",
+    "l1_exact_dedup", "l22_bpe_tokens", "l23_image_phash_dedup",
+    "l4b_lang_rollup", "l6c_audio_features", "l6d_video_frame_split",
+    "l9_deterministic_split", "u1b_union_diagonal",
+    "w9_resample_gap_fill",
+    # r5-era fill to exactly 50 (the rest of the r5 block moves to
+    # the round-9 pool)
+    "ep10_sole_late_supplier",
+]
+
+#: ACTIVE WINDOW (round 7): the staged rotation above. CORRECTNESS_r06
+#: landed green rows for the whole round-6 window (50/50, zero errs),
+#: so the swap is pure evidence gain: ep18–ep23 get their FIRST driver
+#: rows (closing the 129→130 gap), the round-6-touched entries (valve,
+#: asof canonicalization, tie disciplines, canon_lower dependents)
+#: re-verify, and the tail re-verifies the oldest remaining evidence.
+_DRIVER_PRIORITY = _ROUND7_PRIORITY
 
 
 def _ordered(registry):

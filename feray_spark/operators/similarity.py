@@ -49,15 +49,20 @@ def _dtype_of(df: DataFrame, name: str) -> str:
     raise KeyError(name)
 
 
-def _drop_null_vecs(df: DataFrame, vec_col: str) -> DataFrame:
+def drop_invalid_vecs(df: DataFrame, vec_col: str) -> DataFrame:
     """NULL and EMPTY embeddings can neither be nor have neighbors
     (cosine is undefined: the fold path scores them NULL — 0/0 — and
     filters) — drop them up front so the numpy paths' ``np.stack``
     over an Arrow batch never meets a None or a ragged zero-length
     row and kills the task. Every ANN operator routes both of its
-    sides through this, keeping the vectorized and fold paths
-    row-identical on dirty corpora."""
+    sides through this, and registered queries that pre-filter their
+    embedding inputs (l21) share it — public API so oracle pairs can
+    depend on it without reaching into operator internals."""
     return df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+
+
+#: backward-compat alias for the pre-round-7 private name
+_drop_null_vecs = drop_invalid_vecs
 
 
 def _rank_topk(
@@ -221,7 +226,7 @@ def _index_pdf(df: DataFrame, id_col: str, vec_col: str):
     returns empty arrays instead of letting np.stack raise its
     opaque 'need at least one array to stack'."""
     pdf = (
-        _drop_null_vecs(df, vec_col)
+        drop_invalid_vecs(df, vec_col)
         .select(F.col(id_col), F.col(vec_col))
         .toPandas()
     )
@@ -306,7 +311,7 @@ def _broadcast_scan_topk(
     # 0.70 s with, l3c 0.69 s vs 0.96 s with; sf0.1, local[32]).
     # NULL-vec corpus rows are dropped scan-side (np.stack guard).
     cand = (
-        _drop_null_vecs(corpus, vec_col)
+        drop_invalid_vecs(corpus, vec_col)
         .select(F.col(corpus_id), F.col(vec_col))
         .mapInPandas(
             score,
@@ -444,7 +449,7 @@ def embedding_neardup_pairs(
     """
     # NULL embeddings pair with nothing — dropped up front so neither
     # the driver index nor the executor np.stack meets a None
-    sdf = _drop_null_vecs(corpus, vec_col).select(F.col(id_col), F.col(vec_col))
+    sdf = drop_invalid_vecs(corpus, vec_col).select(F.col(id_col), F.col(vec_col))
     id_t = _dtype_of(corpus, id_col)  # string ids are the norm too
     out_schema = f"id_a {id_t}, id_b {id_t}, cosine double"
     if sdf.count() > max_index_rows:
@@ -510,7 +515,7 @@ def embedding_neardup_pairs_bucketed(
     attached AFTER dedup by two id-keyed joins, so full embeddings
     cross the wire O(candidates), never O(n²). Skewed buckets (dense
     regions) are the residual risk — raise n_planes to split them."""
-    sdf = _drop_null_vecs(corpus, vec_col).select(F.col(id_col), F.col(vec_col))
+    sdf = drop_invalid_vecs(corpus, vec_col).select(F.col(id_col), F.col(vec_col))
     b = with_lsh_buckets(
         sdf, vec_col=vec_col, dim=dim, n_planes=n_planes, n_tables=n_tables
     ).select(F.col(id_col), F.posexplode("__buckets").alias("__t", "__b"))
@@ -574,7 +579,7 @@ def _kmeans_refine(
         # extra pre-exchange only adds latency (the l3b/l3c measured
         # pattern for cheap-vectorized-work-into-a-shuffle)
         means = (
-            _drop_null_vecs(corpus, vec_col)
+            drop_invalid_vecs(corpus, vec_col)
             .select(F.col(vec_col).alias("__v"))
             .withColumn("__cell", assign(F.col("__v")))
             .filter(F.col("__cell") >= 0)
@@ -666,7 +671,7 @@ def ivf_topk(
     assignment with no shuffle, then shuffle ONCE on the cell id for
     the candidate join. Recall/cost tunes with nprobe x cells:
     probed fraction ~= nprobe / #cells."""
-    corpus = _drop_null_vecs(corpus, vec_col)
+    corpus = drop_invalid_vecs(corpus, vec_col)
     if centroid_stride is None:
         # one cheap count; the stride then bounds the seed collect to
         # ~n_cells rows before any driver materialization
@@ -813,7 +818,7 @@ def ivf_topk(
         "__cell", assign_cell(F.col(vec_col))
     )
     qvec = (
-        _drop_null_vecs(queries, vec_col)
+        drop_invalid_vecs(queries, vec_col)
         .select(F.col(query_id), F.col(vec_col).alias("__qv"))
         .withColumn("__cell", F.explode(probe_cells(F.col("__qv"))))
     )

@@ -433,7 +433,7 @@ def l3_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_scan_topk is ~1 ulp off per pair, which is enough to
     reorder a near-tied (cosine DESC, id) rank between engines).
     Both sides exclude NULL/empty embeddings (cosine undefined; the
-    Spark guard is operators.similarity._drop_null_vecs, the oracle's
+    Spark guard is operators.similarity.drop_invalid_vecs, the oracle's
     is len(embedding) > 0 — DuckDB's seedless list_reduce would
     otherwise RAISE on the empty norm fold).
     Output cosine additionally rounds to 9 decimals on both sides.
@@ -1615,7 +1615,8 @@ _MIX_BUDGET_FRAC = 0.5  # token budget as a fraction of the corpus
             -- suffix must yield a defined weight (DuckDB's plain
             -- CAST raises where Spark's returns NULL)
             SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
-                   1 + coalesce(TRY_CAST(substr(source, 4) AS INT), 0) % 5
+                   1 + coalesce(TRY_CAST(trunc(TRY_CAST(
+                           substr(source, 4) AS DOUBLE)) AS INT), 0) % 5
                        AS w_raw
             FROM tok GROUP BY source
         ), tot AS (
@@ -1670,10 +1671,18 @@ def l17_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "source", u.alias("u"), token_count("text").alias("n_tok")
     )
+    # weight suffix routes through DOUBLE → trunc → INT on BOTH sides
+    # (util.trunc_int32, the f_json_family discipline): Spark's
+    # direct string→int cast truncates '3.7' to 3 and rejects '1e3'
+    # where DuckDB's TRY_CAST rounds to 4 and accepts — a decimal-
+    # string source suffix would silently diverge the twins.
+    from feray_spark.queries.util import trunc_int32
+
     w_raw = (
         1
         + F.coalesce(
-            F.expr("CAST(substring(source, 4) AS INT)"), F.lit(0)
+            trunc_int32(F.expr("CAST(substring(source, 4) AS DOUBLE)")),
+            F.lit(0),
         )
         % 5
     )
@@ -2186,13 +2195,13 @@ def l21_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     )
     from feray_spark.functions.vectors import cosine_similarity
-    from feray_spark.operators.similarity import _drop_null_vecs
+    from feray_spark.operators.similarity import drop_invalid_vecs
 
     # NULL/empty vectors have no defined centroid cosine — they are
     # invalid inputs (FS5 null-rate territory), not "outliers", and
     # Spark's NULLS-FIRST ASC rank would otherwise seat them in the
     # bottom-5 while the oracle's fold RAISES on the empty list
-    scored = _drop_null_vecs(d, "embedding").join(
+    scored = drop_invalid_vecs(d, "embedding").join(
         F.broadcast(carr), "label"
     ).withColumn("cosine", cosine_similarity("embedding", "c"))
     w = W_llm.partitionBy("label").orderBy(

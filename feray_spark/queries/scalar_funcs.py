@@ -422,11 +422,17 @@ def f_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent from_json + get_json_object + json_object_keys
     calls."""
     # fan_out measured: 0.74 s with vs 0.98 s without (sf0.1, local[32])
+    from feray_spark.queries.util import trunc_int32
+
     e = fan_out(load_table(spark, sf_dir, "events"))
     m = F.from_json("props", "map<string,string>")
+    # k_value mirrors the oracle's DOUBLE+trunc+TRY_CAST route via
+    # trunc_int32: a direct string→int cast rejects exponent forms
+    # ('1e3' → NULL) that the oracle's double route accepts as 1000 —
+    # both sides must implement the same numeric-string grammar.
     return e.select(
         "event_id",
-        F.element_at(m, "k").cast("int").alias("k_value"),
+        trunc_int32(F.element_at(m, "k").cast("double")).alias("k_value"),
         F.element_at(m, "k").alias("k_str"),
         # isNotNull guard: from_json yields a NULL map for NULL or
         # malformed props, and legacy size(NULL) is -1 where the

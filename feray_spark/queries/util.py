@@ -26,6 +26,29 @@ DEC = "decimal(18,2)"
 
 # ---------- Spark side ----------
 
+def trunc_int32(c: Column) -> Column:
+    """Engine-portable numeric-string → INT: the double-first route.
+
+    Twin of the oracle-side ``TRY_CAST(trunc(TRY_CAST(x AS DOUBLE))
+    AS INT)`` discipline (f_json_family / f_variant_family). Spark's
+    direct string→int cast TRUNCATES '3.7' where DuckDB's TRY_CAST
+    ROUNDS, and rejects exponents ('1e3') that the double route
+    accepts — so BOTH sides must go string → DOUBLE → truncate → INT.
+    The guards pin the residual cast differences: Spark's NaN→int is
+    0 and its overflow CLAMPS to INT_MIN/MAX where DuckDB's TRY_CAST
+    yields NULL; the open interval (-2^31-1, 2^31) is exactly the set
+    of doubles whose toward-zero truncation fits in an INT32.
+    Takes a DOUBLE column (cast upstream so callers can reuse the
+    parsed double)."""
+    return F.when(
+        c.isNotNull()
+        & ~F.isnan(c)
+        & (c > -2_147_483_649.0)
+        & (c < 2_147_483_648.0),
+        c,
+    ).cast("int")
+
+
 def dec(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(DEC)

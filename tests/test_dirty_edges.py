@@ -79,6 +79,12 @@ def _edge_rows(sf_dir: str) -> dict[str, list[dict]]:
                  event_type="junk5", value=1.0, props='{"k":"3.7"}'),
             dict(event_id=900007, ts=None, user_id=None,
                  event_type=None, value=None, props='{"k":"abc"}'),
+            # exponent-form numeric string: the double-first cast
+            # route (util.trunc_int32 / TRY_CAST(trunc(...))) must
+            # yield 1000 on BOTH sides — Spark's direct string->int
+            # cast would reject it while DuckDB's accepts
+            dict(event_id=900008, ts=_TS(1999, 1, 6), user_id=12,
+                 event_type="junk6", value=0.5, props='{"k":"1e3"}'),
         ],
         "orders": [
             dict(o_orderkey=999001, o_custkey=1, o_orderstatus=None,
@@ -129,6 +135,12 @@ def _edge_rows(sf_dir: str) -> dict[str, list[dict]]:
                  text="nbsp ideographic　zero​width regex []()*+?^$|\\ "
                       "汉字テスト\tmixed汉words字here\r\n",
                  lang="xx", source="edge", n_chars=70),
+            # decimal-string source suffix: l17's weight parse must
+            # TRUNCATE '3.7' to 3 on both sides (Spark's direct
+            # string->int cast truncates where DuckDB's TRY_CAST
+            # rounds to 4 — pinned by the shared double-first route)
+            dict(doc_id=999008, text="decimal suffix source row",
+                 lang="en", source="src3.7", n_chars=25),
         ],
     }
 

@@ -643,9 +643,10 @@ def test_event_queries_hold_parity_on_generated_tables(
     import pyarrow.parquet as pq
 
     from feray_spark.queries import load_all
+    from tests.conftest import SF_DIR
     from tests.oracle_utils import assert_parity
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR
     root = str(tmp_path_factory.mktemp("sf_gen"))
     schema = pq.read_schema(os.path.join(sf, "events.parquet"))
     rows = [
