@@ -189,29 +189,46 @@ def quality_score(col: str | Column) -> Column:
     greater than everything, so an unpinned empty document would
     score 0.333 there and NULL here)."""
     c = F.col(col) if isinstance(col, str) else col
-    w = words(c)
-    n = F.size(w)
-    stop_hits = F.size(
-        F.filter(w, lambda x: x.isin(*[F.lit(s) for s in EN_STOPWORDS]))
+    # Codegen path, NOT the words() array: this score sits in the
+    # per-row hot loop of l4/l14/l15/l17/l26, and the previous
+    # three-higher-order-function form (filter-empties + stopword
+    # filter + length fold — each an INTERPRETED per-element pass)
+    # measured 9.1 s of l15's 9.7 s at the 8x probe. The regex forms
+    # below are row-identical (token = maximal \S+ run, exactly what
+    # split('\s+') + drop-empties yields; the oracle twin
+    # _QUALITY_SQL stays list-based, so every parity suite gates the
+    # equivalence) and stay inside whole-stage codegen.
+    low = canon_lower(c)
+    n = F.regexp_count(low, F.lit(r"\S+"))
+    # a stopword hit is a WHOLE token: non-\S (or edge) on both sides
+    stop_hits = F.regexp_count(
+        low,
+        F.lit(r"(?<!\S)(?:%s)(?!\S)" % "|".join(EN_STOPWORDS)),
     )
     len_ok = (F.length(c) >= 20) & (F.length(c) <= 100000)
     stop_ok = (stop_hits.cast("double") / n) >= 0.05
-    # TRUE mean word length (exact integer sum of word lengths / n):
-    # the earlier (length - n + 1) / n shortcut assumed exactly one
+    # TRUE mean word length = non-whitespace chars / tokens (word
+    # lengths sum to the \s+-stripped length by construction; the
+    # earlier (length - n + 1) / n shortcut assumed exactly one
     # separator char between words, so double-spaced / columnar text
     # inflated the estimate and lost a third of its score despite
-    # normal words
+    # normal words)
     mean_wlen = (
-        F.aggregate(
-            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        ).cast("double")
-        / n
+        F.length(F.regexp_replace(low, r"\s+", "")).cast("double") / n
     )
     wlen_ok = (mean_wlen >= 2.0) & (mean_wlen <= 12.0)
     score = (
         len_ok.cast("int") + stop_ok.cast("int") + wlen_ok.cast("int")
     ).cast("double") / 3.0
-    return F.when(n == 0, F.lit(0.0)).otherwise(score)
+    # COALESCE, not WHEN(n == 0, ...): codegen subexpression
+    # elimination skips expressions under conditional branches, so a
+    # CaseWhen wrapper re-evaluates canon_lower + the regexes up to
+    # 6x per row (measured 9.6 s vs 2.2 s over 4M docs). Coalesce's
+    # FIRST argument is unconditional — the whole score tree CSEs —
+    # and the algebra pins the same two edge results: score is NULL
+    # exactly when n = 0 (the 0/0 ratios) or text IS NULL, and
+    # n * 0.0 is 0.0 for the former, NULL for the latter.
+    return F.coalesce(score, n * F.lit(0.0))
 
 
 def doc_fingerprint(col: str | Column, gram: int = 8) -> Column:

@@ -94,6 +94,7 @@ def curate_corpus(
     split_pct: tuple[int, int] = (80, 90),
     pack_ctx: int = 256,
     pack_shards: int = 8,
+    max_bucket_ids: int | None = 4096,
 ) -> CurationResult:
     """Run the full curation flow over ``documents``. Returns lazy
     stage handles — callers pick the sink (table store write,
@@ -137,6 +138,7 @@ def curate_corpus(
         num_hashes=num_hashes,
         bands=bands,
         jaccard_threshold=jaccard_threshold,
+        max_bucket_ids=max_bucket_ids,
     )
     labels = connected_components(pairs)
     losers = labels.filter(F.col("id") != F.col("comp")).select(
@@ -226,6 +228,7 @@ def attrition_report(
     jaccard_threshold: float = 0.5,
     num_hashes: int = 12,
     bands: int = 4,
+    max_bucket_ids: int | None = 4096,
 ) -> DataFrame:
     """The per-stage attrition FUNNEL for :func:`curate_corpus`'s
     gate → canonical exact dedup → near-dup clustering prefix: one
@@ -275,6 +278,7 @@ def attrition_report(
         num_hashes=num_hashes,
         bands=bands,
         jaccard_threshold=jaccard_threshold,
+        max_bucket_ids=max_bucket_ids,
     )
     labels = connected_components(pairs)
     losers = labels.filter(F.col("id") != F.col("comp")).select(

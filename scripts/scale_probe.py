@@ -128,6 +128,15 @@ DEFAULT_QUERIES = [
     # operator measurement alongside this fixed-knob curve.
     "j7b_interval_join",
     "l24_semantic_dedup",
+    # round-7 additions (VERDICT r6 item 3): the two >1 s over-2×
+    # residents that had neither a growth curve nor a same-shape
+    # proxy. Both replicate honestly under the source-keyed model —
+    # the source SET is fixed while per-source row counts grow K×,
+    # exactly how a fixed-provenance corpus grows: l15's per-source
+    # cap window and l29's broadcast rate table each do K× more scan
+    # work over an unchanged key space.
+    "l15_source_cap",
+    "l29_temperature_mixture",
 ]
 
 
