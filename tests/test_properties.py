@@ -8,11 +8,19 @@ a bounded number of examples against the shared local session
 from __future__ import annotations
 
 import math
+import os as _os
 
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+#: deep-fuzz knob for the generated-tables nets: the suite default
+#: (6 examples/net) keeps the 12-minute budget; a one-off hardening
+#: pass runs FERAY_FUZZ_EXAMPLES=50 python -m pytest
+#: tests/test_properties.py -k generated_tables (used before each
+#: round's evidence freeze)
+FUZZ_EXAMPLES = int(_os.environ.get("FERAY_FUZZ_EXAMPLES", "6"))
 
 from feray_spark.functions.hashing import row_version
 from feray_spark.queries.util import exact_grouped_sums, scaled_long
@@ -631,7 +639,7 @@ _EV_QUERIES = (
 
 
 @given(data=_ev_rows)
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=FUZZ_EXAMPLES, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_event_queries_hold_parity_on_generated_tables(
     spark, tmp_path_factory, data
@@ -745,7 +753,7 @@ _EMB_QUERIES = (
 
 
 @given(docs=_DOC_ROWS, embs=_EMB_ROWS)
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=FUZZ_EXAMPLES, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_text_embedding_queries_hold_parity_on_generated_tables(
     spark, tmp_path_factory, docs, embs
