@@ -43,7 +43,7 @@ from feray_spark.operators.similarity import (
     lsh_bucketed_topk,
 )
 from feray_spark.queries import register
-from feray_spark.queries.util import fan_out
+from feray_spark.queries.util import fan_out, sql_portable_double
 
 # MinHash/LSH parameters shared by the Spark operator and the oracle
 MH_NUM_HASHES = 12
@@ -1615,8 +1615,8 @@ _MIX_BUDGET_FRAC = 0.5  # token budget as a fraction of the corpus
             -- suffix must yield a defined weight (DuckDB's plain
             -- CAST raises where Spark's returns NULL)
             SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens,
-                   1 + coalesce(TRY_CAST(trunc(TRY_CAST(
-                           substr(source, 4) AS DOUBLE)) AS INT), 0) % 5
+                   1 + coalesce(TRY_CAST(trunc({sql_portable_double(
+                           "substr(source, 4)")}) AS INT), 0) % 5
                        AS w_raw
             FROM tok GROUP BY source
         ), tot AS (
@@ -1671,17 +1671,19 @@ def l17_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "source", u.alias("u"), token_count("text").alias("n_tok")
     )
-    # weight suffix routes through DOUBLE → trunc → INT on BOTH sides
-    # (util.trunc_int32, the f_json_family discipline): Spark's
-    # direct string→int cast truncates '3.7' to 3 and rejects '1e3'
-    # where DuckDB's TRY_CAST rounds to 4 and accepts — a decimal-
-    # string source suffix would silently diverge the twins.
-    from feray_spark.queries.util import trunc_int32
+    # weight suffix routes through the GRAMMAR-GUARDED double parse
+    # then trunc → INT on BOTH sides (util.portable_double +
+    # trunc_int32, the f_json_family discipline): Spark's direct
+    # string→int cast truncates '3.7' to 3 and rejects '1e3' where
+    # DuckDB's TRY_CAST rounds to 4 and accepts, and the bare double
+    # casts themselves diverge outside the shared grammar ('1.5d'
+    # parses only on Spark, '1_000' only on DuckDB).
+    from feray_spark.queries.util import portable_double, trunc_int32
 
     w_raw = (
         1
         + F.coalesce(
-            trunc_int32(F.expr("CAST(substring(source, 4) AS DOUBLE)")),
+            trunc_int32(portable_double(F.expr("substring(source, 4)"))),
             F.lit(0),
         )
         % 5

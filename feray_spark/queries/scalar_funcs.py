@@ -18,7 +18,13 @@ from feray_spark.catalog import load_table
 from feray_spark.functions.hashing import row_version
 from feray_spark.functions.vectors import dot, l2_norm
 from feray_spark.queries import register
-from feray_spark.queries.util import fan_out
+from feray_spark.queries.util import fan_out, sql_portable_double
+
+
+def _sql_pd_k() -> str:
+    """Grammar-guarded double parse of the JSON k value (the
+    f_json_family / f_variant_family oracle route)."""
+    return sql_portable_double("json_extract_string(props, '$.k')")
 
 
 @register(
@@ -380,7 +386,7 @@ def f_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "f_json_family",
-    oracle="""
+    oracle=f"""
         SELECT event_id,
                -- object guards: Spark's from_json(map) yields NULL
                -- for malformed AND valid-but-non-object documents,
@@ -388,15 +394,15 @@ def f_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- for scalars/arrays — pin NULL for every non-object.
                -- NESTED case (not AND): only CASE THEN branches are
                -- guaranteed lazy, so json_type never sees bad input
-               -- k_value routes through DOUBLE + trunc + TRY_CAST:
+               -- k_value routes through the GRAMMAR-GUARDED double
+               -- cast (util.sql_portable_double) + trunc + TRY_CAST:
                -- Spark's string->int cast is NULL for non-numerics
-               -- and TRUNCATES decimals, while DuckDB's plain CAST
-               -- raises on 'abc' and ROUNDS 3.7 to 4
+               -- and TRUNCATES decimals where DuckDB's plain CAST
+               -- raises/rounds, and the bare double casts diverge
+               -- outside the shared grammar ('1.5d' vs '1_000')
                CASE WHEN json_valid(props) THEN
                     CASE WHEN json_type(props) = 'OBJECT'
-                         THEN TRY_CAST(trunc(TRY_CAST(
-                              json_extract_string(props, '$.k')
-                              AS DOUBLE)) AS INT)
+                         THEN TRY_CAST(trunc({_sql_pd_k()}) AS INT)
                     END
                END AS k_value,
                CASE WHEN json_valid(props) THEN
@@ -422,17 +428,20 @@ def f_json_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent from_json + get_json_object + json_object_keys
     calls."""
     # fan_out measured: 0.74 s with vs 0.98 s without (sf0.1, local[32])
-    from feray_spark.queries.util import trunc_int32
+    from feray_spark.queries.util import portable_double, trunc_int32
 
     e = fan_out(load_table(spark, sf_dir, "events"))
     m = F.from_json("props", "map<string,string>")
-    # k_value mirrors the oracle's DOUBLE+trunc+TRY_CAST route via
-    # trunc_int32: a direct string→int cast rejects exponent forms
-    # ('1e3' → NULL) that the oracle's double route accepts as 1000 —
-    # both sides must implement the same numeric-string grammar.
+    # k_value mirrors the oracle's guarded DOUBLE+trunc+TRY_CAST
+    # route via portable_double + trunc_int32: a direct string→int
+    # cast rejects exponent forms ('1e3' → NULL) that the double
+    # route accepts as 1000, and the bare double casts themselves
+    # diverge outside the shared grammar (Java float suffixes
+    # '1.5d', hex-floats vs DuckDB underscore separators '1_000') —
+    # both sides pin the SAME numeric-string grammar.
     return e.select(
         "event_id",
-        trunc_int32(F.element_at(m, "k").cast("double")).alias("k_value"),
+        trunc_int32(portable_double(F.element_at(m, "k"))).alias("k_value"),
         F.element_at(m, "k").alias("k_str"),
         # isNotNull guard: from_json yields a NULL map for NULL or
         # malformed props, and legacy size(NULL) is -1 where the
@@ -607,7 +616,7 @@ def f_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "f_variant_family",
-    oracle="""
+    oracle=f"""
         WITH v AS (
             -- nested-CASE json_valid guard (the f_json_family
             -- discipline): DuckDB's json_extract RAISES on malformed
@@ -619,6 +628,19 @@ def f_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN json_extract(props, '$.missing')
                    END AS miss_raw
             FROM events
+        ), v2 AS (
+            -- STRING values route through the GRAMMAR-GUARDED
+            -- double parse (util.sql_portable_double): outside the
+            -- shared grammar the engines' parsers legitimately
+            -- disagree ('1.5d'/hex-floats parse only on Spark,
+            -- '1_000' only on DuckDB). JSON NUMBER values cast
+            -- directly (their text is always inside the grammar).
+            SELECT event_type, miss_raw,
+                   CASE WHEN json_type(k_raw) = 'VARCHAR'
+                        THEN {sql_portable_double(
+                            "json_extract_string(k_raw, '$')")}
+                        ELSE TRY_CAST(k_raw AS DOUBLE) END AS k_dbl
+            FROM v
         )
         -- the k cast routes through DOUBLE + trunc + TRY_CAST, the
         -- f_json_family discipline: Spark's try_variant_get(bigint)
@@ -627,15 +649,15 @@ def f_scalar_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- exact only to 2^53 — fixture k values are small ints.)
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(TRY_CAST(trunc(TRY_CAST(k_raw AS DOUBLE))
+               CAST(SUM(TRY_CAST(trunc(k_dbl)
                    AS BIGINT)) AS BIGINT) AS k_sum,
-               CAST(MIN(TRY_CAST(trunc(TRY_CAST(k_raw AS DOUBLE))
+               CAST(MIN(TRY_CAST(trunc(k_dbl)
                    AS BIGINT)) AS BIGINT) AS k_min,
-               CAST(MAX(TRY_CAST(trunc(TRY_CAST(k_raw AS DOUBLE))
+               CAST(MAX(TRY_CAST(trunc(k_dbl)
                    AS BIGINT)) AS BIGINT) AS k_max,
                CAST(SUM(CASE WHEN miss_raw IS NULL
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
-        FROM v GROUP BY event_type
+        FROM v2 GROUP BY event_type
     """,
     tags=("function", "variant", "json"),
 )
@@ -660,10 +682,20 @@ def f_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k extracts as DOUBLE then truncates to bigint (the oracle's
     # route): a direct bigint variant_get is NULL for the STRING
     # value "3.7" while it truncates the NUMBER 3.7 — the double
-    # route treats both identically in both engines. The isnan guard
+    # route treats both identically in both engines. STRING values
+    # additionally pass the portable numeric grammar (the oracle's
+    # sql_portable_double twin): Spark's variant string→double
+    # coercion accepts Java-only forms ('1.5d', hex-floats) and
+    # rejects DuckDB-only underscore separators. The isnan guard
     # covers the "NaN"-string corner (Spark's NaN->bigint cast is 0
     # where DuckDB's TRY_CAST is NULL).
-    kd = F.try_variant_get(F.col("v"), "$.k", "double")
+    from feray_spark.queries.util import PORTABLE_DOUBLE_RE
+
+    ks = F.try_variant_get(F.col("v"), "$.k", "string")
+    kd0 = F.try_variant_get(F.col("v"), "$.k", "double")
+    kd = F.when(ks.isNotNull() & ~ks.rlike(PORTABLE_DOUBLE_RE), None).otherwise(
+        kd0
+    )
     v = e.select(
         "event_type", F.try_parse_json("props").alias("v")
     ).select(

@@ -26,6 +26,40 @@ DEC = "decimal(18,2)"
 
 # ---------- Spark side ----------
 
+#: the numeric-string grammar BOTH engines parse identically to
+#: DOUBLE: optional ASCII whitespace, sign, plain decimal, optional
+#: exponent. Outside it the parsers legitimately disagree (measured
+#: bank, round 7): Spark/Java accepts '1.5d'/'1.5f' suffixes and
+#: hex-floats '0x1.8p1' that DuckDB rejects, while DuckDB accepts
+#: underscore separators '1_000' that Spark rejects. Both regex
+#: engines (Java, RE2) read this pattern identically (\s is ASCII in
+#: both; no lookaround).
+PORTABLE_DOUBLE_RE = (
+    r"^\s*[+-]?((\d+(\.\d*)?)|(\.\d+))([eE][+-]?\d+)?\s*$"
+)
+
+
+def portable_double(c: Column) -> Column:
+    """Engine-portable numeric-string → DOUBLE: NULL outside the
+    shared grammar, the (identical) parse inside it. Pair with
+    :func:`sql_portable_double` on the oracle side — an unguarded
+    cast pair silently diverges on Java float suffixes and DuckDB
+    underscore separators. 'inf'/'nan' words fall outside the
+    grammar → NULL on both sides (the callers' downstream guards
+    kept them out of INT results anyway)."""
+    return F.when(c.rlike(PORTABLE_DOUBLE_RE), c).cast("double")
+
+
+def sql_portable_double(expr: str) -> str:
+    """DuckDB twin of :func:`portable_double` over a VARCHAR
+    expression (DuckDB single-quoted strings carry backslashes
+    literally, so the pattern embeds verbatim)."""
+    return (
+        f"(CASE WHEN regexp_matches({expr}, '{PORTABLE_DOUBLE_RE}') "
+        f"THEN TRY_CAST({expr} AS DOUBLE) END)"
+    )
+
+
 def trunc_int32(c: Column) -> Column:
     """Engine-portable numeric-string → INT: the double-first route.
 

@@ -38,7 +38,6 @@ import argparse
 import json
 import os
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -51,7 +50,11 @@ from feray_spark.operators.similarity import (  # noqa: E402
 )
 from feray_spark.queries.llm import ANN_RECALL_FLOOR  # noqa: E402
 from feray_spark.session import get_spark  # noqa: E402
-from scripts.scale_probe import KEYSPACE, build_scaled  # noqa: E402
+from scripts.scale_probe import (  # noqa: E402
+    KEYSPACE,
+    build_scaled,
+    scaled_dirs,
+)
 
 
 def _recall(spark, sf_dir: str, ann, k: int) -> tuple[float, int, int]:
@@ -62,10 +65,16 @@ def _recall(spark, sf_dir: str, ann, k: int) -> tuple[float, int, int]:
         (F.col("vec_id") < KEYSPACE) & (F.col("vec_id") % 50 == 0)
     ).select(F.col("vec_id").alias("q_id"), "embedding")
     c = e.select(F.col("vec_id").alias("c_id"), "embedding")
-    exact = brute_force_topk(q, c, k=k).select("q_id", "c_id")
-    approx = ann(q, c).select("q_id", "c_id")
-    expected = exact.count()
-    hits = approx.join(exact, ["q_id", "c_id"], "left_semi").count()
+    # persist the ground truth: the exact brute-force scan is the
+    # probe's most expensive computation and feeds BOTH the expected
+    # count and the hit join — without the pin it would run twice
+    exact = brute_force_topk(q, c, k=k).select("q_id", "c_id").persist()
+    try:
+        approx = ann(q, c).select("q_id", "c_id")
+        expected = exact.count()
+        hits = approx.join(exact, ["q_id", "c_id"], "left_semi").count()
+    finally:
+        exact.unpersist()
     return (hits / expected if expected else 1.0), hits, expected
 
 
@@ -78,10 +87,7 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(app_name="feray-ann-recall-probe")
-    sf_slug = args.sf_dir.strip("/").replace("/", "_")
-    base = os.path.join(tempfile.gettempdir(), f"feray_scale_probe_{sf_slug}")
-    d1 = os.path.join(base, "f1")
-    dk = os.path.join(base, f"f{args.factor}")
+    d1, dk = scaled_dirs(args.sf_dir, args.factor)
     build_scaled(spark, args.sf_dir, d1, 1)
     build_scaled(spark, args.sf_dir, dk, args.factor)
 

@@ -28,14 +28,13 @@ import json
 import math
 import os
 import sys
-import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from feray_spark.operators.dedup import semantic_dedup  # noqa: E402
 from feray_spark.session import get_spark  # noqa: E402
-from scripts.scale_probe import build_scaled  # noqa: E402
+from scripts.scale_probe import build_scaled, scaled_dirs  # noqa: E402
 
 
 def median_time(spark, sf_dir: str, n_bits: int, runs: int) -> float:
@@ -60,10 +59,7 @@ def main() -> None:
     spark = get_spark(app_name="l24-nbits-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    sf_slug = args.sf_dir.strip("/").replace("/", "_")
-    base = os.path.join(tempfile.gettempdir(), f"feray_scale_probe_{sf_slug}")
-    d1 = os.path.join(base, "f1")
-    dk = os.path.join(base, f"f{args.factor}")
+    d1, dk = scaled_dirs(args.sf_dir, args.factor)
     build_scaled(spark, args.sf_dir, d1, 1)
     build_scaled(spark, args.sf_dir, dk, args.factor)
 

@@ -140,6 +140,17 @@ DEFAULT_QUERIES = [
 ]
 
 
+def scaled_dirs(sf_dir: str, factor: int) -> tuple[str, str]:
+    """The shared per-(sf_dir, factor) cache paths for the scaled
+    fixtures — THE one place the path scheme lives (this script,
+    l24_nbits_probe, ann_recall_probe all reuse the same expensive
+    factor-K build through it; a forked scheme would silently
+    rebuild or, worse, half-match stale data)."""
+    sf_slug = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), f"feray_scale_probe_{sf_slug}")
+    return os.path.join(base, "f1"), os.path.join(base, f"f{factor}")
+
+
 def build_scaled(spark, src_dir: str, out_dir: str, factor: int) -> None:
     """Write a factor-K replication of the fixtures to ``out_dir``
     through one deterministic writer path (both factors get the same
@@ -324,10 +335,7 @@ def main() -> None:
     spark = get_spark(app_name="feray-scale-probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    sf_slug = args.sf_dir.strip("/").replace("/", "_")
-    base = os.path.join(tempfile.gettempdir(), f"feray_scale_probe_{sf_slug}")
-    d1 = os.path.join(base, "f1")
-    dk = os.path.join(base, f"f{args.factor}")
+    d1, dk = scaled_dirs(args.sf_dir, args.factor)
     build_scaled(spark, args.sf_dir, d1, 1)
     build_scaled(spark, args.sf_dir, dk, args.factor)
 

@@ -85,6 +85,14 @@ def _edge_rows(sf_dir: str) -> dict[str, list[dict]]:
             # cast would reject it while DuckDB's accepts
             dict(event_id=900008, ts=_TS(1999, 1, 6), user_id=12,
                  event_type="junk6", value=0.5, props='{"k":"1e3"}'),
+            # grammar-edge numeric strings (util.PORTABLE_DOUBLE_RE):
+            # '1.5d' parses only on Spark/Java, '1_000' only on
+            # DuckDB — the shared grammar guard must NULL both on
+            # both engines
+            dict(event_id=900009, ts=_TS(1999, 1, 7), user_id=12,
+                 event_type="junk7", value=0.5, props='{"k":"1.5d"}'),
+            dict(event_id=900010, ts=_TS(1999, 1, 8), user_id=13,
+                 event_type="junk8", value=0.5, props='{"k":"1_000"}'),
         ],
         "orders": [
             dict(o_orderkey=999001, o_custkey=1, o_orderstatus=None,
@@ -141,6 +149,13 @@ def _edge_rows(sf_dir: str) -> dict[str, list[dict]]:
             # rounds to 4 — pinned by the shared double-first route)
             dict(doc_id=999008, text="decimal suffix source row",
                  lang="en", source="src3.7", n_chars=25),
+            # grammar-edge suffixes: Java-only float suffix and
+            # DuckDB-only underscore separator — both must fall out
+            # of the shared grammar (weight -> the coalesce 0)
+            dict(doc_id=999009, text="java float suffix source row",
+                 lang="en", source="src1.5d", n_chars=28),
+            dict(doc_id=999010, text="underscore separator source row",
+                 lang="en", source="src1_000", n_chars=31),
         ],
     }
 

@@ -621,7 +621,9 @@ _ev_rows = st.lists(
         st.one_of(st.none(), st.integers(0, 3)),    # user_id
         st.one_of(st.none(), st.sampled_from(["a", "zzz", "<|x|>"])),
         st.one_of(st.none(), money),                # value
-        st.sampled_from([None, 'not json', '{"k": 3}', '5', '{"a":1,"k":2}']),
+        st.sampled_from([None, 'not json', '{"k": 3}', '5',
+                         '{"a":1,"k":2}', '{"k":"1.5d"}', '{"k":"1_000"}',
+                         '{"k":"1e3"}']),
     ),
     min_size=0,
     max_size=25,
@@ -703,7 +705,8 @@ _DOC_ROWS = st.lists(
         # integer, decimal (truncate-vs-round pin), exponent (grammar
         # pin), non-numeric
         st.one_of(st.none(), st.sampled_from(
-            ["edge", "src1", "src3.7", "src1e3", "srcabc", "s"])),
+            ["edge", "src1", "src3.7", "src1e3", "srcabc", "s",
+             "src1.5d", "src1_000"])),
         # n_chars independent of text: mismatches must stay parity-
         # safe (l4's n_chars_ok compares, never trusts)
         st.one_of(st.none(), st.integers(-1, 40)),
