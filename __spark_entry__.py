@@ -195,7 +195,12 @@ _ROUND7_PRIORITY = [
 #: alphabetically until the window is full.
 _ROUND8_PRIORITY = [
     # (1) entries registered in round 7 — prepend here as they land
-    # (2) round-7 code changes outside the r7 window — none yet
+    # (2) round-7 code changes outside the r7 window: the
+    #     quality_score codegen rewrite touched
+    #     l7_quality_filter_pipeline (every other dependent — l4,
+    #     l14, l15, l17, l26, l26b — re-verifies inside the active
+    #     r7 window); it already sits in the (3) fill below, so no
+    #     extra slot is needed
     # (3) oldest-evidence fill (computed from CORRECTNESS_r01–r06 +
     #     the active r7 window): the full r3-era block (25)
     "f3b_grouped_partial", "f4_pandas_udaf", "f7_isolated_fanout",
