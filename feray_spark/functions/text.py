@@ -58,26 +58,31 @@ def words(col: str | Column) -> Column:
     return F.filter(F.split(canon_lower(c), "\\s+"), lambda w: w != "")
 
 
-def _null_safe_size(arr: Column) -> Column:
-    """``size`` that NULL-propagates. The catalog session runs
-    non-ANSI, where Spark's legacy ``size(NULL)`` is -1 — a sentinel
-    that silently DECREMENTS any SUM it reaches, while every DuckDB
-    oracle twin's ``len(NULL)`` is NULL and skipped by aggregates.
-    Counting helpers must agree with the twins (and with sanity) on
-    missing text: no tokens is not negative-one token."""
-    return F.when(arr.isNotNull(), F.size(arr))
-
-
 def token_count(col: str | Column) -> Column:
-    """L4: whitespace token count (NULL text → NULL, never -1)."""
-    return _null_safe_size(words(col))
+    """L4: whitespace token count (NULL text → NULL, never -1 — the
+    catalog session runs non-ANSI, where Spark's legacy
+    ``size(NULL)`` is -1, a sentinel that silently DECREMENTS any
+    SUM it reaches, while every DuckDB oracle twin's ``len(NULL)``
+    is NULL and skipped by aggregates).
+
+    Counted as ``regexp_count(\\S+)`` over the canon text, NOT
+    ``size(words(...))``: a token is a maximal non-whitespace run,
+    which is exactly what split('\\s+') + drop-empties yields — but
+    the size form needed a _null_safe_size CaseWhen whose branch
+    re-evaluated the split per row (conditional branches are
+    excluded from codegen subexpression elimination — the
+    quality_score lesson), and regexp_count NULL-propagates for
+    free. Measured 2.7 → 1.35 s over 4M docs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(canon_lower(c), F.lit(r"\S+"))
 
 
 def bpe_ish_token_count(col: str | Column) -> Column:
     """L4: sub-word-ish token count via the BPE-flavored regex
-    (NULL text → NULL, never -1)."""
+    (NULL text → NULL, never -1 — regexp_count NULL-propagates,
+    and counting needs no materialized match array)."""
     c = F.col(col) if isinstance(col, str) else col
-    return _null_safe_size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
+    return F.regexp_count(c, F.lit(TOKEN_REGEX))
 
 
 def word_shingles(col: str | Column, n: int = 3) -> Column:
