@@ -194,13 +194,14 @@ _ROUND7_PRIORITY = [
 #: the r3-era rows the r7 window could not hold, then the r4-era block
 #: alphabetically until the window is full.
 _ROUND8_PRIORITY = [
-    # (1) entries registered in round 7 — prepend here as they land
-    # (2) round-7 code changes outside the r7 window: the
-    #     quality_score codegen rewrite touched
-    #     l7_quality_filter_pipeline (every other dependent — l4,
-    #     l14, l15, l17, l26, l26b — re-verifies inside the active
-    #     r7 window); it already sits in the (3) fill below, so no
-    #     extra slot is needed
+    # (1) entries registered in round 7/8 — prepend here as they land
+    # (2) code changed in ROUND 8 after the entry's last driver row:
+    #     the ADVICE fixes — trunc_int64 overflow guard on the
+    #     variant bigint route, and the PORTABLE_DOUBLE_RE explicit-
+    #     whitespace grammar shared by all three portable-double
+    #     twins. (Round-7's only outside-window change,
+    #     l7_quality_filter_pipeline, already sits in the (3) fill.)
+    "f_variant_family", "f_json_family", "l17_mixture_sampling",
     # (3) oldest-evidence fill (computed from CORRECTNESS_r01–r06 +
     #     the active r7 window): the full r3-era block (25)
     "f3b_grouped_partial", "f4_pandas_udaf", "f7_isolated_fanout",
@@ -220,20 +221,58 @@ _ROUND8_PRIORITY = [
     "j5_broadcast_star", "l10_pii_redaction", "l18_incremental_dedup",
     "l1_exact_dedup", "l22_bpe_tokens", "l23_image_phash_dedup",
     "l4b_lang_rollup", "l6c_audio_features", "l6d_video_frame_split",
-    "l9_deterministic_split", "u1b_union_diagonal",
-    "w9_resample_gap_fill",
-    # r5-era fill to exactly 50 (the rest of the r5 block moves to
-    # the round-9 pool)
-    "ep10_sole_late_supplier",
+    "l9_deterministic_split",
+    # (the rule-(2) trio displaced the r4-era tail u1b/w9 and the
+    # r5-era ep10 fill slot into the round-9 pool)
 ]
 
-#: ACTIVE WINDOW (round 7): the staged rotation above. CORRECTNESS_r06
-#: landed green rows for the whole round-6 window (50/50, zero errs),
-#: so the swap is pure evidence gain: ep18–ep23 get their FIRST driver
-#: rows (closing the 129→130 gap), the round-6-touched entries (valve,
-#: asof canonicalization, tie disciplines, canon_lower dependents)
-#: re-verify, and the tail re-verifies the oldest remaining evidence.
-_DRIVER_PRIORITY = _ROUND7_PRIORITY
+#: ROUND-9 ROTATION (swap in as _DRIVER_PRIORITY after CORRECTNESS_r08
+#: lands — EXACTLY 50 names). Construction rule: (1) catalog entries
+#: ADDED in round 8 — prepend any later addition in the SAME commit
+#: that registers it; (2) entries whose code/oracle changed in round 8
+#: after their last driver row and NOT in the active r8 window (the
+#: round-8 ADVICE trio f_variant/f_json/l17 IS in the r8 window, so it
+#: self-verifies); (3) oldest evidence first — the r4-era pair the r8
+#: window displaced (u1b/w9), the full r5-era block (30, incl. ep10),
+#: then the r6-era block alphabetically until the window is full.
+_ROUND9_PRIORITY = [
+    # (1) entries registered in round 8 — prepend here as they land
+    # (2) round-8 code changes outside the r8 window: none yet
+    # (3) oldest-evidence fill: r4-era pair
+    "u1b_union_diagonal", "w9_resample_gap_fill",
+    # the full r5-era block (30), alphabetical
+    "ep10_sole_late_supplier", "ep11_excluded_suppliers",
+    "ep12_dormant_rich_customers", "ep13_value_share",
+    "ep14_top_supplier", "ep15_order_count_distribution",
+    "ep16_small_quantity_revenue", "ep17_majority_supplier",
+    "ep5_correlated_scalar_min", "ep6_having_semijoin",
+    "ep7_priority_lines", "ep8_promo_revenue", "ep9_disjunctive_join",
+    "f1_scalar_udf", "f5_udtf", "fs3_memoization",
+    "l1b_canonical_dedup", "l25_stratified_sample", "l28_epoch_shuffle",
+    "o3_global_topk", "s10_optimize_layout", "s11_change_feed",
+    "s12_restore_clone", "s1_parquet_scan_count",
+    "s2_table_store_time_travel", "s6c_orc_roundtrip",
+    "s6d_binaryfile_scan", "s6e_xml_roundtrip", "w7_first_last_value",
+    "w8_top_k_per_group",
+    # r6-era fill to exactly 50, alphabetical (the rest of the r6
+    # block moves to the round-10 pool)
+    "a10_global_agg", "a11_filtered_agg", "a2_first_last_by",
+    "a3_statistical_aggs", "a3b_native_stddev_var", "a4_count_distinct",
+    "a5_approx_count_distinct", "a5b_hll_sketch_rollup",
+    "a6_distinct_rows", "a7_collect_list_set", "a8_rollup", "a8b_cube",
+    "a8c_grouping_sets", "a9_pivot", "ep3_sql_surface",
+    "ep3b_subquery_decorrelation", "ep5b_window_argmin",
+    "j10_salted_join",
+]
+
+#: ACTIVE WINDOW (round 8): the round-8 rotation. CORRECTNESS_r07
+#: landed green rows for the whole round-7 window (50/50, zero errs),
+#: so the swap is pure evidence gain: the ADVICE-fix trio re-verifies
+#: its changed twins, l7_quality_filter_pipeline (the one
+#: quality_score dependent outside the r7 window) re-verifies, and
+#: the tail refreshes the oldest driver evidence in the catalog (the
+#: full r3-era block plus most of the r4-era block).
+_DRIVER_PRIORITY = _ROUND8_PRIORITY
 
 
 def _ordered(registry):

@@ -14,8 +14,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: tiny deterministic stopword list used by lang-id and quality ops
+#: tiny deterministic stopword list used by lang-id and quality ops.
+#: Must stay plain-alpha: quality_score interpolates these into a
+#: regex alternation, and a metacharacter or whitespace entry would
+#: silently change its semantics — the assert makes that fail loudly
+#: at import time instead.
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+assert all(s.isalpha() and s.isascii() for s in EN_STOPWORDS), (
+    "EN_STOPWORDS entries must be plain ASCII letters: they are "
+    "embedded unescaped in quality_score's regex alternation"
+)
 
 #: BPE-ish token pattern: letter runs, digit runs, or single symbols
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"

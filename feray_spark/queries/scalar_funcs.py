@@ -686,10 +686,13 @@ def f_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # additionally pass the portable numeric grammar (the oracle's
     # sql_portable_double twin): Spark's variant string→double
     # coercion accepts Java-only forms ('1.5d', hex-floats) and
-    # rejects DuckDB-only underscore separators. The isnan guard
-    # covers the "NaN"-string corner (Spark's NaN->bigint cast is 0
-    # where DuckDB's TRY_CAST is NULL).
-    from feray_spark.queries.util import PORTABLE_DOUBLE_RE
+    # rejects DuckDB-only underscore separators. The trunc_int64
+    # wrapper pins the residual 64-bit cast corners: Spark's
+    # NaN->bigint is 0, its overflow (a grammar-passing '1e20', or
+    # '1e999' -> Infinity, which a bare isnan guard misses) CLAMPS to
+    # LONG_MAX — DuckDB's TRY_CAST yields NULL in every one of those,
+    # so the Spark side must too.
+    from feray_spark.queries.util import PORTABLE_DOUBLE_RE, trunc_int64
 
     ks = F.try_variant_get(F.col("v"), "$.k", "string")
     kd0 = F.try_variant_get(F.col("v"), "$.k", "double")
@@ -700,7 +703,7 @@ def f_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.try_parse_json("props").alias("v")
     ).select(
         "event_type",
-        F.when(F.isnan(kd), None).otherwise(kd).cast("bigint").alias("k"),
+        trunc_int64(kd).alias("k"),
         F.try_variant_get("v", "$.missing", "bigint").alias("miss"),
     )
     return v.groupBy("event_type").agg(

@@ -31,11 +31,15 @@ DEC = "decimal(18,2)"
 #: exponent. Outside it the parsers legitimately disagree (measured
 #: bank, round 7): Spark/Java accepts '1.5d'/'1.5f' suffixes and
 #: hex-floats '0x1.8p1' that DuckDB rejects, while DuckDB accepts
-#: underscore separators '1_000' that Spark rejects. Both regex
-#: engines (Java, RE2) read this pattern identically (\s is ASCII in
-#: both; no lookaround).
+#: underscore separators '1_000' that Spark rejects. The whitespace
+#: class is spelled out explicitly because the engines' \s differ:
+#: Java's includes \x0B (vertical tab), RE2's does not — a VT-padded
+#: numeric would pass the Spark guard (and Spark's cast trims VT) but
+#: fail DuckDB's regexp_matches, a silent value-vs-NULL divergence.
+#: The explicit class reads identically in both engines; no
+#: lookaround.
 PORTABLE_DOUBLE_RE = (
-    r"^\s*[+-]?((\d+(\.\d*)?)|(\.\d+))([eE][+-]?\d+)?\s*$"
+    r"^[ \t\n\r\f]*[+-]?((\d+(\.\d*)?)|(\.\d+))([eE][+-]?\d+)?[ \t\n\r\f]*$"
 )
 
 
@@ -81,6 +85,29 @@ def trunc_int32(c: Column) -> Column:
         & (c < 2_147_483_648.0),
         c,
     ).cast("int")
+
+
+def trunc_int64(c: Column) -> Column:
+    """Engine-portable DOUBLE → BIGINT: :func:`trunc_int32`'s int64
+    mirror, twin of ``TRY_CAST(trunc(x) AS BIGINT)``.
+
+    Pins the same residual cast differences at the 64-bit boundary:
+    Spark's non-ANSI double→bigint cast CLAMPS out-of-range finite
+    values (1e20 → LONG_MAX) and infinities (1e999 → LONG_MAX, which
+    an isnan guard misses) where DuckDB's TRY_CAST yields NULL, and
+    Spark's NaN→bigint is 0. The bounds use the exactly-representable
+    doubles ±2^63: ``c >= -2^63`` (INT64_MIN itself is a valid
+    result; no double exists strictly between -2^63-1 and -2^63, the
+    spacing there is 2048) and ``c < 2^63`` (2^63 overflows; the
+    largest passing double, 2^63-2048, fits). Infinities fail the
+    range test, NaN fails the isnan guard. Takes a DOUBLE column."""
+    return F.when(
+        c.isNotNull()
+        & ~F.isnan(c)
+        & (c >= -9_223_372_036_854_775_808.0)
+        & (c < 9_223_372_036_854_775_808.0),
+        c,
+    ).cast("bigint")
 
 
 def dec(col: str | Column) -> Column:

@@ -93,6 +93,15 @@ def _edge_rows(sf_dir: str) -> dict[str, list[dict]]:
                  event_type="junk7", value=0.5, props='{"k":"1.5d"}'),
             dict(event_id=900010, ts=_TS(1999, 1, 8), user_id=13,
                  event_type="junk8", value=0.5, props='{"k":"1_000"}'),
+            # 64-bit overflow corners (util.trunc_int64): both pass
+            # the portable grammar and parse to a double, but Spark's
+            # non-ANSI double->bigint cast CLAMPS 1e20 (finite,
+            # > 2^63) and 1e999 (Infinity — an isnan guard misses it)
+            # to LONG_MAX where DuckDB's TRY_CAST yields NULL
+            dict(event_id=900011, ts=_TS(1999, 1, 9), user_id=13,
+                 event_type="junk9", value=0.5, props='{"k":"1e20"}'),
+            dict(event_id=900012, ts=_TS(1999, 1, 10), user_id=13,
+                 event_type="junk10", value=0.5, props='{"k":"1e999"}'),
         ],
         "orders": [
             dict(o_orderkey=999001, o_custkey=1, o_orderstatus=None,

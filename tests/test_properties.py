@@ -623,7 +623,7 @@ _ev_rows = st.lists(
         st.one_of(st.none(), money),                # value
         st.sampled_from([None, 'not json', '{"k": 3}', '5',
                          '{"a":1,"k":2}', '{"k":"1.5d"}', '{"k":"1_000"}',
-                         '{"k":"1e3"}']),
+                         '{"k":"1e3"}', '{"k":"1e20"}', '{"k":"1e999"}']),
     ),
     min_size=0,
     max_size=25,
