@@ -199,9 +199,12 @@ _ROUND8_PRIORITY = [
     #     the ADVICE fixes — trunc_int64 overflow guard on the
     #     variant bigint route, and the PORTABLE_DOUBLE_RE explicit-
     #     whitespace grammar shared by all three portable-double
-    #     twins. (Round-7's only outside-window change,
-    #     l7_quality_filter_pipeline, already sits in the (3) fill.)
+    #     twins — plus the util.fence project-then-filter rewrite of
+    #     the l14/l26 quality gates. (Round-7's only outside-window
+    #     change, l7_quality_filter_pipeline, already sits in the
+    #     (3) fill.)
     "f_variant_family", "f_json_family", "l17_mixture_sampling",
+    "l14_quality_weighted_sample", "l26_curation_pipeline",
     # (3) oldest-evidence fill (computed from CORRECTNESS_r01–r06 +
     #     the active r7 window): the full r3-era block (25)
     "f3b_grouped_partial", "f4_pandas_udaf", "f7_isolated_fanout",
@@ -220,10 +223,9 @@ _ROUND8_PRIORITY = [
     "fs1_record_versions", "fs8_training_set", "fs9_partitioned_assets",
     "j5_broadcast_star", "l10_pii_redaction", "l18_incremental_dedup",
     "l1_exact_dedup", "l22_bpe_tokens", "l23_image_phash_dedup",
-    "l4b_lang_rollup", "l6c_audio_features", "l6d_video_frame_split",
-    "l9_deterministic_split",
-    # (the rule-(2) trio displaced the r4-era tail u1b/w9 and the
-    # r5-era ep10 fill slot into the round-9 pool)
+    "l4b_lang_rollup", "l6c_audio_features",
+    # (the rule-(2) block displaced the r4-era tail l6d/l9/u1b/w9
+    # and the r5-era ep10 fill slot into the round-9 pool)
 ]
 
 #: ROUND-9 ROTATION (swap in as _DRIVER_PRIORITY after CORRECTNESS_r08
@@ -238,7 +240,9 @@ _ROUND8_PRIORITY = [
 _ROUND9_PRIORITY = [
     # (1) entries registered in round 8 — prepend here as they land
     # (2) round-8 code changes outside the r8 window: none yet
-    # (3) oldest-evidence fill: r4-era pair
+    # (3) oldest-evidence fill: the r4-era block the r8 window
+    #     displaced
+    "l6d_video_frame_split", "l9_deterministic_split",
     "u1b_union_diagonal", "w9_resample_gap_fill",
     # the full r5-era block (30), alphabetical
     "ep10_sole_late_supplier", "ep11_excluded_suppliers",
@@ -261,8 +265,7 @@ _ROUND9_PRIORITY = [
     "a5_approx_count_distinct", "a5b_hll_sketch_rollup",
     "a6_distinct_rows", "a7_collect_list_set", "a8_rollup", "a8b_cube",
     "a8c_grouping_sets", "a9_pivot", "ep3_sql_surface",
-    "ep3b_subquery_decorrelation", "ep5b_window_argmin",
-    "j10_salted_join",
+    "ep3b_subquery_decorrelation",
 ]
 
 #: ACTIVE WINDOW (round 8): the round-8 rotation. CORRECTNESS_r07

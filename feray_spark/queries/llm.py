@@ -43,7 +43,7 @@ from feray_spark.operators.similarity import (
     lsh_bucketed_topk,
 )
 from feray_spark.queries import register
-from feray_spark.queries.util import fan_out, sql_portable_double
+from feray_spark.queries.util import fan_out, fence, sql_portable_double
 
 # MinHash/LSH parameters shared by the Spark operator and the oracle
 MH_NUM_HASHES = 12
@@ -1484,16 +1484,27 @@ def l14_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-run after adding documents keeps every previous decision (the
     property random sampling lacks, and the reason every production
     pipeline samples by hash). One narrow projection + filter, zero
-    shuffles, pushed to the scan. fan_out measured: 0.70 s with vs
-    0.99 s without (sf0.1, local[32]) — the quality expression is
-    regex-heavy per row."""
+    shuffles. fan_out measured: 0.70 s with vs 0.99 s without
+    (sf0.1, local[32]) — the quality expression is regex-heavy per
+    row.
+
+    The draw column carries a :func:`~feray_spark.queries.util.fence`
+    so the acceptance filter stays ABOVE the projection: pushed into
+    the scan filter the quality tree re-evaluates once per reference
+    per row (filter predicates get no codegen CSE — the plan showed
+    7 canon_lower chains), and the md5 draw is unusable for row-group
+    skipping anyway, so the fence costs nothing. Measured:
+    1.01 -> 0.19 s at sf0.1."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    u = (
-        md5_bucket("sample7:", "doc_id", 1_000_000)
-    )
+    u = md5_bucket("sample7:", "doc_id", 1_000_000)
     q = quality_score("text")
-    return d.filter(u < q * 1_000_000.0).select(
-        "doc_id", "lang", "source", q.alias("quality")
+    return (
+        d.select(
+            "doc_id", "lang", "source",
+            q.alias("quality"), fence(u, "bigint").alias("__u"),
+        )
+        .filter(F.col("__u") < F.col("quality") * 1_000_000.0)
+        .drop("__u")
     )
 
 

@@ -110,6 +110,41 @@ def trunc_int64(c: Column) -> Column:
     ).cast("bigint")
 
 
+def fence(c: Column, dtype: str, seed: int = 11) -> Column:
+    """Optimization fence: value-identical wrapper that stops
+    Catalyst from pushing a filter below the projection computing
+    this column.
+
+    Why it exists: filter predicates get NO codegen subexpression
+    elimination, so an expensive multi-reference expression (the
+    quality_score regex tree) inside a ``.filter`` re-evaluates once
+    per reference per row. Writing project-then-filter does not help
+    on its own — ``PushPredicateThroughNonJoin`` substitutes the
+    projection alias back into the predicate and pushes it to the
+    scan, re-creating the exact shape (measured: byte-identical
+    plans). Non-deterministic predicates are the one thing the rule
+    never pushes, so adding a value-neutral ``rand()*0`` term (cast
+    to ``dtype``, the column's own type, so the result type is
+    unchanged) pins the filter above the projection; the fused
+    codegen stage then computes the expensive attribute once per row
+    and the predicate reads the local. Value is unchanged for every
+    input including NULL (x + 0 in both integer and IEEE arithmetic;
+    non-negative doubles only, -0.0 + 0.0 would flip sign).
+
+    The arithmetic form, NOT ``F.when(rand() >= -1, c)``: the
+    optimizer eliminates the always-true conditional (measured — the
+    rewritten plan had no rand and the filter was pushed) but leaves
+    nondeterministic arithmetic alone.
+
+    Use on the CHEAP side of the comparison when there is one (the
+    md5 draw in l14) so the expensive output column stays a clean
+    deterministic expression. Measured (sf0.1, local[32]): l14
+    1.01 -> 0.19 s. At 100 TB the same shape holds — the fence adds
+    one rand() per row and removes O(references) regex trees per
+    scanned row; nothing about it is local-mode-specific."""
+    return c + (F.rand(seed) * 0).cast(dtype)
+
+
 def dec(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(DEC)

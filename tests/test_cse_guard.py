@@ -1,0 +1,169 @@
+"""Codegen subexpression-elimination regression guards.
+
+Round 7 found (by profiling, twice) that Spark's whole-stage-codegen
+subexpression elimination SKIPS conditional branches and does not
+apply to filter predicates at all: a CaseWhen-wrapped quality_score
+re-evaluated its canon_lower+regex tree up to 6x per row, and the
+same tree inlined into a scan filter (predicate pushdown substitutes
+projection aliases back into the condition) re-evaluated 7x per
+scanned row. Both were fixed structurally — the COALESCE-first form
+in quality_score, the util.fence project-then-filter shape in
+l14/l26 — but nothing stopped the next `F.when(expensive)` or
+`.filter(expensive)` from landing silently. These tests pin the
+fixed shapes at the artifact level:
+
+- the CODEGEN text of a quality_score projection contains exactly
+  one canon_lower chain's worth of StringTranslate references (and a
+  deliberately-regressed CaseWhen twin proves the counter detects
+  the defect — a canary against the measurement going vacuous on a
+  Spark upgrade);
+- each hot text-path catalog query stays at its known evaluation-
+  site count;
+- no Filter node (or scan-pushed DataFilter) in the text path
+  carries two or more canon_lower chains — the no-CSE-in-predicates
+  shape that cost l14 5x.
+
+The technique mirrors tests/test_plans.py (string-level assertions
+on the executed plan / generated code); AQE is disabled per-test
+because an un-executed AdaptiveSparkPlan reports zero codegen
+subtrees.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import pytest
+from pyspark.sql import functions as F
+
+from feray_spark.functions.text import canon_lower, quality_score
+from feray_spark.queries import load_all
+
+#: one canon_lower chain = translate(lower(translate(..))) — two
+#: StringTranslate expressions, each referenced twice in generated
+#: code (declaration + invocation), so ONE evaluation site == 4
+#: textual `StringTranslate` references in the codegen dump.
+_REFS_PER_SITE = 4
+
+#: the plan-string form of one canon_lower evaluation
+_CHAIN = "translate(lower(translate("
+
+
+def _codegen(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@contextmanager
+def _no_aqe(spark):
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_quality_score_projection_single_evaluation(spark):
+    """A quality_score projection must codegen exactly ONE
+    canon_lower chain (CSE collapses every internal reference), and
+    the counter must be able to tell: the deliberately-regressed
+    CaseWhen twin of the same score — the exact round-7 defect
+    shape — must show strictly more evaluation sites."""
+    df = spark.createDataFrame(
+        [("hello world the of and to in them",)], "text string"
+    )
+    good = df.select(quality_score("text").alias("q"))
+    n_good = _codegen(good).count("StringTranslate")
+    assert n_good == _REFS_PER_SITE, _codegen(good)[:2000]
+
+    # the regressed shape: same algebra, but the score tree sits in
+    # CaseWhen branches, which codegen CSE skips
+    c = F.col("text")
+    low = canon_lower(c)
+    n = F.regexp_count(low, F.lit(r"\S+"))
+    stop = F.regexp_count(low, F.lit(r"(?<!\S)(?:the|of)(?!\S)"))
+    score = (
+        ((F.length(c) >= 20) & (F.length(c) <= 100000)).cast("int")
+        + ((stop.cast("double") / n) >= 0.05).cast("int")
+        + (
+            (F.length(F.regexp_replace(low, r"\s+", "")).cast("double") / n)
+            .between(2.0, 12.0)
+        ).cast("int")
+    ).cast("double") / 3.0
+    bad = df.select(F.when(n == 0, F.lit(0.0)).otherwise(score).alias("q"))
+    n_bad = _codegen(bad).count("StringTranslate")
+    assert n_bad > n_good, (n_bad, n_good)  # canary: counter detects it
+
+
+#: hot text-path queries and their known canon_lower evaluation-site
+#: counts (sites = StringTranslate refs / 4, measured round 8):
+#: l14/l15/l13 evaluate the score/tokens ONCE in a projection
+#: (l14 behind util.fence); l17/l29 are the documented 2-pass +
+#: final-rollup designs — one site per pass, never per reference.
+#: l4/l16 are 0: their projections contain higher-order functions,
+#: which are CodegenFallback, so the whole stage leaves codegen (the
+#: filter-shape test below still covers them).
+_SITE_CEILINGS = {
+    "l14_quality_weighted_sample": 1,
+    "l15_source_cap": 1,
+    "l13_sequence_packing": 1,
+    "l17_mixture_sampling": 3,
+    "l29_temperature_mixture": 3,
+    "l4_text_stats": 0,
+    "l16_unigram_logprob": 0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SITE_CEILINGS))
+def test_hot_text_query_site_count(spark, sf_dir, name):
+    q = load_all()[name]
+    with _no_aqe(spark):
+        df = q.fn(spark, sf_dir)
+        refs = _codegen(df).count("StringTranslate")
+    assert refs <= _SITE_CEILINGS[name] * _REFS_PER_SITE, (
+        f"{name}: {refs} StringTranslate refs "
+        f"(~{refs / _REFS_PER_SITE:.1f} canon_lower evaluation sites, "
+        f"ceiling {_SITE_CEILINGS[name]}) — an expensive expression "
+        "regressed into a conditional branch or gained a new "
+        "evaluation site"
+    )
+
+
+#: text-path queries whose plans must never carry a multi-reference
+#: canon_lower tree inside a filter predicate (no CSE there at all).
+#: Excludes the eager-fixpoint pipelines (l26* builds run jobs at
+#: plan time; their gate shape is pinned by
+#: test_plans.test_curation_packs_plan_pushes_gate_and_bounds_exchanges).
+_FILTER_GUARD = [
+    "l14_quality_weighted_sample",
+    "l15_source_cap",
+    "l17_mixture_sampling",
+    "l4_text_stats",
+    "l16_unigram_logprob",
+    "l13_sequence_packing",
+    "l29_temperature_mixture",
+    "l7_quality_filter_pipeline",
+    "l25_stratified_sample",
+    "l31_split_leakage",
+]
+
+
+@pytest.mark.parametrize("name", _FILTER_GUARD)
+def test_no_multi_chain_filter_predicate(spark, sf_dir, name):
+    """No Filter line (incl. the FileScan's pushed DataFilters) may
+    contain >= 2 canon_lower chains: filter predicates get no codegen
+    CSE, so every textual chain is a per-row re-evaluation."""
+    q = load_all()[name]
+    plan = _plan(q.fn(spark, sf_dir))
+    offenders = [
+        ln.strip()[:160]
+        for ln in plan.splitlines()
+        if ("Filter" in ln) and ln.count(_CHAIN) >= 2
+    ]
+    assert not offenders, offenders

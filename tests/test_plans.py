@@ -326,15 +326,20 @@ def test_contamination_probes_broadcast(spark, sf_dir):
 
 
 def test_quality_sample_is_scan_level_filter(spark, sf_dir):
-    """l14: hash-acceptance sampling must be a pure scan-level
-    filter — no shuffle of any kind beyond fan_out's rebalance, no
-    Python, no aggregation (the draw and the quality score are both
-    JVM expressions)."""
+    """l14: hash-acceptance sampling must be one fused scan stage —
+    no shuffle of any kind beyond fan_out's rebalance, no Python, no
+    aggregation (the draw and the quality score are both JVM
+    expressions) — with the acceptance filter fenced ABOVE the
+    projection that materializes quality, so the regex tree runs once
+    per row instead of once per predicate reference (filter
+    predicates get no codegen CSE; the rand() term is util.fence's
+    marker)."""
     q = load_all()["l14_quality_weighted_sample"]
     plan = plan_of(q.fn(spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan, plan
     assert plan.count("Exchange") <= 1, plan  # fan_out round-robin only
     assert "Python" not in plan, plan
+    assert "rand(" in plan, plan  # the fence survived optimization
 
 
 def test_sequence_packing_partitions_by_shard(spark, sf_dir):
@@ -511,13 +516,16 @@ def test_stratified_sample_precuts_before_shuffle(spark, sf_dir):
 
 
 def test_curation_packs_plan_pushes_gate_and_bounds_exchanges(spark, sf_dir):
-    """l26/pipeline: the quality gate must FUSE into the parquet scan
-    (isnotnull(text) reaches the scan's pushed filters, the quality
-    expression rides the same scan as a data filter — no separate
-    filter stage over a materialized corpus), and the whole curated-
-    packs lineage holds at FOUR exchanges total (dedup hash-agg,
-    anti-join build, pack window, final agg) — composition added
-    none of its own."""
+    """l26/pipeline: the NULL gate must fuse into the parquet scan
+    (isnotnull(text) reaches PushedFilters for the row-group skip)
+    while the QUALITY gate stays a fenced filter ABOVE the projection
+    that materializes the score — inlined into the scan filter the
+    quality regex tree re-evaluates once per reference per row
+    (filter predicates get no codegen CSE; util.fence pins it, the
+    rand() term in the plan is the fence's marker). The whole
+    curated-packs lineage holds at FOUR exchanges total (dedup
+    hash-agg, anti-join build, pack window, final agg) — composition
+    added none of its own."""
     from feray_spark.catalog import load_table
     from feray_spark.pipeline import curate_corpus
 
@@ -527,6 +535,9 @@ def test_curation_packs_plan_pushes_gate_and_bounds_exchanges(spark, sf_dir):
     assert any(
         "isnotnull(text" in ln and "PushedFilters" in ln for ln in scan_lines
     ), "\n".join(scan_lines)
+    # the fence survived optimization (its removal would mean the
+    # quality tree was inlined back into a no-CSE filter predicate)
+    assert "rand(" in plan, plan
     assert plan.count("Exchange") == 4, plan.count("Exchange")
 
 
