@@ -43,9 +43,35 @@ export FERAY_SPARK_EXTRA_CONF="{
   \"spark.databricks.delta.properties.defaults.enableChangeDataFeed\": \"true\"
 }"
 
+# criterion 1 (scripts/delta_twin_env/EXPECTED.md): the committed
+# manifest of delta legs must match what the suite still collects —
+# a renamed/removed leg fails HERE instead of silently shrinking the
+# twin claim's coverage.
+python -m pytest tests/test_store_contract.py --collect-only -q 2>/dev/null \
+  | grep '\[delta\]' | sort > /tmp/delta_legs_now.txt
+sort scripts/delta_twin_env/delta_legs.txt > /tmp/delta_legs_expected.txt
+if ! diff -u /tmp/delta_legs_expected.txt /tmp/delta_legs_now.txt; then
+  echo "FAIL: collected delta legs differ from scripts/delta_twin_env/delta_legs.txt" >&2
+  echo "      (regenerate the manifest per EXPECTED.md and commit it)" >&2
+  exit 1
+fi
+
+# criterion 2: 0 skipped, 0 failed — every leg ran against real Delta
 python -m pytest tests/test_store_contract.py -q -rs | tee /tmp/delta_twin.out
 if grep -qi "skipped" /tmp/delta_twin.out; then
   echo "FAIL: delta twin legs skipped — extension/jars not active" >&2
   exit 1
 fi
+
+# criterion 3: a committable record of the green run
+{
+  echo "# Last real-Delta contract-twin run"
+  echo
+  echo "- date: $(date -u +%Y-%m-%dT%H:%M:%SZ)"
+  echo "- pyspark: $(python -c 'import pyspark; print(pyspark.__version__)')"
+  echo "- delta-spark: ${DELTA_VER}"
+  echo "- legs: $(wc -l < scripts/delta_twin_env/delta_legs.txt) delta + shared"
+  echo "- summary: $(tail -1 /tmp/delta_twin.out)"
+} > scripts/delta_twin_env/LAST_RUN.md
 echo "delta twin: all contract legs ran against real Delta"
+echo "record written to scripts/delta_twin_env/LAST_RUN.md — commit it"
