@@ -348,7 +348,16 @@ def lsh_bucketed_topk(
     - ``broadcast_queries=False`` (both sides huge): explicit bucket
       join keyed on (table, bucket). The collision join and candidate
       dedup move ONLY (id, table_idx, bucket) rows — vectors are
-      attached after dedup."""
+      attached after dedup.
+
+    Growth knob (measured, scripts/l3b_knob_probe.py, 8x corpus,
+    dim=64): recall drifts down slowly at fixed knobs (0.88 -> 0.84);
+    ``n_tables += log2(K)`` restores it (0.92) at flat wall cost,
+    while raising ``n_planes`` instead COLLAPSES recall (0.42 at 6
+    planes) because each plane halves a near-pair's per-table
+    collision probability. Rule: scale n_tables with corpus growth;
+    raise n_planes only when per-bucket candidate volume (occupancy),
+    not recall, is the bottleneck — and add tables to compensate."""
     if broadcast_queries:
         # the SAME constants/formula as with_lsh_buckets (shared
         # helpers), so both physical shapes produce identical

@@ -560,7 +560,16 @@ def l3b_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine, value-gated against the exact top-3 via the shared
     :func:`_ann_verified` harness (recall floor + per-pair cosine
     consistency + k-bound). See operators.similarity
-    .lsh_bucketed_topk for the one-pass broadcast-index shape."""
+    .lsh_bucketed_topk for the one-pass broadcast-index shape.
+
+    Growth knob (measured, scripts/l3b_knob_probe.py at 8x corpus):
+    recall at the fixture defaults (3 planes, 6 tables) drifts
+    0.88 -> 0.84; raising ``n_tables`` by +log2(K) RESTORES it to
+    0.92 at the same wall cost, while raising ``n_planes`` collapses
+    it (0.42 at 6 planes — each extra plane halves a near-pair's
+    per-table collision odds at dim=64). Scale rule: grow tables
+    with the corpus, touch planes only if per-bucket candidate
+    volume, not recall, becomes the bottleneck."""
     return _ann_verified(
         spark, sf_dir, lambda q, c: lsh_bucketed_topk(q, c, k=3)
     )
