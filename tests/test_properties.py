@@ -515,91 +515,152 @@ def test_span_valve_path_equals_window_path(spark, data, valve):
     assert base == valved
 
 
+#: one generated row: (key, value, extra) — ``extra`` is only
+#: written once the program's `evolve` op has widened the schema
+_store_rows = st.lists(
+    st.tuples(
+        st.integers(0, 999),
+        st.integers(-99, 99),
+        st.one_of(st.none(), st.integers(-9, 9)),
+    ),
+    min_size=1,
+    max_size=6,
+)
 _store_op = st.one_of(
-    st.tuples(
-        st.just("append"),
-        st.lists(st.tuples(st.integers(0, 999), st.integers(-99, 99)),
-                 min_size=1, max_size=6),
-    ),
-    st.tuples(
-        st.just("overwrite"),
-        st.lists(st.tuples(st.integers(0, 999), st.integers(-99, 99)),
-                 min_size=1, max_size=6),
-    ),
-    st.tuples(
-        st.just("merge"),
-        st.lists(st.tuples(st.integers(0, 999), st.integers(-99, 99)),
-                 min_size=1, max_size=6),
-    ),
+    st.tuples(st.just("append"), _store_rows),
+    st.tuples(st.just("overwrite"), _store_rows),
+    st.tuples(st.just("merge"), _store_rows),
     st.tuples(
         st.just("replace_where"),
         st.tuples(st.integers(0, 999),
-                  st.lists(st.tuples(st.integers(0, 999), st.integers(-99, 99)),
+                  st.lists(st.tuples(st.integers(0, 999),
+                                     st.integers(-99, 99),
+                                     st.one_of(st.none(),
+                                               st.integers(-9, 9))),
                            min_size=0, max_size=6)),
     ),
     st.tuples(st.just("restore"), st.integers(min_value=0, max_value=100)),
+    # schema evolution: a merge_schema append that widens to (k,v,w)
+    st.tuples(st.just("evolve"), _store_rows),
+    # concurrent writers: a SECOND handle commits, then this handle's
+    # write pinned to the now-stale base must raise (optimistic CAS)
+    st.tuples(st.just("race"), _store_rows),
 )
 
 
 @given(ops=st.lists(_store_op, min_size=1, max_size=7))
-@settings(max_examples=6, deadline=None,
+@settings(max_examples=FUZZ_EXAMPLES, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_table_store_matches_reference_model(spark, ops):
     """Model-based check of the versioned log: an arbitrary program of
-    append / overwrite / MERGE / replaceWhere / RESTORE against the
-    segment-log store must match a plain dict model after EVERY
-    commit, the commit's recorded row_count must match, and every
-    historical version must time-travel back to its exact snapshot.
-    Batches are keyed uniquely (appends skip keys already present) so
-    MERGE's whenMatched semantics are unambiguous."""
+    append / overwrite / MERGE / replaceWhere / RESTORE / schema
+    EVOLUTION / two-writer RACE against the segment-log store must
+    match a plain dict model after EVERY commit, the commit's
+    recorded row_count must match, and every historical version must
+    time-travel back to its exact snapshot (including its schema
+    WIDTH — restore adopts the target's schema, so restoring past an
+    evolution narrows the table again). Batches are keyed uniquely
+    (appends skip keys already present) so MERGE's whenMatched
+    semantics are unambiguous. The race op drives the optimistic CAS:
+    a second TableStore handle commits, then this handle's write
+    pinned to the stale base must raise ConcurrentWriteError and, per
+    the contract, leave NO commit behind. Model values are (v, w)
+    pairs; pre-evolution segments read the evolved column as NULL."""
     import shutil
     import tempfile
 
-    from feray_spark.sources.table_store import TableStore
+    import pytest as _pytest
+
+    from feray_spark.sources.table_store import (
+        ConcurrentWriteError,
+        TableStore,
+    )
 
     root = tempfile.mkdtemp(prefix="store_model_")
     try:
         ts = TableStore(root)
-        df_of = lambda rows: spark.createDataFrame(  # noqa: E731
-            [(k, v) for k, v in rows], "k long, v long"
-        ) if rows else spark.createDataFrame([], "k long, v long")
-        model: dict[int, int] = {}
-        ts.write(df_of([]), "t", mode="overwrite")
-        snapshots = {ts.latest_version("t"): dict(model)}
+        ts2 = TableStore(root)  # the interleaving second writer
+
+        def df_of(rows, wide):
+            if wide:
+                data = [(k, v, w) for k, v, w in rows]
+                schema = "k long, v long, w long"
+            else:
+                data = [(k, v) for k, v, _ in rows]
+                schema = "k long, v long"
+            return spark.createDataFrame(data, schema)
+
+        def val(row, wide):
+            k, v, w = row
+            return k, (v, w if wide else None)
+
+        evolved = False
+        model: dict[int, tuple[int, int | None]] = {}
+        ts.write(df_of([], False), "t", mode="overwrite")
+        snapshots = {ts.latest_version("t"): (dict(model), evolved)}
         for op in ops:
-            if op[0] == "append":
-                rows = [(k, v) for k, v in dict(op[1]).items()
-                        if k not in model]
-                ts.write(df_of(rows), "t", mode="append")
+            if op[0] in ("append", "race", "evolve"):
+                wide = evolved or op[0] == "evolve"
+                rows = {k: vw for k, vw in
+                        (val(r, wide) for r in op[1]) if k not in model}
+                batch = [(k, v, w) for k, (v, w) in rows.items()]
+                if op[0] == "race":
+                    stale = ts.latest_version("t")
+                    ts2.write(df_of(batch, evolved), "t", mode="append")
+                    with _pytest.raises(ConcurrentWriteError):
+                        ts.write(df_of(batch, evolved), "t",
+                                 mode="append", expected_base=stale)
+                elif op[0] == "evolve":
+                    ts.write(df_of(batch, True), "t", mode="append",
+                             merge_schema=True)
+                    if not evolved:
+                        # the enforcement twin: once widened, a
+                        # narrow append without the flag must raise
+                        with _pytest.raises(ValueError):
+                            ts.write(df_of([(0, 0, None)], False),
+                                     "t", mode="append")
+                    evolved = True
+                else:
+                    ts.write(df_of(batch, evolved), "t", mode="append")
                 model.update(rows)
             elif op[0] == "overwrite":
-                rows = list(dict(op[1]).items())
-                ts.write(df_of(rows), "t", mode="overwrite")
+                rows = dict(val(r, evolved) for r in op[1])
+                batch = [(k, v, w) for k, (v, w) in rows.items()]
+                ts.write(df_of(batch, evolved), "t", mode="overwrite")
                 model = dict(rows)
             elif op[0] == "merge":
-                rows = list(dict(op[1]).items())
-                ts.merge(spark, "t", df_of(rows), keys=["k"])
+                rows = dict(val(r, evolved) for r in op[1])
+                batch = [(k, v, w) for k, (v, w) in rows.items()]
+                ts.merge(spark, "t", df_of(batch, evolved), keys=["k"])
                 model.update(rows)
             elif op[0] == "replace_where":
-                cut, batch = op[1]
-                rows = [(k, v) for k, v in dict(batch).items() if k >= cut]
-                ts.replace_where(spark, "t", df_of(rows), f"k >= {cut}")
-                model = {k: v for k, v in model.items() if k < cut}
+                cut, raw = op[1]
+                rows = {k: vw for k, vw in
+                        (val(r, evolved) for r in raw) if k >= cut}
+                batch = [(k, v, w) for k, (v, w) in rows.items()]
+                ts.replace_where(spark, "t", df_of(batch, evolved),
+                                 f"k >= {cut}")
+                model = {k: vw for k, vw in model.items() if k < cut}
                 model.update(rows)
             else:  # restore
                 versions = sorted(snapshots)
                 target = versions[op[1] % len(versions)]
                 ts.restore("t", target)
-                model = dict(snapshots[target])
+                model, evolved = (dict(snapshots[target][0]),
+                                  snapshots[target][1])
             head = ts.commit_info("t")
-            snapshots[head.version] = dict(model)
-            got = {r.k: r.v for r in ts.read(spark, "t").collect()}
+            snapshots[head.version] = (dict(model), evolved)
+            read = ts.read(spark, "t").collect()
+            got = {r.k: (r.v, r.w if evolved else None) for r in read}
             assert got == model, (op[0], got, model)
             assert head.row_count == len(model), (op[0], head.row_count)
-        # every historical version must still read as its snapshot
-        for v, snap in snapshots.items():
-            got = {r.k: r.v for r in ts.read(spark, "t", version=v).collect()}
+        # every historical version must still read as its snapshot,
+        # with its own schema width
+        for v, (snap, wide) in snapshots.items():
+            read = ts.read(spark, "t", version=v).collect()
+            got = {r.k: (r.v, r.w if wide else None) for r in read}
             assert got == snap, (v, got, snap)
+            assert all(("w" in r.asDict()) == wide for r in read), v
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
