@@ -199,12 +199,17 @@ _ROUND8_PRIORITY = [
     #     the ADVICE fixes — trunc_int64 overflow guard on the
     #     variant bigint route, and the PORTABLE_DOUBLE_RE explicit-
     #     whitespace grammar shared by all three portable-double
-    #     twins — plus the util.fence project-then-filter rewrite of
-    #     the l14/l26 quality gates. (Round-7's only outside-window
-    #     change, l7_quality_filter_pipeline, already sits in the
-    #     (3) fill.)
+    #     twins — plus the util.fence project-then-filter rewrites:
+    #     the l14/l26 quality gates, l31's split draw (restores its
+    #     distinct-exchange reuse), and brute_force_topk's cosine
+    #     (one fold per pair instead of two — l3, and the exact gate
+    #     inside l3b/l3c's verification harness). (Round-7's only
+    #     outside-window change, l7_quality_filter_pipeline, already
+    #     sits in the (3) fill.)
     "f_variant_family", "f_json_family", "l17_mixture_sampling",
     "l14_quality_weighted_sample", "l26_curation_pipeline",
+    "l31_split_leakage", "l3_embedding_topk", "l3b_lsh_topk",
+    "l3c_ivf_topk",
     # (3) oldest-evidence fill (computed from CORRECTNESS_r01–r06 +
     #     the active r7 window): the full r3-era block (25)
     "f3b_grouped_partial", "f4_pandas_udaf", "f7_isolated_fanout",
@@ -222,10 +227,10 @@ _ROUND8_PRIORITY = [
     "f_datetime_diff", "f_hash_native", "fs10_drift_report",
     "fs1_record_versions", "fs8_training_set", "fs9_partitioned_assets",
     "j5_broadcast_star", "l10_pii_redaction", "l18_incremental_dedup",
-    "l1_exact_dedup", "l22_bpe_tokens", "l23_image_phash_dedup",
-    "l4b_lang_rollup", "l6c_audio_features",
-    # (the rule-(2) block displaced the r4-era tail l6d/l9/u1b/w9
-    # and the r5-era ep10 fill slot into the round-9 pool)
+    "l1_exact_dedup",
+    # (the rule-(2) block displaced the r4-era tail l22/l23/l4b/
+    # l6c/l6d/l9/u1b/w9 and the r5-era ep10 fill slot into the
+    # round-9 pool)
 ]
 
 #: ROUND-9 ROTATION (swap in as _DRIVER_PRIORITY after CORRECTNESS_r08
@@ -241,9 +246,11 @@ _ROUND9_PRIORITY = [
     # (1) entries registered in round 8 — prepend here as they land
     # (2) round-8 code changes outside the r8 window: none yet
     # (3) oldest-evidence fill: the r4-era block the r8 window
-    #     displaced
-    "l6d_video_frame_split", "l9_deterministic_split",
-    "u1b_union_diagonal", "w9_resample_gap_fill",
+    #     displaced, alphabetical
+    "l22_bpe_tokens", "l23_image_phash_dedup", "l4b_lang_rollup",
+    "l6c_audio_features", "l6d_video_frame_split",
+    "l9_deterministic_split", "u1b_union_diagonal",
+    "w9_resample_gap_fill",
     # the full r5-era block (30), alphabetical
     "ep10_sole_late_supplier", "ep11_excluded_suppliers",
     "ep12_dormant_rich_customers", "ep13_value_share",
@@ -264,8 +271,6 @@ _ROUND9_PRIORITY = [
     "a3_statistical_aggs", "a3b_native_stddev_var", "a4_count_distinct",
     "a5_approx_count_distinct", "a5b_hll_sketch_rollup",
     "a6_distinct_rows", "a7_collect_list_set", "a8_rollup", "a8b_cube",
-    "a8c_grouping_sets", "a9_pivot", "ep3_sql_surface",
-    "ep3b_subquery_decorrelation",
 ]
 
 #: ACTIVE WINDOW (round 8): the round-8 rotation. CORRECTNESS_r07

@@ -32,7 +32,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from feray_spark.functions.vectors import cosine_similarity, cosine_similarity_batch
-from feray_spark.queries.util import fan_out
+from feray_spark.queries.util import fan_out, fence
 
 
 def _dtype_of(df: DataFrame, name: str) -> str:
@@ -101,7 +101,14 @@ def brute_force_topk(
     pairs = c.crossJoin(F.broadcast(q))
     if not include_self:
         pairs = pairs.filter(F.col(query_id) != F.col(corpus_id))
-    scored = pairs.withColumn("cosine", cosine_similarity("__qv", "__cv"))
+    # fenced cosine: without the fence, Catalyst inlines the isNotNull
+    # filter below into the join condition, so every pair pays the
+    # interpreted fold TWICE (condition + output projection; join
+    # conditions get no subexpression elimination). The fence pins the
+    # filter above the projection — one fold per pair.
+    scored = pairs.withColumn(
+        "cosine", fence(cosine_similarity("__qv", "__cv"), "double")
+    )
     # zero-norm vectors give NULL cosine; Spark's desc sort puts NULLs
     # LAST, so without this filter a query with fewer than k finite
     # candidates would pad its top-k with NULL-cosine rows — while the

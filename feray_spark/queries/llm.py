@@ -3089,7 +3089,13 @@ def l31_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).withColumn("__w", words("text"))
 
-    draw = md5_bucket("split42:", "doc_id", 100)
+    # fenced draw: the split filters downstream (== 'train',
+    # != 'train') would otherwise push below the pair-level distinct,
+    # inlining this CASE into both scan filters — md5 twice per row
+    # per consumer AND two separate explode lineages instead of the
+    # documented shared exchange (the plan showed ReusedExchange: 0
+    # before the fence; the reuse claim below was silently broken)
+    draw = fence(md5_bucket("split42:", "doc_id", 100), "bigint")
     split = (
         F.when(draw < 80, "train").when(draw < 90, "val").otherwise("test")
     )
