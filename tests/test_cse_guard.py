@@ -167,3 +167,66 @@ def test_no_multi_chain_filter_predicate(spark, sf_dir, name):
         if ("Filter" in ln) and ln.count(_CHAIN) >= 2
     ]
     assert not offenders, offenders
+
+
+#: per-evaluation signatures of the catalog's expensive expressions:
+#: ONE occurrence in a predicate node is one per-row/per-pair
+#: evaluation (zip_with == one cosine fold; md5( == one digest).
+#: Two or more of the SAME signature in one Filter/Join line means
+#: the predicate re-evaluates it — the l31 pre-fix shape (md5 x2,
+#: the split CASE inlined into the scan filter).
+_EXPENSIVE = ("translate(lower(translate(", "zip_with(", "md5(")
+
+#: predicate-position sweep: the text/ANN path plus the queries the
+#: round-8 audit flagged. Excludes the eager-fixpoint pipelines
+#: (l26*, l2e — they run jobs at plan-build time; their shapes are
+#: pinned by their own plan tests).
+_PREDICATE_SWEEP = _FILTER_GUARD + [
+    "l24_semantic_dedup",
+    "l2d_embedding_neardup",
+    "l3_embedding_topk",
+    "l3b_lsh_topk",
+    "l3c_ivf_topk",
+    "l9_deterministic_split",
+    "l12_contamination_check",
+]
+
+
+@pytest.mark.parametrize("name", sorted(set(_PREDICATE_SWEEP)))
+def test_no_repeated_expensive_expression_in_predicates(spark, sf_dir, name):
+    """No Filter or join-condition line may carry the SAME expensive
+    signature twice — predicates get no CSE, so each textual copy is
+    a separate per-row (or per-candidate-pair) evaluation. One copy
+    is allowed: a bucketed pair filter legitimately evaluates one
+    cosine per pair (semantic_dedup's join condition)."""
+    import re
+
+    q = load_all()[name]
+    plan = _plan(q.fn(spark, sf_dir))
+    node = re.compile(r"^[\s*+\-:()0-9]*(Filter|\w*Join\w*|CartesianProduct)")
+    offenders = [
+        (marker, ln.strip()[:140])
+        for ln in plan.splitlines()
+        if node.match(ln)
+        for marker in _EXPENSIVE
+        if ln.count(marker) >= 2
+    ]
+    assert not offenders, offenders
+
+
+def test_brute_force_join_condition_carries_no_fold(spark):
+    """The l3 defect shape crossed NODES: the cosine isNotNull filter
+    inlined into the nested-loop join condition, so each pair paid
+    the fold in the CONDITION and again in the output projection.
+    Pin the fixed shape: the join condition is the cheap id
+    inequality only — zero folds."""
+    from feray_spark.operators.similarity import brute_force_topk
+
+    rows = [(i, [float(i), 1.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.selectExpr("vec_id as q_id", "embedding")
+    c = df.selectExpr("vec_id as c_id", "embedding")
+    plan = _plan(brute_force_topk(q, c, k=2))
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines, plan
+    assert all("zip_with" not in ln for ln in join_lines), join_lines
