@@ -67,6 +67,10 @@ def test_driver_window_is_the_priority_rotation():
         "l5b_ml_tfidf",
         "a3b_native_stddev_var",
         "a5_approx_count_distinct",
+        # r8 window (r4-era fill): engine-native hash values are
+        # Spark-internal by definition; compensated by its own
+        # determinism/reference-vector asserts (VERDICT r7 table)
+        "f_hash_native",
     }
     assert all(n in osql for n in window if n not in rows_only), [
         n for n in window if n not in osql and n not in rows_only
