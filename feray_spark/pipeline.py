@@ -130,11 +130,14 @@ def curate_corpus(
     # fenced projection — a non-deterministic project field blocks
     # ALL pushdown through it, so the null filter must already sit on
     # the scan to keep its PushedFilters row-group skip.
+    qcol = "__q"
+    while qcol in d.columns:  # never clobber a caller's column
+        qcol += "_"
     gated = (
         d.filter(F.col(text_col).isNotNull())
-        .withColumn("__q", fence(quality_score(text_col), "double"))
-        .filter(F.col("__q") >= F.lit(quality_min))
-        .drop("__q")
+        .withColumn(qcol, fence(quality_score(text_col), "double"))
+        .filter(F.col(qcol) >= F.lit(quality_min))
+        .drop(qcol)
     )
 
     # no localCheckpoint on deduped: measured 4.62 vs 4.68 s at sf0.1

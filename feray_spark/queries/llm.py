@@ -415,7 +415,12 @@ def l2d_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         WHERE len(embedding) > 0) c
             WHERE q.vec_id != c.vec_id
         )
-        SELECT q_id, c_id, ROUND(cosine, 9) AS cosine, rank FROM (
+        -- + 0.0 after the round: normalizes IEEE -0.0 (a tiny
+        -- negative cosine rounds to it) to +0.0 on BOTH engines —
+        -- the Spark side's fence term already does this pre-round,
+        -- so without the pin the two sides could disagree on the
+        -- zero's sign (repr-level hash divergence)
+        SELECT q_id, c_id, ROUND(cosine, 9) + 0.0 AS cosine, rank FROM (
             SELECT q_id, c_id, cosine,
                    ROW_NUMBER() OVER (PARTITION BY q_id
                        ORDER BY cosine DESC, c_id) AS rank
@@ -448,10 +453,13 @@ def l3_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rank -> BIGINT: DuckDB ROW_NUMBER is int64 where Spark
     # row_number is int32, and the driver's value hash is
-    # dtype-sensitive (the l15 discipline)
-    return topk.withColumn("cosine", F.round("cosine", 9)).withColumn(
-        "rank", F.col("rank").cast("bigint")
-    )
+    # dtype-sensitive (the l15 discipline). + 0.0 after the round
+    # mirrors the oracle's -0.0 -> +0.0 pin (a tiny negative cosine
+    # rounds to IEEE -0.0; the fence in brute_force_topk normalizes
+    # only the PRE-round value, and only on this side).
+    return topk.withColumn(
+        "cosine", F.round("cosine", 9) + F.lit(0.0)
+    ).withColumn("rank", F.col("rank").cast("bigint"))
 
 
 #: Aggregate-recall floor the ANN tiers must clear against exact
@@ -1503,7 +1511,7 @@ def l14_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row (filter predicates get no codegen CSE — the plan showed
     7 canon_lower chains), and the md5 draw is unusable for row-group
     skipping anyway, so the fence costs nothing. Measured:
-    1.01 -> 0.19 s at sf0.1."""
+    1.01 -> 0.37 s median at sf0.1 (rebuilt DataFrame per run)."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     u = md5_bucket("sample7:", "doc_id", 1_000_000)
     q = quality_score("text")

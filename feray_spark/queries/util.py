@@ -97,10 +97,12 @@ def trunc_int64(c: Column) -> Column:
     an isnan guard misses) where DuckDB's TRY_CAST yields NULL, and
     Spark's NaN→bigint is 0. The bounds use the exactly-representable
     doubles ±2^63: ``c >= -2^63`` (INT64_MIN itself is a valid
-    result; no double exists strictly between -2^63-1 and -2^63, the
-    spacing there is 2048) and ``c < 2^63`` (2^63 overflows; the
-    largest passing double, 2^63-2048, fits). Infinities fail the
-    range test, NaN fails the isnan guard. Takes a DOUBLE column."""
+    result; no double exists strictly between -2^63-1 and -2^63 —
+    the spacing just beyond 2^63 magnitude is 2048) and ``c < 2^63``
+    (2^63 overflows; the largest passing double is 2^63-1024, one
+    ulp below — the spacing just UNDER 2^63 — and it fits).
+    Infinities fail the range test, NaN fails the isnan guard.
+    Takes a DOUBLE column."""
     return F.when(
         c.isNotNull()
         & ~F.isnan(c)
@@ -128,8 +130,12 @@ def fence(c: Column, dtype: str, seed: int = 11) -> Column:
     unchanged) pins the filter above the projection; the fused
     codegen stage then computes the expensive attribute once per row
     and the predicate reads the local. Value is unchanged for every
-    input including NULL (x + 0 in both integer and IEEE arithmetic;
-    non-negative doubles only, -0.0 + 0.0 would flip sign).
+    input including NULL and NaN (x + 0 in both integer and IEEE
+    arithmetic) with ONE exception: IEEE -0.0 becomes +0.0. That is
+    invisible to comparisons/ordering (Spark and SQL treat the zeros
+    as equal), but when the fenced column feeds a VALUE-HASHED
+    output, pin the oracle twin with ``+ 0.0`` at the same point so
+    both engines emit the same zero (l3's rounded cosine does this).
 
     The arithmetic form, NOT ``F.when(rand() >= -1, c)``: the
     optimizer eliminates the always-true conditional (measured — the
@@ -138,10 +144,11 @@ def fence(c: Column, dtype: str, seed: int = 11) -> Column:
 
     Use on the CHEAP side of the comparison when there is one (the
     md5 draw in l14) so the expensive output column stays a clean
-    deterministic expression. Measured (sf0.1, local[32]): l14
-    1.01 -> 0.19 s. At 100 TB the same shape holds — the fence adds
-    one rand() per row and removes O(references) regex trees per
-    scanned row; nothing about it is local-mode-specific."""
+    deterministic expression. Measured (sf0.1, local[32], rebuilt
+    DataFrame per run): l14 1.01 -> 0.37 s median. At 100 TB the
+    same shape holds — the fence adds one rand() per row and removes
+    O(references) regex trees per scanned row; nothing about it is
+    local-mode-specific."""
     return c + (F.rand(seed) * 0).cast(dtype)
 
 

@@ -1,7 +1,7 @@
 #!/usr/bin/env bash
 # Run the DeltaTableStore contract-twin legs on a Delta-equipped box.
 #
-# This image ships without delta-spark, so the 15 `delta`-parametrized
+# This image ships without delta-spark, so the 14 `delta`-parametrized
 # legs in tests/test_store_contract.py report as SKIPPED here. The
 # contract parity claim (segment-log TableStore == real Delta under
 # one assertion suite, SURVEY S2/S3) is only continuously exercised
@@ -46,13 +46,18 @@ export FERAY_SPARK_EXTRA_CONF="{
 # criterion 1 (scripts/delta_twin_env/EXPECTED.md): the committed
 # manifest of delta legs must match what the suite still collects —
 # a renamed/removed leg fails HERE instead of silently shrinking the
-# twin claim's coverage.
-python -m pytest tests/test_store_contract.py --collect-only -q 2>/dev/null \
-  | grep '\[delta\]' | sort > /tmp/delta_legs_now.txt
+# twin claim's coverage. The pipeline runs under `|| true` so that a
+# zero-match grep or a pytest collection error reaches the diff's
+# diagnostic instead of being killed silently by pipefail; collection
+# stderr is kept for that same diagnosis.
+(python -m pytest tests/test_store_contract.py --collect-only -q \
+  | grep '\[delta\]' | sort > /tmp/delta_legs_now.txt) || true
 sort scripts/delta_twin_env/delta_legs.txt > /tmp/delta_legs_expected.txt
 if ! diff -u /tmp/delta_legs_expected.txt /tmp/delta_legs_now.txt; then
   echo "FAIL: collected delta legs differ from scripts/delta_twin_env/delta_legs.txt" >&2
-  echo "      (regenerate the manifest per EXPECTED.md and commit it)" >&2
+  echo "      (an empty 'now' side means collection errored or found no" >&2
+  echo "      [delta] legs at all; regenerate the manifest per EXPECTED.md" >&2
+  echo "      and commit it)" >&2
   exit 1
 fi
 
