@@ -2085,9 +2085,6 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feray_spark.functions.text import words as words_fn
 
     d = load_table(spark, sf_dir, "documents")
-    n = F.greatest(
-        F.ceil(F.size(words_fn("text")) / F.lit(_LINE_W)), F.lit(1)
-    ).cast("int")
     # zero-word docs (NULL/empty text) have no spans — absent from
     # the output on both sides. Unfiltered, Spark manufactures a ''
     # chunk (array_join of an empty slice) where DuckDB manufactures
@@ -2096,8 +2093,17 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.filter(F.size(words_fn("text")) > 0)
     # fan_out measured: 0.85-1.01 s vs 1.08-1.17 s without (sf0.1,
     # local[32]) — the tokenize+explode is CPU-bound while the
-    # fixture scan yields only 3 partitions
-    spans = fan_out(d).select(
+    # fixture scan yields only 3 partitions.
+    # __w materialized ONCE per doc (the l31 projection pattern):
+    # inlined, the canon_lower+split tokenizer re-ran inside the
+    # explode lambda — once per SPAN, K+1 tokenizations per doc
+    # (the round-8 audit's only Generate-node hit; 1.04 -> 0.82 s
+    # median at sf0.1, back-to-back sessions).
+    base = fan_out(d).withColumn("__w", words_fn("text"))
+    n = F.greatest(
+        F.ceil(F.size(F.col("__w")) / F.lit(_LINE_W)), F.lit(1)
+    ).cast("int")
+    spans = base.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -2105,7 +2111,7 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.struct(
                     i.cast("bigint").alias("pos"),
                     F.array_join(
-                        F.slice(words_fn("text"), i * _LINE_W + 1, _LINE_W), " "
+                        F.slice(F.col("__w"), i * _LINE_W + 1, _LINE_W), " "
                     ).alias("chunk"),
                 ),
             )
