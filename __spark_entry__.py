@@ -209,7 +209,7 @@ _ROUND8_PRIORITY = [
     "f_variant_family", "f_json_family", "l17_mixture_sampling",
     "l14_quality_weighted_sample", "l26_curation_pipeline",
     "l31_split_leakage", "l3_embedding_topk", "l3b_lsh_topk",
-    "l3c_ivf_topk", "l20_span_dedup",
+    "l3c_ivf_topk", "l20_span_dedup", "l4_text_stats",
     # (3) oldest-evidence fill (computed from CORRECTNESS_r01–r06 +
     #     the active r7 window): the full r3-era block (25)
     "f3b_grouped_partial", "f4_pandas_udaf", "f7_isolated_fanout",
@@ -226,9 +226,9 @@ _ROUND8_PRIORITY = [
     "ep3c_tpch_q3", "ep3d_tpch_q5", "ep4_recursive_cte",
     "f_datetime_diff", "f_hash_native", "fs10_drift_report",
     "fs1_record_versions", "fs8_training_set", "fs9_partitioned_assets",
-    "j5_broadcast_star", "l10_pii_redaction", "l18_incremental_dedup",
-    # (the rule-(2) block displaced the r4-era tail l1/l22/l23/l4b/
-    # l6c/l6d/l9/u1b/w9 and the r5-era ep10 fill slot into the
+    "j5_broadcast_star", "l10_pii_redaction",
+    # (the rule-(2) block displaced the r4-era tail l1/l18/l22/l23/
+    # l4b/l6c/l6d/l9/u1b/w9 and the r5-era ep10 fill slot into the
     # round-9 pool)
 ]
 
@@ -246,7 +246,7 @@ _ROUND9_PRIORITY = [
     # (2) round-8 code changes outside the r8 window: none yet
     # (3) oldest-evidence fill: the r4-era block the r8 window
     #     displaced, alphabetical
-    "l1_exact_dedup",
+    "l18_incremental_dedup", "l1_exact_dedup",
     "l22_bpe_tokens", "l23_image_phash_dedup", "l4b_lang_rollup",
     "l6c_audio_features", "l6d_video_frame_split",
     "l9_deterministic_split", "u1b_union_diagonal",
@@ -270,7 +270,7 @@ _ROUND9_PRIORITY = [
     "a10_global_agg", "a11_filtered_agg", "a2_first_last_by",
     "a3_statistical_aggs", "a3b_native_stddev_var", "a4_count_distinct",
     "a5_approx_count_distinct", "a5b_hll_sketch_rollup",
-    "a6_distinct_rows", "a7_collect_list_set", "a8_rollup",
+    "a6_distinct_rows", "a7_collect_list_set",
 ]
 
 #: ACTIVE WINDOW (round 8): the round-8 rotation. CORRECTNESS_r07

@@ -100,11 +100,18 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
 
     One body with the hot-path twin: this is sugar over
     :func:`shingles_from_words`. Catalyst does not CSE the regex
-    word-split across lambda bodies, so in hot paths materialize the
-    word array as a column first and call the twin directly
+    word-split across lambda bodies — higher-order functions
+    re-evaluate an embedded subtree once per ELEMENT ACCESS, so an
+    inlined ``words(col)`` would re-tokenize the document for every
+    element_at — so the word array is LET-BOUND via a one-element
+    transform (the doc_fingerprint pattern): tokenize once per row,
+    every inner reference a variable read. In hot paths still prefer
+    materializing the array as a real column and calling the twin
     (CollapseProject keeps a non-cheap multi-referenced alias as a
-    real projection, so the split runs once per row)."""
-    return shingles_from_words(words(col), n)
+    real projection), which also lets OTHER expressions share it."""
+    return F.transform(
+        F.array(words(col)), lambda w: shingles_from_words(w, n)
+    )[0]
 
 
 def shingles_from_words(w: Column, n: int = 3) -> Column:
@@ -248,12 +255,28 @@ def doc_fingerprint(col: str | Column, gram: int = 8) -> Column:
     """L4: document fingerprint — the minimum seeded hash over all
     ``gram``-char rolling character windows (winnowing-style, window
     = whole doc). Robust to small appends/prepends unlike a full-text
-    hash; identical docs ⇒ identical fingerprint."""
+    hash; identical docs ⇒ identical fingerprint.
+
+    The lowered text is LET-BOUND via a single-element transform:
+    higher-order functions re-evaluate any embedded subtree once per
+    ELEMENT, so referencing ``canon_lower(text)`` directly inside the
+    per-gram lambda re-lowered the whole document once per character
+    window — O(len²) character work per doc. Binding it as the
+    lambda variable of an outer one-element ``transform`` evaluates
+    it once per row and makes every inner reference a variable read
+    (measured: 2.17 → 0.27 s for the fingerprint projection over
+    sf0.1, identical values). NULL text flows through unchanged
+    (array(NULL) → lambda(NULL) → NULL)."""
     c = F.col(col) if isinstance(col, str) else col
-    low = canon_lower(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(low) - gram + 1, F.lit(1)))
-    grams = F.transform(idx, lambda i: F.substr(low, i, F.lit(gram)))
-    return F.array_min(F.transform(grams, lambda g: hash64(g, 0)))
+
+    def fp(low: Column) -> Column:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.length(low) - gram + 1, F.lit(1))
+        )
+        grams = F.transform(idx, lambda i: F.substr(low, i, F.lit(gram)))
+        return F.array_min(F.transform(grams, lambda g: hash64(g, 0)))
+
+    return F.transform(F.array(canon_lower(c)), fp)[0]
 
 
 def md5_rank(salt: str, col: str | Column) -> Column:

@@ -166,19 +166,27 @@ def curate_corpus(
         probe = spark.createDataFrame(
             [(t,) for t in probe_texts], f"{text_col} string"
         )
+        # materialize the word array before shingling (the l31/l20
+        # pattern): inlined, the regex tokenizer re-runs per shingle
+        # element access inside the HOF lambda
+        wcol = "__w"
+        while wcol in neardup_free.columns:
+            wcol += "_"
         probe_grams = (
-            probe.select(
+            probe.withColumn(wcol, words(text_col))
+            .select(
                 F.explode(
-                    shingles_from_words(words(text_col), probe_ngram)
+                    shingles_from_words(F.col(wcol), probe_ngram)
                 ).alias("gram")
             )
             .distinct()
         )
         contaminated = (
-            neardup_free.select(
+            neardup_free.withColumn(wcol, words(text_col))
+            .select(
                 id_col,
                 F.explode(
-                    shingles_from_words(words(text_col), probe_ngram)
+                    shingles_from_words(F.col(wcol), probe_ngram)
                 ).alias("gram"),
             )
             .join(F.broadcast(probe_grams), "gram", "left_semi")
