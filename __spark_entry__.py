@@ -196,40 +196,35 @@ _ROUND7_PRIORITY = [
 _ROUND8_PRIORITY = [
     # (1) entries registered in round 7/8 — prepend here as they land
     # (2) code changed in ROUND 8 after the entry's last driver row:
-    #     the ADVICE fixes — trunc_int64 overflow guard on the
-    #     variant bigint route, and the PORTABLE_DOUBLE_RE explicit-
-    #     whitespace grammar shared by all three portable-double
-    #     twins — plus the util.fence project-then-filter rewrites:
-    #     the l14/l26 quality gates, l31's split draw (restores its
-    #     distinct-exchange reuse), and brute_force_topk's cosine
-    #     (one fold per pair instead of two — l3, and the exact gate
-    #     inside l3b/l3c's verification harness). (Round-7's only
-    #     outside-window change, l7_quality_filter_pipeline, already
-    #     sits in the (3) fill.)
+    #     the ADVICE fixes (trunc_int64 variant-bigint guard; the
+    #     PORTABLE_DOUBLE_RE explicit-whitespace grammar shared by
+    #     the three portable-double twins) and the two performance
+    #     classes this round closed — util.fence predicate rewrites
+    #     (l14/l26 quality gates, l31 split draw, brute_force_topk
+    #     cosine → l3/l3b/l3c) and HOF per-element let-bindings
+    #     (doc_fingerprint → l4, l20's span generator, and the
+    #     shingles_from_words defensive binding → every minhash/
+    #     simhash/ngram consumer: l2/l2b/l2c/l12/l18b/l26b).
+    #     First 17 names; then (3) oldest-evidence fill — the full
+    #     r3-era block, then the r4-era block alphabetically to 50
+    #     (the displaced r4-era tail moved to the round-9 pool).
     "f_variant_family", "f_json_family", "l17_mixture_sampling",
     "l14_quality_weighted_sample", "l26_curation_pipeline",
     "l31_split_leakage", "l3_embedding_topk", "l3b_lsh_topk",
     "l3c_ivf_topk", "l20_span_dedup", "l4_text_stats",
-    # (3) oldest-evidence fill (computed from CORRECTNESS_r01–r06 +
-    #     the active r7 window): the full r3-era block (25)
-    "f3b_grouped_partial", "f4_pandas_udaf", "f7_isolated_fanout",
-    "f_array_strings", "f_datetime_family", "f_hash_family",
-    "f_map_family", "f_null_family", "f_string_family",
+    "l2_minhash_lsh_neardups", "l2b_simhash", "l2c_ngram_jaccard",
+    "l12_contamination_check", "l18b_incremental_neardup",
+    "l26b_curation_attrition", "f3b_grouped_partial", "f4_pandas_udaf",
+    "f7_isolated_fanout", "f_array_strings", "f_datetime_family",
+    "f_hash_family", "f_map_family", "f_null_family", "f_string_family",
     "f_struct_family", "fs4_feature_containers", "fs5_asset_checks",
     "fs6_feature_flags", "fs7_backfill", "l6_multimodal_payloads",
-    "l7_quality_filter_pipeline", "t2_sliding_window",
-    "t3_session_window", "t4_watermark_latedata",
-    "t7_stream_static_join", "t8_stream_stream_join",
-    "u2_union_distinct", "u3_intersect", "u4_except", "u4b_except_all",
-    # the full r4-era block (24), alphabetical
-    "a12_table_profile", "a13_heavy_hitters", "a1_groupby_q1",
-    "ep3c_tpch_q3", "ep3d_tpch_q5", "ep4_recursive_cte",
-    "f_datetime_diff", "f_hash_native", "fs10_drift_report",
-    "fs1_record_versions", "fs8_training_set", "fs9_partitioned_assets",
-    "j5_broadcast_star", "l10_pii_redaction",
-    # (the rule-(2) block displaced the r4-era tail l1/l18/l22/l23/
-    # l4b/l6c/l6d/l9/u1b/w9 and the r5-era ep10 fill slot into the
-    # round-9 pool)
+    "l7_quality_filter_pipeline", "t2_sliding_window", "t3_session_window",
+    "t4_watermark_latedata", "t7_stream_static_join",
+    "t8_stream_stream_join", "u2_union_distinct", "u3_intersect",
+    "u4_except", "u4b_except_all", "a12_table_profile",
+    "a13_heavy_hitters", "a1_groupby_q1", "ep3c_tpch_q3", "ep3d_tpch_q5",
+    "ep4_recursive_cte", "f_datetime_diff", "f_hash_native",
 ]
 
 #: ROUND-9 ROTATION (swap in as _DRIVER_PRIORITY after CORRECTNESS_r08
@@ -243,34 +238,30 @@ _ROUND8_PRIORITY = [
 #: then the r6-era block alphabetically until the window is full.
 _ROUND9_PRIORITY = [
     # (1) entries registered in round 8 — prepend here as they land
-    # (2) round-8 code changes outside the r8 window: none yet
-    # (3) oldest-evidence fill: the r4-era block the r8 window
-    #     displaced, alphabetical
-    "l18_incremental_dedup", "l1_exact_dedup",
-    "l22_bpe_tokens", "l23_image_phash_dedup", "l4b_lang_rollup",
-    "l6c_audio_features", "l6d_video_frame_split",
-    "l9_deterministic_split", "u1b_union_diagonal",
-    "w9_resample_gap_fill",
-    # the full r5-era block (30), alphabetical
+    # (2) round-8 code changes outside the r8 window: none
+    # (3) oldest-evidence fill (computed from CORRECTNESS_r01–r07 +
+    #     the active r8 window): the r4-era remainder the r8 window
+    #     displaced, the full r5-era block, then the r6-era block
+    #     alphabetically to exactly 50
+    "fs10_drift_report", "fs1_record_versions", "fs8_training_set",
+    "fs9_partitioned_assets", "j5_broadcast_star", "l10_pii_redaction",
+    "l18_incremental_dedup", "l1_exact_dedup", "l22_bpe_tokens",
+    "l23_image_phash_dedup", "l4b_lang_rollup", "l6c_audio_features",
+    "l6d_video_frame_split", "l9_deterministic_split",
+    "u1b_union_diagonal", "w9_resample_gap_fill",
     "ep10_sole_late_supplier", "ep11_excluded_suppliers",
-    "ep12_dormant_rich_customers", "ep13_value_share",
-    "ep14_top_supplier", "ep15_order_count_distribution",
-    "ep16_small_quantity_revenue", "ep17_majority_supplier",
-    "ep5_correlated_scalar_min", "ep6_having_semijoin",
-    "ep7_priority_lines", "ep8_promo_revenue", "ep9_disjunctive_join",
-    "f1_scalar_udf", "f5_udtf", "fs3_memoization",
+    "ep12_dormant_rich_customers", "ep13_value_share", "ep14_top_supplier",
+    "ep15_order_count_distribution", "ep16_small_quantity_revenue",
+    "ep17_majority_supplier", "ep5_correlated_scalar_min",
+    "ep6_having_semijoin", "ep7_priority_lines", "ep8_promo_revenue",
+    "ep9_disjunctive_join", "f1_scalar_udf", "f5_udtf", "fs3_memoization",
     "l1b_canonical_dedup", "l25_stratified_sample", "l28_epoch_shuffle",
     "o3_global_topk", "s10_optimize_layout", "s11_change_feed",
     "s12_restore_clone", "s1_parquet_scan_count",
     "s2_table_store_time_travel", "s6c_orc_roundtrip",
     "s6d_binaryfile_scan", "s6e_xml_roundtrip", "w7_first_last_value",
-    "w8_top_k_per_group",
-    # r6-era fill to exactly 50, alphabetical (the rest of the r6
-    # block moves to the round-10 pool)
-    "a10_global_agg", "a11_filtered_agg", "a2_first_last_by",
-    "a3_statistical_aggs", "a3b_native_stddev_var", "a4_count_distinct",
-    "a5_approx_count_distinct", "a5b_hll_sketch_rollup",
-    "a6_distinct_rows", "a7_collect_list_set",
+    "w8_top_k_per_group", "a10_global_agg", "a11_filtered_agg",
+    "a2_first_last_by", "a3_statistical_aggs",
 ]
 
 #: ACTIVE WINDOW (round 8): the round-8 rotation. CORRECTNESS_r07

@@ -116,10 +116,23 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
 
 def shingles_from_words(w: Column, n: int = 3) -> Column:
     """Shingles over an already-materialized word-array column —
-    the hot-path twin of :func:`word_shingles`."""
-    return F.when(F.size(w) >= n, _shingles_of(w, n)).otherwise(
-        F.array().cast("array<string>")
-    )
+    the hot-path twin of :func:`word_shingles`.
+
+    The input is let-bound here DEFENSIVELY even though callers pass
+    a materialized ``__w`` column: a filter pushdown can strip the
+    alias down to a single reference, at which point CollapseProject
+    merges the projection and inlines the tokenizer expression into
+    the per-shingle lambda — re-tokenizing the document once per
+    element access (found in l12's plan despite its materialized
+    ``__w``). Binding costs a one-element array wrap when ``w`` is
+    already an attribute; it makes the per-element references
+    variable reads no matter what the optimizer inlines."""
+    return F.transform(
+        F.array(w),
+        lambda W: F.when(F.size(W) >= n, _shingles_of(W, n)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )[0]
 
 
 def _shingles_of(w: Column, n: int) -> Column:

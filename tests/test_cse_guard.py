@@ -31,6 +31,7 @@ subtrees.
 
 from __future__ import annotations
 
+import re
 from contextlib import contextmanager
 
 import pytest
@@ -212,6 +213,52 @@ def test_no_repeated_expensive_expression_in_predicates(spark, sf_dir, name):
         if ln.count(marker) >= 2
     ]
     assert not offenders, offenders
+
+
+#: per-ELEMENT accessors with a tokenizer chain as their direct
+#: argument: the plan shape of a higher-order-function lambda that
+#: re-tokenizes the document once per element access (doc_fingerprint
+#: re-lowered per character window — 2.17 vs 0.27 s; l12's shingles
+#: re-split per element after CollapseProject inlined its __w).
+#: Fixed shapes read `element_at(lambda x…` / `substr(lambda x…` /
+#: `slice(__w#…` — variable or attribute reads. element_at/substr
+#: only occur per-element here (shingle window / char window); bare
+#: slice is also a legitimate ONE-per-row projection op (l12's probe
+#: prefix), so the slice form is matched only in its lambda shape,
+#: array_join(slice(tokenizer…)) — the pre-fix l20 span generator.
+_PER_ELEMENT_RETOKENIZE = re.compile(
+    r"(element_at|substr)\(\s*"
+    r"(filter\(split\(|split\(translate|translate\(lower\()"
+    r"|array_join\(slice\(filter\(split\("
+)
+
+#: every query whose plan builds shingles/grams/fingerprints
+_HOF_TEXT_QUERIES = [
+    "l4_text_stats",
+    "l12_contamination_check",
+    "l13_sequence_packing",
+    "l19_fuzzy_blocked_pairs",
+    "l20_span_dedup",
+    "l2_minhash_lsh_neardups",
+    "l2b_simhash",
+    "l2c_ngram_jaccard",
+    "l31_split_leakage",
+    "l8_doc_chunking",
+]
+
+
+@pytest.mark.parametrize("name", _HOF_TEXT_QUERIES)
+def test_no_per_element_retokenization(spark, sf_dir, name):
+    """No per-element accessor may take the word-split/canon_lower
+    chain as its direct argument: HOF lambdas re-evaluate embedded
+    subtrees once per element, so that shape re-tokenizes the whole
+    document per element access (O(len²) text work). The fixed shapes
+    let-bind the array (functions.text) or materialize it as a
+    multi-referenced column."""
+    q = load_all()[name]
+    plan = _plan(q.fn(spark, sf_dir))
+    m = _PER_ELEMENT_RETOKENIZE.search(plan)
+    assert not m, plan[max(0, m.start() - 60): m.end() + 60]
 
 
 def test_brute_force_join_condition_carries_no_fold(spark):
