@@ -237,8 +237,13 @@ _ROUND8_PRIORITY = [
 #: window displaced (u1b/w9), the full r5-era block (30, incl. ep10),
 #: then the r6-era block alphabetically until the window is full.
 _ROUND9_PRIORITY = [
-    # (1) entries registered in round 8 — prepend here as they land
-    # (2) round-8 code changes outside the r8 window: none
+    # (1) entries registered in round 8/9 — prepend here as they land
+    # (2) ORACLE changed in round 9: a3b/a5 promoted from rows-only
+    #     to FULL invariant oracles (VERDICT r8 item 3) — prepended
+    #     in the same commit per the construction rule; the displaced
+    #     tail pair (a2_first_last_by, a3_statistical_aggs) moves to
+    #     the round-10 pool
+    "a3b_native_stddev_var", "a5_approx_count_distinct",
     # (3) oldest-evidence fill (computed from CORRECTNESS_r01–r07 +
     #     the active r8 window): the r4-era remainder the r8 window
     #     displaced, the full r5-era block, then the r6-era block
@@ -261,17 +266,16 @@ _ROUND9_PRIORITY = [
     "s2_table_store_time_travel", "s6c_orc_roundtrip",
     "s6d_binaryfile_scan", "s6e_xml_roundtrip", "w7_first_last_value",
     "w8_top_k_per_group", "a10_global_agg", "a11_filtered_agg",
-    "a2_first_last_by", "a3_statistical_aggs",
 ]
 
-#: ACTIVE WINDOW (round 8): the round-8 rotation. CORRECTNESS_r07
-#: landed green rows for the whole round-7 window (50/50, zero errs),
-#: so the swap is pure evidence gain: the ADVICE-fix trio re-verifies
-#: its changed twins, l7_quality_filter_pipeline (the one
-#: quality_score dependent outside the r7 window) re-verifies, and
-#: the tail refreshes the oldest driver evidence in the catalog (the
-#: full r3-era block plus most of the r4-era block).
-_DRIVER_PRIORITY = _ROUND8_PRIORITY
+#: ACTIVE WINDOW (round 9): the round-9 rotation. CORRECTNESS_r08
+#: landed green rows for the whole round-8 window (49 hash-green +
+#: f_hash_native rows-only exactly as staged), so the swap is pure
+#: evidence gain: it refreshes the oldest driver evidence in the
+#: catalog — the r4-era pair the r8 window displaced (u1b/w9), the
+#: full r5-era block (fs3, l1b, l25, l28, s10–s12, ep5–ep17, f1/f5),
+#: and the r6-era head.
+_DRIVER_PRIORITY = _ROUND9_PRIORITY
 
 
 def _ordered(registry):

@@ -20,10 +20,13 @@ from pyspark.sql import functions as F
 #: silently change its semantics — the assert makes that fail loudly
 #: at import time instead.
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in")
-assert all(s.isalpha() and s.isascii() for s in EN_STOPWORDS), (
-    "EN_STOPWORDS entries must be plain ASCII letters: they are "
-    "embedded unescaped in quality_score's regex alternation"
-)
+# Explicit raise, not `assert`: python -O strips asserts, and this is
+# a regex-injection guard, not a debugging aid (ADVICE r8).
+if not all(s.isalpha() and s.isascii() for s in EN_STOPWORDS):
+    raise ValueError(
+        "EN_STOPWORDS entries must be plain ASCII letters: they are "
+        "embedded unescaped in quality_score's regex alternation"
+    )
 
 #: BPE-ish token pattern: letter runs, digit runs, or single symbols
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -98,19 +101,25 @@ def word_shingles(col: str | Column, n: int = 3) -> Column:
     0-based inside expr-land; documents shorter than n words yield an
     empty array.
 
-    One body with the hot-path twin: this is sugar over
-    :func:`shingles_from_words`. Catalyst does not CSE the regex
-    word-split across lambda bodies — higher-order functions
-    re-evaluate an embedded subtree once per ELEMENT ACCESS, so an
-    inlined ``words(col)`` would re-tokenize the document for every
-    element_at — so the word array is LET-BOUND via a one-element
-    transform (the doc_fingerprint pattern): tokenize once per row,
-    every inner reference a variable read. In hot paths still prefer
-    materializing the array as a real column and calling the twin
-    (CollapseProject keeps a non-cheap multi-referenced alias as a
-    real projection), which also lets OTHER expressions share it."""
+    Catalyst does not CSE the regex word-split across lambda bodies —
+    higher-order functions re-evaluate an embedded subtree once per
+    ELEMENT ACCESS, so an inlined ``words(col)`` would re-tokenize
+    the document for every element_at — so the word array is
+    LET-BOUND via a one-element transform (the doc_fingerprint
+    pattern): tokenize once per row, every inner reference a variable
+    read. The outer lambda calls the unwrapped guarded body directly
+    rather than :func:`shingles_from_words` — the lambda variable is
+    already a variable read, so the twin's defensive re-binding would
+    only add a second nested one-element wrapper per row (ADVICE r8).
+    In hot paths still prefer materializing the array as a real
+    column and calling the twin (CollapseProject keeps a non-cheap
+    multi-referenced alias as a real projection), which also lets
+    OTHER expressions share it."""
     return F.transform(
-        F.array(words(col)), lambda w: shingles_from_words(w, n)
+        F.array(words(col)),
+        lambda w: F.when(F.size(w) >= n, _shingles_of(w, n)).otherwise(
+            F.array().cast("array<string>")
+        ),
     )[0]
 
 

@@ -114,7 +114,8 @@ def a3_statistical_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from which stddev/variance derive deterministically. Native
     stddev_samp/var_samp exist but their merge order is engine-
     dependent in the low bits, so the oracle-gated form exposes the
-    exact moments; see a3b for the native functions (rows-only)."""
+    exact moments; see a3b for the native functions (invariant-
+    oracled against these moments)."""
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_mktsegment").agg(
         F.median("c_acctbal").alias("med_bal"),
@@ -124,15 +125,113 @@ def a3_statistical_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a3b_native_stddev_var", tags=("agg", "A3"))
+@register(
+    "a3b_native_stddev_var",
+    oracle="""
+        WITH m AS (
+            SELECT c_mktsegment,
+                   COUNT(c_acctbal) AS n,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_bal,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+                            * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_sq,
+                   var_samp(c_acctbal) AS var_n,
+                   stddev_samp(c_acctbal) AS std_n,
+                   median(c_acctbal) AS p50_exact,
+                   approx_quantile(c_acctbal, 0.5) AS p50_approx
+            FROM customer GROUP BY c_mktsegment
+        ), d AS (
+            SELECT c_mktsegment, n, sum_bal, var_n, std_n,
+                   p50_exact, p50_approx,
+                   CASE WHEN n >= 2
+                        THEN (sum_sq - sum_bal * sum_bal / n) / (n - 1)
+                        END AS var_m
+            FROM m
+        )
+        SELECT c_mktsegment, n, sum_bal,
+               CASE WHEN n < 2 THEN TRUE
+                    ELSE abs(var_n - var_m)
+                         <= 1e-6 * greatest(abs(var_m), 100.0)
+               END AS var_ok,
+               CASE WHEN n < 2 THEN TRUE
+                    ELSE abs(std_n - sqrt(greatest(var_m, 0.0)))
+                         <= 1e-6 * greatest(sqrt(greatest(var_m, 0.0)), 100.0)
+               END AS std_ok,
+               CASE WHEN n < 100 THEN TRUE
+                    ELSE abs(p50_approx - p50_exact)
+                         <= 0.05 * (abs(p50_exact) + 1.0)
+               END AS p50_ok
+        FROM d
+    """,
+    tags=("agg", "A3"),
+)
 def a3b_native_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 (native path): stddev_samp / var_samp / percentile_approx.
-    Rows-only check — float merge order differs across engines."""
+
+    FULL invariant oracle (the l3b/l3c/a5b pattern, VERDICT r8 item
+    3): the native estimates themselves are engine-specific in the
+    low bits (merge order) so they can't hash cross-engine, but each
+    engine can pin its OWN natives against the exact decimal moments
+    — sum and sum-of-squares are order-independent DECIMAL sums, so
+    ``var_m = (sum_sq − sum²/n)/(n−1)`` is a shared exact reference.
+    The hashed row is (group, n, sum_bal, var_ok, std_ok, p50_ok):
+    the exact parts cross-check the engines, the booleans must be
+    TRUE on BOTH sides independently (the oracle computes DuckDB's
+    invariants genuinely, not literal TRUE).
+
+    Tolerances: 1e-6 relative with a 100.0 absolute floor — the
+    moments form carries ~|sum|²·ε/n cancellation error (measured
+    scale ~1e-4 here) and Welford-merge natives carry similar, so
+    1e-9 would flake; a genuinely wrong implementation differs by
+    orders of magnitude. p50 guard: percentile_approx has rank error
+    ≤ n/accuracy (<1 row at these sizes) but tiny dirty-fixture
+    groups make VALUE distance between adjacent order statistics
+    unbounded, so the bound applies only at n ≥ 100 (vacuous-TRUE
+    below, matching the oracle's CASE). n < 2 → natives are NULL on
+    both engines → pinned TRUE. sqrt is guarded with greatest(·,0)
+    BEFORE the call — DuckDB raises on out-of-domain sqrt where
+    Spark folds to NaN (CLAUDE.md dirty-fixture rule)."""
     c = load_table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.stddev_samp("c_acctbal").alias("std_bal"),
-        F.var_samp("c_acctbal").alias("var_bal"),
-        F.percentile_approx("c_acctbal", 0.5).alias("p50_approx"),
+    g = c.groupBy("c_mktsegment").agg(
+        F.count("c_acctbal").alias("n"),
+        dsum("c_acctbal").alias("sum_bal"),
+        F.sum(dec("c_acctbal") * dec("c_acctbal")).cast("double").alias("__sum_sq"),
+        F.var_samp("c_acctbal").alias("__var_n"),
+        F.stddev_samp("c_acctbal").alias("__std_n"),
+        F.median("c_acctbal").alias("__p50_exact"),
+        F.percentile_approx("c_acctbal", 0.5).alias("__p50_approx"),
+    ).withColumn(
+        "__var_m",
+        F.when(
+            F.col("n") >= 2,
+            (F.col("__sum_sq") - F.col("sum_bal") * F.col("sum_bal") / F.col("n"))
+            / (F.col("n") - 1),
+        ),
+    )
+    std_m = F.sqrt(F.greatest(F.col("__var_m"), F.lit(0.0)))
+    return g.select(
+        "c_mktsegment",
+        "n",
+        "sum_bal",
+        F.when(F.col("n") < 2, F.lit(True))
+        .otherwise(
+            F.abs(F.col("__var_n") - F.col("__var_m"))
+            <= 1e-6 * F.greatest(F.abs(F.col("__var_m")), F.lit(100.0))
+        )
+        .alias("var_ok"),
+        F.when(F.col("n") < 2, F.lit(True))
+        .otherwise(
+            F.abs(F.col("__std_n") - std_m)
+            <= 1e-6 * F.greatest(std_m, F.lit(100.0))
+        )
+        .alias("std_ok"),
+        F.when(F.col("n") < 100, F.lit(True))
+        .otherwise(
+            F.abs(F.col("__p50_approx") - F.col("__p50_exact"))
+            <= 0.05 * (F.abs(F.col("__p50_exact")) + F.lit(1.0))
+        )
+        .alias("p50_ok"),
     )
 
 
@@ -154,19 +253,53 @@ def a4_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a5_approx_count_distinct", tags=("agg", "A5"))
+@register(
+    "a5_approx_count_distinct",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+               CASE WHEN COUNT(DISTINCT o_custkey) = 0
+                    THEN COALESCE(approx_count_distinct(o_custkey), 0) = 0
+                    ELSE abs(CAST(approx_count_distinct(o_custkey) AS DOUBLE)
+                             / COUNT(DISTINCT o_custkey) - 1.0) <= 0.15
+               END AS est_err_bounded
+        FROM orders
+    """,
+    tags=("agg", "A5"),
+)
 def a5_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: HLL++ sketch cardinality. Sketch internals differ across
-    engines, so no value-hash oracle; test_queries.py asserts bounded
-    relative error vs the exact count instead. rsd stays at Spark's
-    0.05 default — combining a tighter sketch with the exact
+    engines, so the estimate itself can't hash cross-engine — the
+    FULL invariant oracle (a5b's pattern, VERDICT r8 item 3) hashes
+    (exact_custs, est_err_bounded): the exact count cross-checks the
+    engines, and EACH side genuinely pins its own HLL estimate within
+    15 % of its exact count (Spark at rsd=0.05 → 3σ; DuckDB's
+    default HLL is far tighter). Empty input → estimate 0/NULL and
+    exact 0 on both sides → pinned TRUE, never NULL. rsd stays at
+    Spark's 0.05 default — combining a tighter sketch with the exact
     countDistinct forces an Expand plan whose sketch-merge cost
     grows with register count (3.5x slower at rsd=0.02 for zero
-    demonstrated capability)."""
+    demonstrated capability). test_queries.py keeps the independent
+    3·rsd local assert on the raw estimate."""
     o = load_table(spark, sf_dir, "orders")
-    return o.agg(
-        F.approx_count_distinct("o_custkey", 0.05).alias("approx_custs"),
+    agg = o.agg(
+        F.approx_count_distinct("o_custkey", 0.05).alias("__approx"),
         F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    return agg.select(
+        F.col("exact_custs"),
+        F.when(
+            F.col("exact_custs") == 0,
+            F.coalesce(F.col("__approx"), F.lit(0)) == 0,
+        )
+        .otherwise(
+            F.abs(
+                F.col("__approx").cast("double")
+                / F.col("exact_custs").cast("double")
+                - 1.0
+            )
+            <= 0.15
+        )
+        .alias("est_err_bounded"),
     )
 
 

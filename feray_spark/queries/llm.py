@@ -2090,7 +2090,20 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunk (array_join of an empty slice) where DuckDB manufactures
     # NULL, and NULL chunks from DIFFERENT docs would share one
     # dedup partition — three divergences from one degenerate row.
-    d = d.filter(F.size(words_fn("text")) > 0)
+    # The cheap pushable conjunct (text IS NOT NULL) goes BELOW at
+    # the scan; the tokenizing part reads the materialized __w ABOVE
+    # the projection through a FENCED PROJECT FIELD (__nw). The fence
+    # must be in the projection, not the predicate: Spark's
+    # PushPredicateThroughNonJoin Project case gates on the project
+    # FIELDS' determinism and pushes the condition wholesale — a
+    # fenced predicate over a deterministic projection still gets the
+    # alias substituted back and pushed to the scan (measured here:
+    # the tokenizer re-appeared inline in the pushed Filter), which
+    # was the round-8 ADVICE residual: 2x per-row tokenization.
+    # Interleaved A/B vs the old scan-level size(words(text))>0 form
+    # (sf0.1, local[32], rebuilt per run): 0.93 -> 0.85 s median,
+    # and the plan's canon_lower site count drops 2 -> 1.
+    d = d.filter(F.col("text").isNotNull())
     # fan_out measured: 0.85-1.01 s vs 1.08-1.17 s without (sf0.1,
     # local[32]) — the tokenize+explode is CPU-bound while the
     # fixture scan yields only 3 partitions.
@@ -2099,7 +2112,12 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode lambda — once per SPAN, K+1 tokenizations per doc
     # (the round-8 audit's only Generate-node hit; 1.04 -> 0.82 s
     # median at sf0.1, back-to-back sessions).
-    base = fan_out(d).withColumn("__w", words_fn("text"))
+    base = (
+        fan_out(d)
+        .withColumn("__w", words_fn("text"))
+        .withColumn("__nw", fence(F.size(F.col("__w")), "int"))
+        .filter(F.col("__nw") > 0)
+    )
     n = F.greatest(
         F.ceil(F.size(F.col("__w")) / F.lit(_LINE_W)), F.lit(1)
     ).cast("int")
