@@ -3100,14 +3100,28 @@ def l31_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same md5 split basis as L9/L26, so the audit covers exactly the
     split the pipeline ships.
 
-    Scale shape: explode to (split, doc_id, gram) → per-side
-    DISTINCT hash aggs (map-side partials collapse repeated grams
-    before the exchange; the gram key space is vocabulary-like, not
-    corpus-sized) → ONE equi-join on the gram key (train side is
-    types-only, deduped) → per-split conditional distinct agg.
-    Nothing joins on a skewed key wider than a gram's document
-    frequency, and the 8-gram width makes stop-gram hot keys
-    rare by construction (same argument as L12's probe width)."""
+    Scale shape (round-9 redesign — the round-8 join form silently
+    ran the whole tokenize+shingle+md5 lineage TWICE: the split
+    filters pushed through the pair-level distinct, leaving two full
+    explode lineages with only the cheap repartition exchange
+    reused): ONE explode lineage → ONE exchange on the hashed gram
+    key → a window ``max(split='train')`` over the gram partition
+    computes the leaked flag in place (no join, no train-types
+    build) → each eval row explodes into its two counting roles
+    (gram-keyed, doc-keyed — 2x cheap long rows, NOT a 4x Expand
+    from multi-countDistinct) → one two-level hash agg with
+    map-side partials. Interleaved A/B at sf0.1 (rebuilt per run,
+    same session): 1.68 → 1.03 s median, plan canon_lower lineages
+    2 → 1, Expand nodes 1 → 0. At 100 TB the window is the only
+    correct shape for the train-membership probe: 8-gram TYPES are
+    near-corpus-sized for diverse text (never broadcastable), a
+    gram's window partition is bounded by its document frequency,
+    and the 8-gram width makes stop-gram hot keys rare by
+    construction (same argument as L12's probe width). The split
+    draw is materialized per DOC below the Generate (the CASE's
+    double-md5 residual ran per GRAM in the old form) and needs no
+    fence: the only split filter sits above the window, which
+    pushdown cannot cross (split is not the partition key)."""
     from feray_spark.functions.text import shingles_from_words
 
     # fan_out + a materialized word array: shingling + per-gram md5
@@ -3121,13 +3135,7 @@ def l31_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).withColumn("__w", words("text"))
 
-    # fenced draw: the split filters downstream (== 'train',
-    # != 'train') would otherwise push below the pair-level distinct,
-    # inlining this CASE into both scan filters — md5 twice per row
-    # per consumer AND two separate explode lineages instead of the
-    # documented shared exchange (the plan showed ReusedExchange: 0
-    # before the fence; the reuse claim below was silently broken)
-    draw = fence(md5_bucket("split42:", "doc_id", 100), "bigint")
+    draw = md5_bucket("split42:", "doc_id", 100)
     split = (
         F.when(draw < 80, "train").when(draw < 90, "val").otherwise("test")
     )
@@ -3140,33 +3148,56 @@ def l31_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram_h = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast(
         "bigint"
     )
-    # the pair-level distinct looks redundant next to the final
-    # countDistincts, but its Exchange is the plan's REUSE point:
-    # both consumers (train types, eval flags) read the same shuffle
-    # files instead of re-running the explode lineage (measured 2.1 s
-    # with vs 10.4 s without at sf0.1)
-    grams = (
-        d.select("doc_id", split.alias("split"), gram)
+    # split materialized BEFORE the explode select keeps its Project
+    # below the Generate — written inside the same select, the CASE
+    # (and its up-to-2x md5 draw) evaluated once per GRAM row
+    pairs = (
+        d.withColumn("split", split)
+        .select("doc_id", "split", gram)
         .select("doc_id", "split", gram_h.alias("g"))
-        .distinct()
     )
-    train_grams = (
-        grams.filter(F.col("split") == "train").select("g").distinct()
-    )
-    flagged = (
-        grams.filter(F.col("split") != "train")
-        .join(train_grams.withColumn("leaked", F.lit(True)), "g", "left")
-        .select(
-            "split", "doc_id", "g", F.col("leaked").isNotNull().alias("leaked")
+    # no pre-distinct: the role-level groupBy below dedups (its keys
+    # subsume the pair identity), so a distinct here would only add
+    # a second full shuffle of the same rows
+    flagged = pairs.withColumn(
+        "leaked",
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).over(
+            W_llm.partitionBy("g")
         )
+        == 1,
+    ).filter(F.col("split") != "train")
+    # each surviving row feeds BOTH counts via a 2-element explode —
+    # Spark's 4-way multi-countDistinct would Expand to 4x rows and
+    # hash-distinct the full set per distinct-expression group
+    roles = flagged.select(
+        "split",
+        "leaked",
+        F.explode(
+            F.array(
+                F.struct(F.lit("g").alias("role"), F.col("g").alias("k")),
+                F.struct(
+                    F.lit("d").alias("role"), F.col("doc_id").alias("k")
+                ),
+            )
+        ).alias("r"),
+    ).select("split", "r.role", "r.k", "leaked")
+    lvl1 = roles.groupBy("split", "role", "k").agg(
+        F.max("leaked").alias("lk")
     )
-    return flagged.groupBy("split").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("docs_with_grams"),
-        F.countDistinct("g").cast("bigint").alias("gram_types"),
-        F.countDistinct(F.when(F.col("leaked"), F.col("g")))
+    lvl2 = lvl1.groupBy("split", "role").agg(
+        F.count("*").alias("cnt"), F.count_if("lk").alias("lcnt")
+    )
+    return lvl2.groupBy("split").agg(
+        F.max(F.when(F.col("role") == "d", F.col("cnt")))
+        .cast("bigint")
+        .alias("docs_with_grams"),
+        F.max(F.when(F.col("role") == "g", F.col("cnt")))
+        .cast("bigint")
+        .alias("gram_types"),
+        F.max(F.when(F.col("role") == "g", F.col("lcnt")))
         .cast("bigint")
         .alias("leaked_gram_types"),
-        F.countDistinct(F.when(F.col("leaked"), F.col("doc_id")))
+        F.max(F.when(F.col("role") == "d", F.col("lcnt")))
         .cast("bigint")
         .alias("leaked_docs"),
     )

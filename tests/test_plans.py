@@ -712,20 +712,30 @@ def test_length_batches_one_bounded_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
 
 
-def test_split_leakage_joins_on_gram_types(spark, sf_dir):
-    """l31: the leak check must be an equi-join on the HASHED gram
-    key (grams shuffle as md5-prefix longs, never strings) over
-    per-side DISTINCT aggregates — never a nested loop over
-    eval x train documents — and the pair-level distinct exchange
-    must exist as the explode lineage's reuse point."""
+def test_split_leakage_single_lineage_window(spark, sf_dir):
+    """l31 (round-9 shape): the leak flag comes from ONE window over
+    the hashed gram key on ONE explode lineage — the round-8 join
+    form silently ran the tokenize+shingle+md5 lineage twice (split
+    filters pushed through the pair distinct) and its 4-way
+    multi-countDistinct Expanded to 4x rows. Pin: exactly one
+    tokenizer lineage, one gram-key exchange feeding one window, no
+    join on the gram key, no Expand, no nested loop."""
     q = load_all()["l31_split_leakage"]
     plan = plan_of(q.fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    # the train-types side shuffles on the hashed gram key alone
-    assert "Exchange hashpartitioning(g#" in plan, plan
-    # the shared pair-level distinct (the reuse point) is present
-    assert "Exchange hashpartitioning(doc_id" in plan, plan
+    # ONE tokenizer lineage (one canon_lower chain = 2 translates)
+    assert plan.count("translate(") == 2, plan
+    # the leaked flag is a window over the hashed gram key...
+    assert plan.count("Exchange hashpartitioning(g#") == 1, plan
+    assert plan.count("Window") == 1, plan
+    # ...never a second full-set pass: no Expand (multi-countDistinct)
+    assert "Expand" not in plan, plan
+    # the split draw is computed per doc, below the gram explode
+    lines = plan.splitlines()
+    gen = next(i for i, ln in enumerate(lines) if "Generate explode(transform" in ln)
+    drw = next(i for i, ln in enumerate(lines) if "split42" in ln)
+    assert drw > gen, "split draw evaluated per gram row, not per doc"
 
 
 def test_aqe_splits_skewed_join_partition(spark):
