@@ -238,12 +238,16 @@ _ROUND8_PRIORITY = [
 #: then the r6-era block alphabetically until the window is full.
 _ROUND9_PRIORITY = [
     # (1) entries registered in round 8/9 — prepend here as they land
-    # (2) ORACLE changed in round 9: a3b/a5 promoted from rows-only
-    #     to FULL invariant oracles (VERDICT r8 item 3) — prepended
-    #     in the same commit per the construction rule; the displaced
-    #     tail pair (a2_first_last_by, a3_statistical_aggs) moves to
-    #     the round-10 pool
+    # (2) ORACLE/code changed in round 9, each prepended in the same
+    #     commit per the construction rule: a3b/a5/l5b promoted from
+    #     rows-only to FULL invariant oracles (VERDICT r8 item 3),
+    #     l31 redesigned (single-lineage window form), l20's
+    #     zero-word filter moved above the __w projection. The
+    #     displaced tail five (a2_first_last_by, a3_statistical_aggs,
+    #     w8_top_k_per_group, a10_global_agg, a11_filtered_agg) move
+    #     to the round-10 pool
     "a3b_native_stddev_var", "a5_approx_count_distinct",
+    "l5b_ml_tfidf", "l31_split_leakage", "l20_span_dedup",
     # (3) oldest-evidence fill (computed from CORRECTNESS_r01–r07 +
     #     the active r8 window): the r4-era remainder the r8 window
     #     displaced, the full r5-era block, then the r6-era block
@@ -265,7 +269,6 @@ _ROUND9_PRIORITY = [
     "s12_restore_clone", "s1_parquet_scan_count",
     "s2_table_store_time_travel", "s6c_orc_roundtrip",
     "s6d_binaryfile_scan", "s6e_xml_roundtrip", "w7_first_last_value",
-    "w8_top_k_per_group", "a10_global_agg", "a11_filtered_agg",
 ]
 
 #: ACTIVE WINDOW (round 9): the round-9 rotation. CORRECTNESS_r08

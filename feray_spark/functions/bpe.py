@@ -84,10 +84,30 @@ def _symbols(word: str) -> tuple[str, ...]:
     return (*word, EOW)
 
 
+#: hard ceiling on the trainer's input type-table. The driver-side
+#: structures are O(total symbols) ≈ O(types × avg word length):
+#: measured AT this ceiling (2.0M random types, avg len 8, Zipf
+#: counts, 1000 merges — the web-garbage worst case the Zipf
+#: assumption doesn't cover): learn_bpe 150.5 s, driver RSS growth
+#: 3.56 GB — safe under the 16 GB driver but the right order of
+#: magnitude to fail LOUDLY past, instead of OOMing mid-merge
+#: (scripts/bpe_trainer_probe.py + the inline ceiling measurement
+#: in docs/SCALE.md's BPE row).
+MAX_TRAINER_TYPES = 2_000_000
+
+
 def learn_bpe(
-    types: list[tuple[str, int]], n_merges: int
+    types: list[tuple[str, int]],
+    n_merges: int,
+    *,
+    max_types: int = MAX_TRAINER_TYPES,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` merge rules from a weighted word-type list.
+
+    Refuses a type table past ``max_types`` (raise, not OOM): callers
+    are expected to bound the collect with :func:`word_types`'
+    ``max_types``/``min_count`` — this guard catches the caller that
+    didn't.
 
     Classic Sennrich trainer over the type table, with the standard
     INCREMENTAL bookkeeping: pair counts, a pair→containing-words
@@ -103,6 +123,14 @@ def learn_bpe(
     (merging only concatenates symbols), so popped winners are final.
     """
     import heapq
+
+    if len(types) > max_types:
+        raise ValueError(
+            f"learn_bpe got {len(types):,} word types > max_types="
+            f"{max_types:,}: bound the collect with word_types("
+            "max_types=..., min_count=...) — an unbounded type table "
+            "is driver-memory-unsafe (O(types x word length) state)"
+        )
 
     # aggregate duplicate symbol sequences (distinct words can share
     # one, e.g. after case folding upstream)

@@ -481,6 +481,7 @@ def span_first_occurrence_flags(
     id_col: str = "doc_id",
     pos_col: str = "pos",
     max_span_df: int | None = None,
+    unique_rows: bool = False,
 ) -> DataFrame:
     """L20 core: mark each span row ``keep`` = True iff it is the
     corpus-global FIRST occurrence of its chunk text (winner =
@@ -508,7 +509,22 @@ def span_first_occurrence_flags(
     The join back onto span rows is still keyed by the hot chunk,
     but a shuffle-hash/sort-merge JOIN with probe-side skew is
     AQE-skew-splittable (OptimizeSkewedJoin), unlike a window — that
-    asymmetry is the whole point of the valve."""
+    asymmetry is the whole point of the valve.
+
+    ``unique_rows=True`` declares that (id, pos) pairs are unique in
+    the input — TRUE by construction for l20's span generator (pos
+    enumerates a document's span sequence exactly once). Under that
+    declaration the hot path needs NO window at all: the duplicate-
+    copy row_number exists only to keep multi-copy inputs faithful
+    to window semantics, and winner-equality alone marks exactly one
+    row when rows are unique. The hot rows then never shuffle — the
+    per-chunk winner table (≤ #hot chunks rows) broadcasts onto the
+    scan — which is what makes the valve strictly cheaper than the
+    single-partition window sort at adversarial skew (measured,
+    scripts/valve_skew_probe.py, 60M-row planted mega-span: valve-on
+    23 s under unique_rows vs 107 s with the dup window vs 44–85 s
+    valve-off across runs — the dup window was costlier than the
+    stall it avoided; unique_rows is what makes the valve a win)."""
     rn_keep = (
         F.row_number().over(
             W.partitionBy(chunk_col).orderBy(id_col, pos_col)
@@ -528,20 +544,27 @@ def span_first_occurrence_flags(
     cold = tagged.filter(F.col("__winner").isNull()).drop("__winner")
     hot_rows = tagged.filter(F.col("__winner").isNotNull())
     cold_marked = cold.withColumn("keep", rn_keep)
-    # Winner-equality alone would mark EVERY copy of a duplicated
-    # (id, pos) row keep=True where the window path marks exactly one
-    # — so break duplicate copies with a row_number partitioned by
-    # the FULL (chunk, id, pos) key. Unlike the per-chunk window the
-    # valve exists to avoid, this partitioning includes id+pos, so a
-    # boilerplate mega-span hashes across reducers instead of
-    # landing on one.
-    dup_rn = F.row_number().over(
-        W.partitionBy(chunk_col, id_col, pos_col).orderBy(F.lit(1))
-    )
-    hot_marked = hot_rows.withColumn(
-        "keep",
-        (F.struct(id_col, pos_col) == F.col("__winner")) & (dup_rn == 1),
-    ).drop("__winner")
+    if unique_rows:
+        # rows declared unique on (id, pos): winner-equality marks
+        # exactly one row, no window — the hot rows never exchange
+        hot_marked = hot_rows.withColumn(
+            "keep", F.struct(id_col, pos_col) == F.col("__winner")
+        ).drop("__winner")
+    else:
+        # Winner-equality alone would mark EVERY copy of a duplicated
+        # (id, pos) row keep=True where the window path marks exactly
+        # one — so break duplicate copies with a row_number
+        # partitioned by the FULL (chunk, id, pos) key. Unlike the
+        # per-chunk window the valve exists to avoid, this
+        # partitioning includes id+pos, so a boilerplate mega-span
+        # hashes across reducers instead of landing on one.
+        dup_rn = F.row_number().over(
+            W.partitionBy(chunk_col, id_col, pos_col).orderBy(F.lit(1))
+        )
+        hot_marked = hot_rows.withColumn(
+            "keep",
+            (F.struct(id_col, pos_col) == F.col("__winner")) & (dup_rn == 1),
+        ).drop("__winner")
     return cold_marked.unionByName(hot_marked).select(
         *spans.columns, "keep"
     )

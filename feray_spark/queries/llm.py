@@ -704,19 +704,63 @@ def l5_token_df_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l5b_ml_tfidf", tags=("llm", "L5"))
-def l5b_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 (ML path): Spark ML Tokenizer → HashingTF → IDF pipeline
-    (rows-only: hashed feature indices are Spark-internal)."""
-    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+#: the EXACT Java ``\\s`` set ([ \\t\\n\\x0B\\f\\r]) spelled out so the
+#: Spark-side normalization covers everything the ML Tokenizer can
+#: split on, and the DuckDB twin names the same set explicitly — the
+#: engines' ``\\s`` differ (RE2's lacks \\x0B: the PORTABLE_DOUBLE_RE
+#: lesson). The class holds the REAL control characters (the trailing
+#: one is a literal VT).
+_L5B_WS = "[ \t\n\r\f]"
 
+
+@register(
+    "l5b_ml_tfidf",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[^ \t\n\r\f\\x0B]+'))
+                    AS INT) AS n_tokens,
+               TRUE AS dim_ok, TRUE AS nnz_ok, TRUE AS idf_nonneg
+        FROM documents
+        WHERE text IS NOT NULL
+          AND regexp_matches(text, '[^ \t\n\r\f\\x0B]')
+    """,
+    tags=("llm", "L5"),
+)
+def l5b_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 (ML path): Spark ML Tokenizer → HashingTF → IDF pipeline.
+
+    FULL invariant oracle (promoted round 9 — the a3b/a5/l3b
+    pattern): the hashed feature INDICES are Spark-internal, but the
+    pipeline's observable contract is not. The hashed row is
+    (doc_id, n_tokens, dim_ok, nnz_ok, idf_nonneg):
+
+    - ``n_tokens`` cross-checks the engines exactly: the text is
+      whitespace-normalized (ASCII class, spelled out — Java ``\\s``
+      includes \\x0B, RE2's does not) to single spaces before the
+      Tokenizer, so Java's ``split("\\s")`` yields exactly the
+      non-whitespace runs the DuckDB twin counts with
+      ``regexp_extract_all``. Zero-token docs are absent on both
+      sides (Java's ``"".split`` would report one empty token).
+    - ``dim_ok``: the TF-IDF vector has exactly numFeatures (4096)
+      slots; ``nnz_ok``: 1 ≤ nonzeros ≤ n_tokens (hash collisions
+      only ever merge slots); ``idf_nonneg``: every component ≥ 0
+      (tf counts and smoothed IDF are nonnegative). Computed
+      genuinely Spark-side via ``vector_to_array``; the oracle pins
+      them TRUE."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    norm = F.trim(
+        F.regexp_replace(canon_lower("text"), _L5B_WS + "+", " ")
+    )
     d = (
         load_table(spark, sf_dir, "documents")
         # the ML Tokenizer's java UDF raises on NULL input (no SQL
         # NULL-propagation); NULL-text docs have no tokens — absent
         # from the result, exactly like the exact path's explode
         .filter(F.col("text").isNotNull())
-        .select("doc_id", canon_lower("text").alias("text"))
+        .select("doc_id", norm.alias("text"))
+        .filter(F.col("text") != "")
     )
     tok = Tokenizer(inputCol="text", outputCol="tokens")
     tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12)
@@ -725,15 +769,28 @@ def l5b_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Caching between them would have to stay pinned past return to help,
     # leaking storage memory per run; re-tokenizing once is cheaper.
     tfd = tf.transform(tok.transform(d))
+    empty_schema = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.expr("size(tokens)").cast("int").alias("n_tokens"),
+        F.lit(True).alias("dim_ok"),
+        F.lit(True).alias("nnz_ok"),
+        F.lit(True).alias("idf_nonneg"),
+    )
     if tfd.isEmpty():
         # IDF.fit refuses a zero-document corpus (mllib requirement);
         # an empty backfill window / fully-filtered input is a defined
         # empty result, not a crash
-        return tfd.select("doc_id", F.expr("size(tokens)").alias("n_tokens"))
+        return empty_schema(tfd)
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
+    arr = vector_to_array(F.col("tfidf"))
+    nnz = F.size(F.filter(arr, lambda x: x != 0.0))
+    n_tok = F.size("tokens").cast("int")
     return idf.transform(tfd).select(
         "doc_id",
-        F.expr("size(tokens)").alias("n_tokens"),
+        n_tok.alias("n_tokens"),
+        (F.size(arr) == (1 << 12)).alias("dim_ok"),
+        ((nnz >= 1) & (nnz <= n_tok)).alias("nnz_ok"),
+        F.forall(arr, lambda x: x >= 0.0).alias("idf_nonneg"),
     )
 
 
@@ -2139,7 +2196,10 @@ def l20_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .span_first_occurrence_flags carries the max_span_df hot-span
     # valve (agg-path winner for boilerplate mega-spans) with
     # identical semantics — this oracle covers both physical paths
-    kept = span_first_occurrence_flags(spans)
+    # unique_rows: (doc_id, pos) is unique by construction (pos
+    # enumerates each doc's span sequence once), so a valve-on run
+    # takes the window-free hot path (operators/dedup.py)
+    kept = span_first_occurrence_flags(spans, unique_rows=True)
     return kept.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_chunks"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),

@@ -54,6 +54,15 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--factor", type=int, default=8)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--skip-fixed",
+        action="store_true",
+        help="skip the fixed-knob factor-K leg: at fixed n_bits the "
+        "pair work grows ~K^2 (the documented anti-pattern this "
+        "probe exists to show), which at K=64 is ~4096x the factor-1 "
+        "work — measure the fixed curve at small K and only the "
+        "scaled knob at large K",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="l24-nbits-probe")
@@ -65,7 +74,9 @@ def main() -> None:
 
     scaled_bits = 8 + round(math.log2(args.factor))
     t1 = median_time(spark, d1, 8, args.runs)
-    tk_fixed = median_time(spark, dk, 8, args.runs)
+    tk_fixed = (
+        None if args.skip_fixed else median_time(spark, dk, 8, args.runs)
+    )
     tk_scaled = median_time(spark, dk, scaled_bits, args.runs)
     print(
         json.dumps(
@@ -76,7 +87,9 @@ def main() -> None:
                 "tk_bits8": tk_fixed,
                 "tk_scaled_bits": tk_scaled,
                 "scaled_bits": scaled_bits,
-                "growth_fixed_knob": round(tk_fixed / t1, 2),
+                "growth_fixed_knob": (
+                    None if tk_fixed is None else round(tk_fixed / t1, 2)
+                ),
                 "growth_scaled_knob": round(tk_scaled / t1, 2),
             }
         )

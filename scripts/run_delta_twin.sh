@@ -29,7 +29,15 @@ case "$PYSPARK_VER" in
   3) DELTA_SPEC="delta-spark>=3.2,<4" ;;
   *) echo "unsupported pyspark major $PYSPARK_VER" >&2; exit 1 ;;
 esac
-pip install --quiet "$DELTA_SPEC"
+# offline fallback: an operator who cannot give this box network can
+# instead drop the pinned wheel(s) into scripts/delta_twin_env/wheels/
+# (EXPECTED.md ask-list) — prefer that directory when it exists
+WHEELS_DIR="scripts/delta_twin_env/wheels"
+if [ -d "$WHEELS_DIR" ] && ls "$WHEELS_DIR"/*.whl >/dev/null 2>&1; then
+  pip install --quiet --no-index --find-links "$WHEELS_DIR" "$DELTA_SPEC"
+else
+  pip install --quiet "$DELTA_SPEC"
+fi
 
 # the pip package carries the version pin; the jars resolve from
 # maven at session start via spark.jars.packages (scala 2.13 for

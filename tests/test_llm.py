@@ -578,6 +578,18 @@ class TestBPE:
         pruned = word_types(df, "text", min_count=2, max_types=10_000)
         assert pruned and all(n >= 2 for _, n in pruned)
 
+    def test_learn_bpe_refuses_unbounded_type_table(self):
+        """The trainer's driver-side state is O(types x word length);
+        a caller that skips word_types' cap must get a loud raise,
+        never an OOM mid-merge (VERDICT r8 item 6)."""
+        from feray_spark.functions.bpe import learn_bpe
+
+        types = [(f"w{i}", 1) for i in range(11)]
+        with pytest.raises(ValueError, match="max_types"):
+            learn_bpe(types, 5, max_types=10)
+        # at the bound it trains normally
+        assert learn_bpe(types[:10], 5, max_types=10)
+
     def test_distributed_counts_match_local_encoding(self, spark, sf_dir):
         """The Arrow-batched counter must agree with driver-side
         encoding word-for-word on a sample."""
@@ -888,6 +900,16 @@ def test_span_valve_identical_on_planted_mega_span(spark):
         for r in span_first_occurrence_flags(spans, max_span_df=10).collect()
     }
     assert valved == base
+    # unique_rows mode ((doc_id, pos) IS unique here, matching l20's
+    # generator contract): the window-free hot path must produce the
+    # same flags as both the dup-safe valve path and the base window
+    unique = {
+        (r.doc_id, r.pos): r.keep
+        for r in span_first_occurrence_flags(
+            spans, max_span_df=10, unique_rows=True
+        ).collect()
+    }
+    assert unique == base
     # the mega-span's sole survivor is its global (doc_id, pos) min
     assert valved[(0, 0)] is True
     assert all(valved[(d, 0)] is False for d in range(1, 40))

@@ -76,7 +76,6 @@ def test_driver_window_is_the_priority_rotation():
     window = list(q)[:50]
     assert window == entry._DRIVER_PRIORITY[:50]
     rows_only: set[str] = {
-        "l5b_ml_tfidf",
         "l22_bpe_tokens",
         # engine-native hash values are Spark-internal by definition;
         # compensated by its own determinism/reference-vector asserts
