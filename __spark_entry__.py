@@ -271,6 +271,38 @@ _ROUND9_PRIORITY = [
     "s6d_binaryfile_scan", "s6e_xml_roundtrip", "w7_first_last_value",
 ]
 
+#: ROUND-10 ROTATION (swap in as _DRIVER_PRIORITY after
+#: CORRECTNESS_r09 lands — EXACTLY 50 names). Construction rule:
+#: (1) catalog entries ADDED in round 9: none — prepend any later
+#: addition in the SAME commit that registers it; (2) entries whose
+#: code/oracle changed in round 9 after their last driver row and
+#: NOT in the active r9 window: none (a3b/a5/l5b/l31/l20 are all in
+#: the r9 window and self-verify); (3) oldest evidence first,
+#: computed from CORRECTNESS_r01–r08 + the active r9 window: the
+#: r5-era leftover (w8), the FULL r6-era block (46, includes the
+#: r9-pool displacements a2/a3/a10/a11 by age), then the r7-era
+#: block alphabetically to exactly 50.
+_ROUND10_PRIORITY = [
+    "w8_top_k_per_group",
+    "a10_global_agg", "a11_filtered_agg", "a2_first_last_by",
+    "a3_statistical_aggs", "a4_count_distinct", "a5b_hll_sketch_rollup",
+    "a6_distinct_rows", "a7_collect_list_set", "a8_rollup", "a8b_cube",
+    "a8c_grouping_sets", "a9_pivot", "ep3_sql_surface",
+    "ep3b_subquery_decorrelation", "ep5b_window_argmin",
+    "j10_salted_join", "j1_inner_join", "j2_left_outer",
+    "j2b_full_outer", "j3_cross_join", "j4_left_semi", "j4b_left_anti",
+    "j6_theta_join", "j6b_nested_loop", "j7_range_join",
+    "j7b_interval_join", "j9_point_in_time_spine", "o1_multikey_sort",
+    "o2_limit_offset", "p1_project_compute", "p2_rename_drop_cast",
+    "p3_filter_comparison", "p4_boolean_logic", "p5_in_between_like",
+    "p5b_regex_predicate", "p6_null_predicates", "p7_case_banding",
+    "s6_csv_roundtrip", "s6b_ndjson_roundtrip", "s7_inmemory_rows",
+    "s9_metadata_sink", "u1_union_all", "w1_ranking",
+    "w2_ntile_percent_rank", "w3_lag_lead", "w4_running_agg",
+    "a14_exact_quantiles", "ep18_min_cost_supplier",
+    "ep19_volume_shipping",
+]
+
 #: ACTIVE WINDOW (round 9): the round-9 rotation. CORRECTNESS_r08
 #: landed green rows for the whole round-8 window (49 hash-green +
 #: f_hash_native rows-only exactly as staged), so the swap is pure

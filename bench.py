@@ -61,6 +61,14 @@ BENCH_SKIP = {
     # The operational path — rollup from STORED sketch state without
     # rescanning rows — is exercised by its persisted-batch unit test.
     "a5b_hll_sketch_rollup",
+    # same class again since the round-9 oracle promotion: l5b's
+    # Spark side runs the REAL ML pipeline (Tokenizer -> HashingTF ->
+    # IDF.fit corpus pass -> transform + vector invariants) while its
+    # invariant oracle is one regexp token count + constant TRUEs —
+    # the ratio would measure TF-IDF against not-doing-TF-IDF. The
+    # exact-arithmetic term-weighting path with a REAL equivalent
+    # oracle is l5_token_df_idf, which stays in the sweep.
+    "l5b_ml_tfidf",
     "l18_incremental_dedup",
     "l18b_incremental_neardup",  # write-dominated, like l18
     # recursive CTE: Spark executes each recursion level as a full

@@ -49,7 +49,7 @@ HEADLINERS = [
     ("l25_stratified_sample", "stratified sample: WindowGroupLimit pre-cut on the stratum key — N rows per stratum per partition reach the exchange"),
     ("l29_temperature_mixture", "temperature rebalance: #sources rate table BroadcastHashJoin'd onto the scan — nothing document-sized exchanges"),
     ("l30_length_bucket_batches", "length-grouped batching: ONE hash exchange on (bucket, shard); the per-batch aggregate reuses the window partitioning"),
-    ("l31_split_leakage", "split-leakage audit: grams exchange as md5-prefix longs; the shared pair-distinct exchange is both consumers' reuse point"),
+    ("l31_split_leakage", "split-leakage audit (r9 form): one explode lineage, one exchange on the md5-prefix gram key, window leaked-flag in place, 2-role explode instead of a 4x countDistinct Expand"),
     ("l26b_curation_attrition", "attrition funnel: stage memberships as FLAGS in one pass — one conditional global aggregate + stack unpivot; no per-stage corpus scan"),
 ]
 

@@ -114,6 +114,7 @@ def test_ep4_bounds_its_temp_views(spark, sf_dir):
         "_ROUND7_PRIORITY",
         "_ROUND8_PRIORITY",
         "_ROUND9_PRIORITY",
+        "_ROUND10_PRIORITY",
     ],
 )
 def test_staged_rotation_names_resolve(attr):
