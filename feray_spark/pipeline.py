@@ -140,11 +140,20 @@ def curate_corpus(
         .drop(qcol)
     )
 
-    # no localCheckpoint on deduped: measured 4.62 vs 4.68 s at sf0.1
-    # (noise) — the gate+dedup recompute the packs lineage pays is
-    # cheap next to clustering, and pinning corpus-sized blocks is
-    # exactly what a 100 TB flow phases through STORAGE instead
-    deduped = exact_dedup(gated, text_col, id_col, canonical=True)
+    # LAZY localCheckpoint on deduped: it feeds FOUR lineages — the
+    # minhash signatures, the verify-join's shingle sets (inside
+    # minhash_lsh_pairs), the left-anti survivor join, and the packs
+    # flow — so without the pin the gate's quality regex + the
+    # canonical-hash dedup re-execute once per consumer. At sf0.1
+    # that was noise (4.62 vs 4.68 s, the round-5 measurement that
+    # kept this off); at the 64× probe corpus the decision INVERTS:
+    # 156–177 s → 55–64 s (2.8×, interleaved A/B, runs=2). The lazy
+    # form materializes on first use and costs nothing extra at
+    # small scale; a 100 TB flow phases this boundary through
+    # storage, which is the same shape with durability.
+    deduped = exact_dedup(
+        gated, text_col, id_col, canonical=True
+    ).localCheckpoint(eager=False)
 
     pairs = minhash_lsh_pairs(
         deduped,
