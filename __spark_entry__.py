@@ -246,12 +246,15 @@ _ROUND9_PRIORITY = [
     #     displaced tail five (a2_first_last_by, a3_statistical_aggs,
     #     w8_top_k_per_group, a10_global_agg, a11_filtered_agg) move
     #     to the round-10 pool
-    #     (l26 joined late in round 9: the curate_corpus deduped
-    #     checkpoint; displaced w7_first_last_value to the r10 pool —
-    #     where it already sits by age)
+    #     (l26/l12/l8 joined late in round 9: the curate_corpus
+    #     deduped checkpoint and the fence-field fixes; displaced
+    #     w7_first_last_value, s6e_xml_roundtrip and
+    #     s6d_binaryfile_scan to the r10 list, slotted there by
+    #     their r5-era age)
     "a3b_native_stddev_var", "a5_approx_count_distinct",
     "l5b_ml_tfidf", "l31_split_leakage", "l20_span_dedup",
-    "l26_curation_pipeline",
+    "l26_curation_pipeline", "l12_contamination_check",
+    "l8_doc_chunking",
     # (3) oldest-evidence fill (computed from CORRECTNESS_r01–r07 +
     #     the active r8 window): the r4-era remainder the r8 window
     #     displaced, the full r5-era block, then the r6-era block
@@ -272,7 +275,6 @@ _ROUND9_PRIORITY = [
     "o3_global_topk", "s10_optimize_layout", "s11_change_feed",
     "s12_restore_clone", "s1_parquet_scan_count",
     "s2_table_store_time_travel", "s6c_orc_roundtrip",
-    "s6d_binaryfile_scan", "s6e_xml_roundtrip",
 ]
 
 #: ROUND-10 ROTATION (swap in as _DRIVER_PRIORITY after
@@ -283,12 +285,13 @@ _ROUND9_PRIORITY = [
 #: NOT in the active r9 window: none (a3b/a5/l5b/l31/l20 are all in
 #: the r9 window and self-verify); (3) oldest evidence first,
 #: computed from CORRECTNESS_r01–r08 + the active r9 window: the
-#: r5-era leftovers (w7 — displaced from the r9 window by the l26
-#: late prepend — and w8), the FULL r6-era block (46, includes the
+#: r5-era leftovers (w7/s6e/s6d — displaced from the r9 window by
+#: the l26/l12/l8 late prepends — and w8), the FULL r6-era block (46, includes the
 #: r9-pool displacements a2/a3/a10/a11 by age), then the r7-era
 #: block alphabetically to exactly 50.
 _ROUND10_PRIORITY = [
-    "w7_first_last_value", "w8_top_k_per_group",
+    "w7_first_last_value", "s6e_xml_roundtrip", "s6d_binaryfile_scan",
+    "w8_top_k_per_group",
     "a10_global_agg", "a11_filtered_agg", "a2_first_last_by",
     "a3_statistical_aggs", "a4_count_distinct", "a5b_hll_sketch_rollup",
     "a6_distinct_rows", "a7_collect_list_set", "a8_rollup", "a8b_cube",
@@ -304,7 +307,6 @@ _ROUND10_PRIORITY = [
     "s6_csv_roundtrip", "s6b_ndjson_roundtrip", "s7_inmemory_rows",
     "s9_metadata_sink", "u1_union_all", "w1_ranking",
     "w2_ntile_percent_rank", "w3_lag_lead", "w4_running_agg",
-    "a14_exact_quantiles", "ep18_min_cost_supplier",
 ]
 
 #: ACTIVE WINDOW (round 9): the round-9 rotation. CORRECTNESS_r08

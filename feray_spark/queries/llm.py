@@ -760,7 +760,12 @@ def l5b_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # from the result, exactly like the exact path's explode
         .filter(F.col("text").isNotNull())
         .select("doc_id", norm.alias("text"))
-        .filter(F.col("text") != "")
+        # fenced project field (the l20/l12/l8 r9 pattern): a bare
+        # filter(text != '') is alias-substituted into the scan and
+        # re-runs the canon+normalize chain on every row
+        .withColumn("__ne", fence(F.length("text"), "int"))
+        .filter(F.col("__ne") > 0)
+        .drop("__ne")
     )
     tok = Tokenizer(inputCol="text", outputCol="tokens")
     tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=1 << 12)
@@ -1105,7 +1110,11 @@ def l8_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan_out measured: 0.38 s with vs 0.45 s without (sf0.1, local[32])."""
     from feray_spark.functions.text import words as words_fn
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+    )
     window, stride = 32, 24
     # the shared tokenizer, so this oracle can never desynchronize
     # from _WORDS_SQL behind a private copy
@@ -1132,8 +1141,13 @@ def l8_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         # zero-word docs (NULL or empty text) chunk to NOTHING on
         # both sides; unguarded, Spark would emit ('' , 0) while
         # DuckDB emits (NULL, 0) — and legacy size(NULL) = -1 would
-        # poison n_chunks for NULL texts
-        .filter(F.size("__w") > 0)
+        # poison n_chunks for NULL texts. The min-length test reads
+        # the materialized __w through a FENCED project field (the
+        # l20/l12 r9 pattern) — a bare filter(size(__w)) is alias-
+        # substituted into the scan and re-tokenizes every row; the
+        # pushable isNotNull conjunct stays on the scan above.
+        .withColumn("__nw", fence(F.size(F.col("__w")), "int"))
+        .filter(F.col("__nw") > 0)
         .select("doc_id", F.explode(chunks).alias("c"))
         .select(
             "doc_id",
@@ -1443,10 +1457,18 @@ def l12_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     # fan_out measured: 0.69 s with vs 1.14 s without (sf0.1, local[32])
+    # min-length filters read the materialized __w through a FENCED
+    # project field (the l20 r9 pattern): written as a bare
+    # filter(size(words(text))), the tokenizer was alias-substituted
+    # into the scan DataFilters on BOTH branches — every document
+    # tokenized twice (plan showed 6 canon_lower sites; 4 after).
+    # The cheap pushable conjuncts (isNotNull, doc_id % 97) stay
+    # below the fence so scan pruning keeps them.
     grams = (
-        fan_out(d)
-        .select("doc_id", words_fn("text").alias("__w"))
-        .filter(F.size("__w") >= _CONTAM_N)
+        fan_out(d.filter(F.col("text").isNotNull()))
+        .withColumn("__w", words_fn("text"))
+        .withColumn("__nw", fence(F.size(F.col("__w")), "int"))
+        .filter(F.col("__nw") >= _CONTAM_N)
         .select(
             "doc_id",
             F.explode(
@@ -1455,9 +1477,14 @@ def l12_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     probes = (
-        d.select(F.col("doc_id").alias("eval_id"), words_fn("text").alias("__w"))
-        .filter((F.col("eval_id") % 97 == 0) & (F.size("__w") >= _CONTAM_N))
-        .select("eval_id", F.concat_ws(" ", F.slice("__w", 1, _CONTAM_N)).alias("g"))
+        d.filter((F.col("doc_id") % 97 == 0) & F.col("text").isNotNull())
+        .withColumn("__w", words_fn("text"))
+        .withColumn("__nw", fence(F.size(F.col("__w")), "int"))
+        .filter(F.col("__nw") >= _CONTAM_N)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.concat_ws(" ", F.slice("__w", 1, _CONTAM_N)).alias("g"),
+        )
     )
     joined = grams.join(F.broadcast(probes), "g")
     return joined.groupBy("eval_id").agg(

@@ -175,6 +175,33 @@ _FILTER_GUARD = [
     "l31_split_leakage",
 ]
 
+#: queries whose plans must carry ZERO canon_lower chains in ANY
+#: Filter line (incl. scan PushedFilters) — the round-9 fence-field
+#: fixes: a single tokenizer chain in a filter means the min-length
+#: test was alias-substituted into the scan and every row tokenizes
+#: twice (filter + projection), the l20/l12/l8/l5b defect shape.
+#: Stricter than the >=2-chains test below (which allows the
+#: single-chain double-tokenization through).
+_ZERO_CHAIN_FILTERS = [
+    "l20_span_dedup",
+    "l12_contamination_check",
+    "l8_doc_chunking",
+    "l5b_ml_tfidf",
+    "l31_split_leakage",
+]
+
+
+@pytest.mark.parametrize("name", _ZERO_CHAIN_FILTERS)
+def test_no_tokenizer_chain_in_any_filter(spark, sf_dir, name):
+    q = load_all()[name]
+    plan = _plan(q.fn(spark, sf_dir))
+    offenders = [
+        ln.strip()[:160]
+        for ln in plan.splitlines()
+        if ("Filter" in ln or "PushedFilters" in ln) and _CHAIN in ln
+    ]
+    assert not offenders, offenders
+
 
 @pytest.mark.parametrize("name", _FILTER_GUARD)
 def test_no_multi_chain_filter_predicate(spark, sf_dir, name):
