@@ -68,6 +68,12 @@ class CurationResult:
     clean: DataFrame          # decontaminated (== neardup_free if no probes)
     split_docs: DataFrame     # clean + split column
     packs: DataFrame          # (split, shard, pack_id, n_docs, pack_tokens)
+    # the checkpoint-PRODUCING plan behind ``deduped``: the lazy
+    # localCheckpoint truncates every downstream lineage to a
+    # Scan ExistingRDD, so the gate-pushdown / fence / dedup-exchange
+    # contract is only auditable on this pre-checkpoint handle
+    # (tests/test_plans.py pins it here, not on ``packs``)
+    deduped_source: DataFrame
 
     def counts(self) -> dict[str, int]:
         return {
@@ -151,9 +157,8 @@ def curate_corpus(
     # form materializes on first use and costs nothing extra at
     # small scale; a 100 TB flow phases this boundary through
     # storage, which is the same shape with durability.
-    deduped = exact_dedup(
-        gated, text_col, id_col, canonical=True
-    ).localCheckpoint(eager=False)
+    deduped_source = exact_dedup(gated, text_col, id_col, canonical=True)
+    deduped = deduped_source.localCheckpoint(eager=False)
 
     pairs = minhash_lsh_pairs(
         deduped,
@@ -248,6 +253,41 @@ def curate_corpus(
         clean=clean,
         split_docs=split_docs,
         packs=packs,
+        deduped_source=deduped_source,
+    )
+
+
+def attrition_flags(
+    documents: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.35,
+) -> DataFrame:
+    """The checkpoint-PRODUCING flagged pass behind
+    :func:`attrition_report`: one corpus scan + ONE canonical-hash
+    window computing every stage membership as a flag
+    (``__gated``, ``__winner``) plus the token count. Factored out so
+    the plan contract — single window, single exchange — stays
+    auditable after :func:`attrition_report` truncates the lineage
+    with its lazy localCheckpoint (tests/test_plans.py pins it)."""
+    from feray_spark.functions.text import canonical_text
+    from feray_spark.operators.dedup import content_keep_flag
+
+    gate = F.col(text_col).isNotNull() & (
+        quality_score(text_col) >= F.lit(quality_min)
+    )
+    # THE exact_dedup winner rule, shared (operators.dedup): ungated
+    # rows key on their own id, so they pass through the winner
+    # window without contending with any canonical group — the
+    # funnel's counts can never drift from the pipeline it audits
+    keep = content_keep_flag(canonical_text(F.col(text_col)), id_col, gate)
+    return documents.select(
+        F.col(id_col),
+        F.col(text_col),
+        token_count(text_col).alias("__n_tok"),
+        gate.alias("__gated"),
+        (gate & keep).alias("__winner"),
     )
 
 
@@ -279,27 +319,15 @@ def attrition_report(
     (two lineages: the pair generator and the final aggregate) +
     the clustering fixpoint the pipeline pays anyway; nothing is
     counted corpus-scan-per-stage."""
-    from feray_spark.functions.text import canonical_text
-    from feray_spark.operators.dedup import content_keep_flag
-
-    gate = F.col(text_col).isNotNull() & (
-        quality_score(text_col) >= F.lit(quality_min)
-    )
-    # THE exact_dedup winner rule, shared (operators.dedup): ungated
-    # rows key on their own id, so they pass through the winner
-    # window without contending with any canonical group — the
-    # funnel's counts can never drift from the pipeline it audits
-    keep = content_keep_flag(canonical_text(F.col(text_col)), id_col, gate)
-    flagged = documents.select(
-        F.col(id_col),
-        F.col(text_col),
-        token_count(text_col).alias("__n_tok"),
-        gate.alias("__gated"),
-        (gate & keep).alias("__winner"),
     # pin the flagged pass: it feeds BOTH the pair generator and the
     # final aggregate, and the clustering in between is eager anyway —
     # without the checkpoint the scan + canonical window re-execute
     # once per consumer (measured 7.8 vs 5.4 s at sf0.1)
+    flagged = attrition_flags(
+        documents,
+        id_col=id_col,
+        text_col=text_col,
+        quality_min=quality_min,
     ).localCheckpoint(eager=False)
 
     ded = flagged.filter(F.col("__winner")).select(id_col, text_col)

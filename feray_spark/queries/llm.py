@@ -742,11 +742,14 @@ def l5b_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``regexp_extract_all``. Zero-token docs are absent on both
       sides (Java's ``"".split`` would report one empty token).
     - ``dim_ok``: the TF-IDF vector has exactly numFeatures (4096)
-      slots; ``nnz_ok``: 1 ≤ nonzeros ≤ n_tokens (hash collisions
-      only ever merge slots); ``idf_nonneg``: every component ≥ 0
-      (tf counts and smoothed IDF are nonnegative). Computed
-      genuinely Spark-side via ``vector_to_array``; the oracle pins
-      them TRUE."""
+      slots; ``nnz_ok``: 1 ≤ nonzeros ≤ n_tokens **on the TF
+      vector** (hash collisions only ever merge slots — the TF-IDF
+      vector would violate the lower bound on a defined input: IDF
+      zeroes any slot whose df == m, so e.g. a single-document
+      corpus has an all-zero weighted vector; ADVICE r9);
+      ``idf_nonneg``: every component ≥ 0 (tf counts and smoothed
+      IDF are nonnegative). Computed genuinely Spark-side via
+      ``vector_to_array``; the oracle pins them TRUE."""
     from pyspark.ml.feature import IDF, HashingTF, Tokenizer
     from pyspark.ml.functions import vector_to_array
 
@@ -788,13 +791,18 @@ def l5b_ml_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return empty_schema(tfd)
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tfd)
     arr = vector_to_array(F.col("tfidf"))
-    nnz = F.size(F.filter(arr, lambda x: x != 0.0))
+    # nnz bound holds on the TF vector only: IDF legitimately zeroes
+    # df==m slots (all-zero output for a 1-doc corpus), so the
+    # weighted vector has no nonzero LOWER bound on defined inputs
+    tf_nnz = F.size(
+        F.filter(vector_to_array(F.col("tf")), lambda x: x != 0.0)
+    )
     n_tok = F.size("tokens").cast("int")
     return idf.transform(tfd).select(
         "doc_id",
         n_tok.alias("n_tokens"),
         (F.size(arr) == (1 << 12)).alias("dim_ok"),
-        ((nnz >= 1) & (nnz <= n_tok)).alias("nnz_ok"),
+        ((tf_nnz >= 1) & (tf_nnz <= n_tok)).alias("nnz_ok"),
         F.forall(arr, lambda x: x >= 0.0).alias("idf_nonneg"),
     )
 

@@ -135,6 +135,16 @@ def main() -> None:
         n_on = lsh(args.valve).count()
         n_off = lsh(None).count()
         assert n_on == n_off, (n_on, n_off)
+        # CONTENT equality, not just cardinality (ADVICE r9): a valve
+        # bug that permuted or swapped pair endpoints at equal count
+        # would pass a count check; exceptAll both ways is the real
+        # multiset assertion the published evidence claims
+        on_df, off_df = lsh(args.valve), lsh(None)
+        outputs_equal = (
+            on_df.exceptAll(off_df).isEmpty()
+            and off_df.exceptAll(on_df).isEmpty()
+        )
+        assert outputs_equal, "valve on/off pair CONTENTS diverge"
         out["probes"]["l2_hot_bucket"] = {
             "mega_bucket_ids": args.boiler,
             "pairs": n_on,
@@ -142,13 +152,18 @@ def main() -> None:
                 lambda: lsh(args.valve).count(), args.runs
             ),
             "valve_off_sec": median_time(lambda: lsh(None).count(), args.runs),
-            "outputs_equal": True,
+            "outputs_equal": outputs_equal,
         }
 
     # ---- L20 hot-span valve --------------------------------------
     if not args.skip_span:
         spans = build_span_rows(spark, args.span_hot, args.span_cold_chunks)
         spans.count()
+
+        def span_flagged(valve):
+            return span_first_occurrence_flags(
+                spans, max_span_df=valve, unique_rows=True
+            )
 
         def span_flags(valve):
             # consume ALL rows + flags (one aggregate over the full
@@ -157,10 +172,7 @@ def main() -> None:
             # would trigger WindowGroupLimit's map-side rank pre-cut
             # and never materialize the hot partition at all
             # (measured: 60M hot rows, 1.7 s — a different query).
-            flagged = span_first_occurrence_flags(
-                spans, max_span_df=valve, unique_rows=True
-            )
-            return flagged.agg(
+            return span_flagged(valve).agg(
                 F.sum(F.col("keep").cast("int")).alias("kept"),
                 F.count("*").alias("n"),
             ).collect()[0]
@@ -168,6 +180,16 @@ def main() -> None:
         r_on = span_flags(args.span_valve)
         r_off = span_flags(None)
         assert (r_on.kept, r_on.n) == (r_off.kept, r_off.n), (r_on, r_off)
+        # CONTENT equality (ADVICE r9): per-row (chunk, doc, pos,
+        # keep) flags must match, not just the aggregate — a valve
+        # that kept the WRONG occurrence at equal kept-count would
+        # pass the aggregate check
+        f_on, f_off = span_flagged(args.span_valve), span_flagged(None)
+        outputs_equal = (
+            f_on.exceptAll(f_off).isEmpty()
+            and f_off.exceptAll(f_on).isEmpty()
+        )
+        assert outputs_equal, "valve on/off span flag CONTENTS diverge"
         out["probes"]["l20_hot_span"] = {
             "hot_span_rows": args.span_hot,
             "kept": r_on.kept,
@@ -177,7 +199,7 @@ def main() -> None:
             "valve_off_sec": median_time(
                 lambda: span_flags(None), args.runs
             ),
-            "outputs_equal": True,
+            "outputs_equal": outputs_equal,
         }
     print(json.dumps(out))
 

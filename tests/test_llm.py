@@ -1003,3 +1003,36 @@ def test_incremental_bpe_trainer_matches_naive_recount():
     ]
     for n_merges in (1, 5, 25, 80):
         assert learn_bpe(types, n_merges) == naive(types, n_merges)
+
+
+def test_l5b_single_doc_corpus_parity(spark, tmp_path):
+    """ADVICE r9 (medium): a one-document corpus — e.g. a one-row
+    backfill window — gives every occupied hash slot df == m, so IDF
+    weights the WHOLE vector to zero. The nnz_ok invariant must
+    therefore be pinned on the TF vector (1 <= nnz <= n_tokens holds
+    there by construction), not the TF-IDF vector, or Spark reports
+    nnz_ok=false against the oracle's pinned TRUE. Full cross-engine
+    parity on a cloned fixture whose documents table is ONE row."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from feray_spark.catalog import TABLES
+    from feray_spark.queries import load_all
+    from tests.oracle_utils import assert_parity
+
+    src = "/root/testdata/sf0.001"
+    root = tmp_path / "sf_onedoc"
+    root.mkdir()
+    for t in TABLES:
+        p = os.path.join(src, f"{t}.parquet")
+        if t == "documents":
+            docs = pq.read_table(p)
+            one = docs.filter(pc.is_valid(docs.column("text"))).slice(0, 1)
+            assert one.num_rows == 1 and one.column("text")[0].as_py()
+            pq.write_table(one, str(root / f"{t}.parquet"))
+        else:
+            shutil.copy(p, str(root / f"{t}.parquet"))
+    assert_parity(spark, str(root), load_all()["l5b_ml_tfidf"])

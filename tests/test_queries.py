@@ -22,16 +22,17 @@ def test_a5_error_bound(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from feray_spark.catalog import load_table
+    from feray_spark.queries.aggregates import A5_BOUND, A5_RSD
 
     row = (
         load_table(spark, sf_dir, "orders")
         .agg(
-            F.approx_count_distinct("o_custkey", 0.05).alias("approx_custs"),
+            F.approx_count_distinct("o_custkey", A5_RSD).alias("approx_custs"),
             F.countDistinct("o_custkey").alias("exact_custs"),
         )
         .collect()[0]
     )
-    assert abs(row.approx_custs - row.exact_custs) <= 3 * 0.05 * row.exact_custs
+    assert abs(row.approx_custs - row.exact_custs) <= A5_BOUND * row.exact_custs
 
 
 def test_register_views_cache_tracks_sf_dir(spark):
