@@ -290,10 +290,21 @@ _ROUND9_PRIORITY = [
 #: r9-pool displacements a2/a3/a10/a11 by age), then the r7-era
 #: block alphabetically to exactly 50.
 _ROUND10_PRIORITY = [
+    # (1) no new round-9 registrations; (2) code/oracle changed in
+    #     round 10 after their last driver row, prepended in the same
+    #     commit per the construction rule: l22 promoted from
+    #     rows-only to a FULL invariant oracle (verdict-r9 item 7),
+    #     l5b's nnz invariant moved to the TF vector (ADVICE r9
+    #     medium), a5/a5b's bound hoisted to shared constants
+    #     (ADVICE r9; value-identical, re-verified anyway). The
+    #     displaced tail four (w1_ranking, w2_ntile_percent_rank,
+    #     w3_lag_lead, w4_running_agg) move to the round-11 pool
+    "l22_bpe_tokens", "l5b_ml_tfidf", "a5_approx_count_distinct",
+    "a5b_hll_sketch_rollup",
     "w7_first_last_value", "s6e_xml_roundtrip", "s6d_binaryfile_scan",
     "w8_top_k_per_group",
     "a10_global_agg", "a11_filtered_agg", "a2_first_last_by",
-    "a3_statistical_aggs", "a4_count_distinct", "a5b_hll_sketch_rollup",
+    "a3_statistical_aggs", "a4_count_distinct",
     "a6_distinct_rows", "a7_collect_list_set", "a8_rollup", "a8b_cube",
     "a8c_grouping_sets", "a9_pivot", "ep3_sql_surface",
     "ep3b_subquery_decorrelation", "ep5b_window_argmin",
@@ -306,17 +317,15 @@ _ROUND10_PRIORITY = [
     "p5b_regex_predicate", "p6_null_predicates", "p7_case_banding",
     "s6_csv_roundtrip", "s6b_ndjson_roundtrip", "s7_inmemory_rows",
     "s9_metadata_sink", "u1_union_all", "w1_ranking",
-    "w2_ntile_percent_rank", "w3_lag_lead", "w4_running_agg",
 ]
 
-#: ACTIVE WINDOW (round 9): the round-9 rotation. CORRECTNESS_r08
-#: landed green rows for the whole round-8 window (49 hash-green +
-#: f_hash_native rows-only exactly as staged), so the swap is pure
-#: evidence gain: it refreshes the oldest driver evidence in the
-#: catalog — the r4-era pair the r8 window displaced (u1b/w9), the
-#: full r5-era block (fs3, l1b, l25, l28, s10–s12, ep5–ep17, f1/f5),
-#: and the r6-era head.
-_DRIVER_PRIORITY = _ROUND9_PRIORITY
+#: ACTIVE WINDOW (round 10): the round-10 rotation. CORRECTNESS_r09
+#: landed green rows for the whole round-9 window (49 hash-green +
+#: l22 rows-only exactly as staged), so the swap is pure evidence
+#: gain: it re-verifies this round's l22/l5b/a5/a5b oracle changes
+#: and refreshes the oldest driver evidence in the catalog — the
+#: r5-era leftovers (w7/s6e/s6d/w8) and the r6-era block.
+_DRIVER_PRIORITY = _ROUND10_PRIORITY
 
 
 def _ordered(registry):

@@ -254,3 +254,74 @@ def bpe_token_count(
 
     c = F.col(text) if isinstance(text, str) else text
     return _count(c)
+
+
+def bpe_invariants(
+    text: str | Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Per-row BPE ENCODER INVARIANTS — the driver-hashable face of
+    the tokenizer (the a3b/a5 promotion pattern): merge ids are
+    engine-specific, but for every word ``w`` a correct encoder
+    satisfies, by construction,
+
+    - ``bounds_ok``: 1 <= len(encode(w)) <= len(w) + 1 (a word can
+      merge down to one symbol at best and fall back to its chars
+      plus the EOW marker at worst), and
+    - ``roundtrip_ok``: concat(encode(w)) == w + EOW (merges only
+      ever concatenate ADJACENT symbols, so decode is concat — the
+      reconstruction property the unit tests pin on the classic
+      corpus).
+
+    Returns struct<n: bigint, bounds_ok: boolean, roundtrip_ok:
+    boolean> per document (NULL text -> NULL struct fields, the
+    module-wide counter discipline); zero-word docs are vacuously
+    True. Same Arrow-batched shape + word cache as
+    :func:`bpe_token_count`."""
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    import re
+
+    _ws = re.compile("[ \t\n\x0b\f\r]+")
+
+    @F.pandas_udf("struct<n: bigint, bounds_ok: boolean, roundtrip_ok: boolean>")
+    def _inv(texts: pd.Series) -> pd.DataFrame:
+        cache: dict[str, tuple[int, bool, bool]] = {}
+
+        def one_word(w):
+            syms = encode_word(w, ranks)
+            return (
+                len(syms),
+                1 <= len(syms) <= len(w) + 1,
+                "".join(syms) == w + EOW,
+            )
+
+        def one_doc(t):
+            if t is None:
+                return (None, None, None)
+            total, bd, rt = 0, True, True
+            for w in _ws.split(canon_lower_py(str(t))):
+                if not w:
+                    continue
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = one_word(w)
+                total += hit[0]
+                bd = bd and hit[1]
+                rt = rt and hit[2]
+            return (total, bd, rt)
+
+        rows = [one_doc(t) for t in texts]
+        return pd.DataFrame(
+            {
+                "n": pd.array([r[0] for r in rows], dtype="Int64"),
+                "bounds_ok": pd.array(
+                    [r[1] for r in rows], dtype="boolean"
+                ),
+                "roundtrip_ok": pd.array(
+                    [r[2] for r in rows], dtype="boolean"
+                ),
+            }
+        )
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _inv(c)

@@ -2371,19 +2371,35 @@ def l21_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l22_bpe_tokens",
-    oracle=None,  # BPE merge learning is not SQL-expressible; the
-    # trainer/encoder invariants are unit-tested instead
-    # (tests/test_llm.py: classic-corpus merges, reconstruction,
-    # count bounds, determinism)
+    oracle=f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_WORDS_SQL})) AS BIGINT) AS ws_tokens,
+               TRUE AS bpe_bounds_ok,
+               TRUE AS roundtrip_ok
+        FROM documents GROUP BY source
+    """,
     tags=("llm", "L22", "tokenizer"),
 )
 def l22_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L22 (beyond the brief): REAL subword token accounting — learn
-    a BPE vocabulary from the corpus (40 merges) and report per
-    source: documents, whitespace tokens, BPE tokens, and the
-    compression ratio. This is the number every token-budget decision
-    (L13 packing, L17 mixture, pretraining cost) actually needs;
-    whitespace counts (L4) are a proxy.
+    a BPE vocabulary from the corpus (40 merges) and audit the
+    encoder per source. This is the machinery every token-budget
+    decision (L13 packing, L17 mixture, pretraining cost) actually
+    needs; whitespace counts (L4) are a proxy.
+
+    FULL invariant oracle (promoted round 10, the a3b/a5/l5b
+    pattern): the learned merge ids are engine-specific, so the raw
+    BPE totals can't hash cross-engine — but the hashed row
+    (source, n_docs, ws_tokens, bpe_bounds_ok, roundtrip_ok) is a
+    real cross-engine contract: doc and whitespace-token counts
+    cross-check exactly (the l4 twin pair), and each boolean is
+    computed GENUINELY Spark-side over every encoded word —
+    1 <= len(encode(w)) <= len(w)+1, and concat(encode(w)) == w+EOW
+    (decode-is-concat, the reconstruction property) — then pinned
+    TRUE in SQL. Raw per-doc BPE counts remain available via
+    functions.bpe.bpe_token_count (unit-tested on the classic corpus
+    incl. trainer determinism, tests/test_llm.py::TestBPE).
 
     Scale shape (functions/bpe.py): ONE corpus-sized pass builds the
     word-type table (map-side combine), collected under a HARD
@@ -2392,7 +2408,7 @@ def l22_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard trainer layout, never corpus-sized); application
     broadcasts the merge ranks and encodes per Arrow batch with a
     word cache, zero shuffle beyond the final per-source rollup."""
-    from feray_spark.functions.bpe import bpe_token_count, learn_bpe, word_types
+    from feray_spark.functions.bpe import bpe_invariants, learn_bpe, word_types
 
     d = load_table(spark, sf_dir, "documents")
     # hard-capped driver collect (functions/bpe.py word_types): top
@@ -2403,15 +2419,20 @@ def l22_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "source",
         token_count("text").alias("ws_tokens"),
-        bpe_token_count("text", merges).alias("bpe_tokens"),
+        bpe_invariants("text", merges).alias("inv"),
     )
+    # coalesce-to-TRUE: every() skips NULL (NULL-text) rows and is
+    # NULL on an all-NULL group, where the oracle's pinned TRUE must
+    # still match (the a5 empty-input discipline)
     return scored.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("ws_tokens").cast("bigint").alias("ws_tokens"),
-        F.sum("bpe_tokens").cast("bigint").alias("bpe_tokens"),
-        F.round(
-            F.sum("bpe_tokens") / F.sum("ws_tokens"), 6
-        ).alias("tokens_per_word"),
+        F.coalesce(F.every(F.col("inv.bounds_ok")), F.lit(True)).alias(
+            "bpe_bounds_ok"
+        ),
+        F.coalesce(F.every(F.col("inv.roundtrip_ok")), F.lit(True)).alias(
+            "roundtrip_ok"
+        ),
     )
 
 

@@ -57,10 +57,9 @@ def test_driver_window_is_the_priority_rotation():
     never-yet-checked queries, so the window must be exactly the
     rotation list — in order. Any rows-only member must be listed
     here explicitly (each with a compensating assert). Round 9
-    promoted a3b/a5 to full invariant oracles, so only the
-    genuinely engine-specific outputs remain rows-only: l5b
-    Spark-internal hashed indices, f_hash_native xxhash64/murmur
-    values, l22 BPE token ids."""
+    promoted a3b/a5/l5b and round 10 promoted l22 to full invariant
+    oracles, so only the genuinely engine-specific output remains
+    rows-only: f_hash_native xxhash64/murmur values."""
     import importlib.util
     import os
 
@@ -77,7 +76,6 @@ def test_driver_window_is_the_priority_rotation():
     window = list(q)[:50]
     assert window == entry._DRIVER_PRIORITY[:50]
     rows_only: set[str] = {
-        "l22_bpe_tokens",
         # engine-native hash values are Spark-internal by definition;
         # compensated by its own determinism/reference-vector asserts
         # (VERDICT r7 table)
