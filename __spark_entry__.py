@@ -319,6 +319,44 @@ _ROUND10_PRIORITY = [
     "s9_metadata_sink", "u1_union_all", "w1_ranking",
 ]
 
+#: ROUND-11 ROTATION (swap in as _DRIVER_PRIORITY after
+#: CORRECTNESS_r10 lands — EXACTLY 50 names). Construction rule:
+#: (1) catalog entries ADDED in round 10: none — prepend any later
+#: addition in the SAME commit that registers it; (2) entries whose
+#: code/oracle changed in round 10 after their last driver row and
+#: NOT in the active r10 window: none (l22/l5b/a5/a5b are in the r10
+#: window and self-verify); (3) oldest evidence first, computed from
+#: CORRECTNESS_r01–r09 + the active r10 window: the displaced r6-era
+#: trio (w2/w3/w4), the FULL r7-era block (33), then the r8-era
+#: block alphabetically to exactly 50.
+_ROUND11_PRIORITY = [
+    "w2_ntile_percent_rank", "w3_lag_lead",
+    "w4_running_agg", "a14_exact_quantiles",
+    "ep18_min_cost_supplier", "ep19_volume_shipping",
+    "ep20_market_share", "ep21_product_profit",
+    "ep22_returned_items", "ep23_forecast_revenue",
+    "f2_pandas_udf", "f3_grouped_map",
+    "f5b_polymorphic_udtf", "f_array_vectors",
+    "f_math_family", "f_scalar_extras",
+    "j8_asof_join", "l11_repetition_signals",
+    "l13_sequence_packing", "l15_source_cap",
+    "l16_unigram_logprob", "l19_fuzzy_blocked_pairs",
+    "l21_embedding_outliers", "l24_semantic_dedup",
+    "l27_embedding_quantize", "l29_temperature_mixture",
+    "l2d_embedding_neardup", "l2e_neardup_clusters",
+    "l30_length_bucket_batches", "l5_token_df_idf",
+    "l6b_frame_sample", "t1_tumbling_window",
+    "t5_dedup", "t6_stateful_running",
+    "w5_sliding_rows", "w6_time_range_frame",
+    "a12_table_profile", "a13_heavy_hitters",
+    "a1_groupby_q1", "ep3c_tpch_q3",
+    "ep3d_tpch_q5", "ep4_recursive_cte",
+    "f3b_grouped_partial", "f4_pandas_udaf",
+    "f7_isolated_fanout", "f_array_strings",
+    "f_datetime_diff", "f_datetime_family",
+    "f_hash_family", "f_hash_native",
+]
+
 #: ACTIVE WINDOW (round 10): the round-10 rotation. CORRECTNESS_r09
 #: landed green rows for the whole round-9 window (49 hash-green +
 #: l22 rows-only exactly as staged), so the swap is pure evidence

@@ -69,6 +69,14 @@ BENCH_SKIP = {
     # exact-arithmetic term-weighting path with a REAL equivalent
     # oracle is l5_token_df_idf, which stays in the sweep.
     "l5b_ml_tfidf",
+    # same class since the round-10 oracle promotion: l22's Spark
+    # side LEARNS a BPE vocabulary (corpus word-type pass + driver
+    # trainer) and encodes every doc to audit the bounds/roundtrip
+    # invariants, while its oracle is one GROUP BY + constant TRUEs —
+    # the ratio would measure tokenizer training against not-training
+    # a tokenizer. Trainer cost has its own measured bound
+    # (scripts/bpe_trainer_probe.py, SCALE.md L22 row).
+    "l22_bpe_tokens",
     "l18_incremental_dedup",
     "l18b_incremental_neardup",  # write-dominated, like l18
     # recursive CTE: Spark executes each recursion level as a full
