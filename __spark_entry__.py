@@ -299,6 +299,8 @@ _ROUND10_PRIORITY = [
     #     (ADVICE r9; value-identical, re-verified anyway). The
     #     displaced tail four (w1_ranking, w2_ntile_percent_rank,
     #     w3_lag_lead, w4_running_agg) move to the round-11 pool
+    "ep6_having_semijoin", "l15_source_cap", "l16_unigram_logprob",
+    "l29_temperature_mixture",
     "l22_bpe_tokens", "l5b_ml_tfidf", "a5_approx_count_distinct",
     "a5b_hll_sketch_rollup",
     "w7_first_last_value", "s6e_xml_roundtrip", "s6d_binaryfile_scan",
@@ -315,8 +317,7 @@ _ROUND10_PRIORITY = [
     "o2_limit_offset", "p1_project_compute", "p2_rename_drop_cast",
     "p3_filter_comparison", "p4_boolean_logic", "p5_in_between_like",
     "p5b_regex_predicate", "p6_null_predicates", "p7_case_banding",
-    "s6_csv_roundtrip", "s6b_ndjson_roundtrip", "s7_inmemory_rows",
-    "s9_metadata_sink", "u1_union_all", "w1_ranking",
+    "s6_csv_roundtrip", "s6b_ndjson_roundtrip",
 ]
 
 #: ROUND-11 ROTATION (swap in as _DRIVER_PRIORITY after
@@ -324,12 +325,15 @@ _ROUND10_PRIORITY = [
 #: (1) catalog entries ADDED in round 10: none — prepend any later
 #: addition in the SAME commit that registers it; (2) entries whose
 #: code/oracle changed in round 10 after their last driver row and
-#: NOT in the active r10 window: none (l22/l5b/a5/a5b are in the r10
+#: NOT in the active r10 window: none (all round-10 changes —
+#: l22/l5b/a5/a5b/ep6/l15/l16/l29 — were prepended into the r10
 #: window and self-verify); (3) oldest evidence first, computed from
-#: CORRECTNESS_r01–r09 + the active r10 window: the displaced r6-era
-#: trio (w2/w3/w4), the FULL r7-era block (33), then the r8-era
-#: block alphabetically to exactly 50.
+#: CORRECTNESS_r01–r09 + the active r10 window: the r10-displaced
+#: r5/r6-era names (w1/w2/w3/w4, s7/s9/u1), the remaining r7-era
+#: block, then the r8-era block alphabetically to exactly 50.
 _ROUND11_PRIORITY = [
+    "s7_inmemory_rows", "s9_metadata_sink",
+    "u1_union_all", "w1_ranking",
     "w2_ntile_percent_rank", "w3_lag_lead",
     "w4_running_agg", "a14_exact_quantiles",
     "ep18_min_cost_supplier", "ep19_volume_shipping",
@@ -339,22 +343,20 @@ _ROUND11_PRIORITY = [
     "f5b_polymorphic_udtf", "f_array_vectors",
     "f_math_family", "f_scalar_extras",
     "j8_asof_join", "l11_repetition_signals",
-    "l13_sequence_packing", "l15_source_cap",
-    "l16_unigram_logprob", "l19_fuzzy_blocked_pairs",
+    "l13_sequence_packing", "l19_fuzzy_blocked_pairs",
     "l21_embedding_outliers", "l24_semantic_dedup",
-    "l27_embedding_quantize", "l29_temperature_mixture",
-    "l2d_embedding_neardup", "l2e_neardup_clusters",
-    "l30_length_bucket_batches", "l5_token_df_idf",
-    "l6b_frame_sample", "t1_tumbling_window",
-    "t5_dedup", "t6_stateful_running",
-    "w5_sliding_rows", "w6_time_range_frame",
-    "a12_table_profile", "a13_heavy_hitters",
-    "a1_groupby_q1", "ep3c_tpch_q3",
-    "ep3d_tpch_q5", "ep4_recursive_cte",
-    "f3b_grouped_partial", "f4_pandas_udaf",
-    "f7_isolated_fanout", "f_array_strings",
-    "f_datetime_diff", "f_datetime_family",
-    "f_hash_family", "f_hash_native",
+    "l27_embedding_quantize", "l2d_embedding_neardup",
+    "l2e_neardup_clusters", "l30_length_bucket_batches",
+    "l5_token_df_idf", "l6b_frame_sample",
+    "t1_tumbling_window", "t5_dedup",
+    "t6_stateful_running", "w5_sliding_rows",
+    "w6_time_range_frame", "a12_table_profile",
+    "a13_heavy_hitters", "a1_groupby_q1",
+    "ep3c_tpch_q3", "ep3d_tpch_q5",
+    "ep4_recursive_cte", "f3b_grouped_partial",
+    "f4_pandas_udaf", "f7_isolated_fanout",
+    "f_array_strings", "f_datetime_diff",
+    "f_datetime_family", "f_hash_family",
 ]
 
 #: ACTIVE WINDOW (round 10): the round-10 rotation. CORRECTNESS_r09

@@ -1647,8 +1647,13 @@ def l15_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mega-domain skew case (one domain = billions of rows) moves
     at most cap × partitions rows for that domain, not the domain.
     Deterministic tie-break (quality desc, doc_id) so the kept set is
-    reproducible."""
-    d = load_table(spark, sf_dir, "documents")
+    reproducible. fan_out (r10): the 64× probe corpus arrives as ONE
+    47 MB file = one scan partition, serializing the quality regex +
+    pre-cut sort on one core — 17.3 → 2.4 s with the spread
+    (noop-write interleaved A/B, scripts/fanout_64x_ab.py),
+    sf0.1-neutral (0.52/0.52 s), no-op at 100 TB where the scan
+    carries thousands of splits."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     w = W_llm.partitionBy("source").orderBy(
         quality_score("text").desc(), F.col("doc_id")
     )
@@ -1700,10 +1705,15 @@ def l16_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ~1e-13 association noise."""
     from feray_spark.functions.text import words as words_fn
 
-    d = load_table(spark, sf_dir, "documents")
-    # no fan_out: both lineages (tf build + scoring) re-read the
-    # cheap scan; the extra exchange measured SLOWER (0.72 s without
-    # vs 1.02 s with at sf0.1, local[32])
+    # fan_out (r10, reversing the r7 sf0.1-only call of 0.72-vs-1.02 s
+    # that did not reproduce): both lineages (tf build + scoring)
+    # re-tokenize the corpus, and on the 64× probe's one-file scan
+    # that work serialized on one core — 35.5 → 4.4 s with the spread
+    # (noop-write interleaved A/B, scripts/fanout_64x_ab.py),
+    # sf0.1-neutral now (1.00/0.94 s), no-op at 100 TB. The two
+    # consumers share the repartition exchange (ReusedExchange), so
+    # the text ships once.
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(words_fn("text")).alias("token")
     )
@@ -3023,8 +3033,17 @@ def l29_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage."""
     # text IS NOT NULL on BOTH sides: under the repo's non-ANSI
     # session size(NULL array) is -1, which would silently decrement
-    # src_tokens per missing-text doc (the oracle's SUM skips NULLs)
-    d = load_table(spark, sf_dir, "documents").filter(
+    # src_tokens per missing-text doc (the oracle's SUM skips NULLs).
+    # fan_out (r10): token_count runs in BOTH lineages (per-source
+    # totals + the output join), and the 64× probe's one-file scan
+    # serialized it on one core — 23.1 → 4.0 s with the spread
+    # (noop-write interleaved A/B, scripts/fanout_64x_ab.py) against
+    # a measured +0.2 s at sf0.1 (1.12 → 1.35 s — the shared
+    # repartition exchange's fixed cost, ReusedExchange across the
+    # two consumers); the scale term wins, and at 100 TB the
+    # repartition is a no-op. isnotnull still reaches the scan
+    # (PushDownPredicates crosses Repartition).
+    d = fan_out(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
     u = md5_bucket("temp29:", "doc_id", 1_000_000)

@@ -1022,28 +1022,31 @@ def ep6_having_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-aggregate form (valid because o_orderkey is the orders PK,
     so it determines c_custkey and o_orderdate: grouping by
     (c, o, od) == grouping by o): lineitem aggregates ONCE per
-    orderkey on scaled longs in whole-stage codegen (the
-    exact_grouped_sums two-level pattern — partials bounded by one
-    scan partition, decimal only across the tiny combine), the
-    HAVING threshold compares exact integers (q x 100 > 20000), and
-    the qualifying groups join to orders and customer (no broadcast
-    hints: the qualifying set and customer are small HERE but not at
-    100 TB — the autoBroadcast threshold + AQE pick the physical
-    join per run, which measured identical to forcing it).
-    Earlier hand-rewrite with a DECIMAL accumulator measured parity
-    with the canonical text (1.28 vs 1.32 s); moving the per-row
-    arithmetic onto longs is what pays (interleaved A/B at sf0.1:
-    1.53 vs 1.71 s median — the agg is the term that scales)."""
+    orderkey as a PLAIN long sum of scaled quantities — map-side
+    partial + one exchange, entirely in whole-stage codegen. The
+    two-level (key, partition_id) exact-agg pattern is deliberately
+    NOT used here: its decimal combine exists for UNBOUNDED
+    rows-per-key sums, but this key is the orders primary key, so
+    rows per key are bounded by order size at ANY corpus scale
+    (corpus growth adds orders, not lines per order; max
+    7 × 5 000 = 35 000 per key — overflow needs 2^63/5 000 ≈ 1.8e15
+    lines in ONE order) and the second exchange it pays bought
+    nothing (interleaved noop-write A/B, round 10: 0.71 vs 1.00 s at
+    sf0.1, 8.0 vs 9.75 s at the 64× probe corpus —
+    scripts/ep6_agg_ab.py; flagged by PROBE_r10's ep6 row, the worst
+    absolute SQL-family loss at 64×). The HAVING threshold compares
+    exact integers (q × 100 > 20000), and the qualifying groups join
+    to orders and customer (no broadcast hints: the qualifying set
+    and customer are small HERE but not at 100 TB — the
+    autoBroadcast threshold + AQE pick the physical join per run,
+    which measured identical to forcing it)."""
     from feray_spark.queries.util import scaled_long
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    partial = li.groupBy(
-        "l_orderkey", F.spark_partition_id().alias("__pid")
-    ).agg(F.sum(scaled_long("l_quantity")).alias("__p"))
-    qty = partial.groupBy("l_orderkey").agg(
-        F.sum(F.col("__p").cast("decimal(38,0)")).alias("q2")  # qty x 100
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(scaled_long("l_quantity")).alias("q2")  # qty x 100
     )
     big = qty.filter(F.col("q2") > F.lit(200 * 100))
     return (
