@@ -676,7 +676,7 @@ def f_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-parse per ``get_json_object`` call is the classic hidden
     quadratic in wide JSON event pipelines. Zero shuffles beyond the
     final rollup; the parse+access is a codegen projection."""
-    e = load_table(spark, sf_dir, "events")
+    e = fan_out(load_table(spark, sf_dir, "events"))
     # try_parse_json, not parse_json: malformed props must yield a
     # NULL variant (every path access then NULL), never a task error.
     # k extracts as DOUBLE then truncates to bigint (the oracle's
@@ -692,19 +692,51 @@ def f_variant_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # '1e999' -> Infinity, which a bare isnan guard misses) CLAMPS to
     # LONG_MAX — DuckDB's TRY_CAST yields NULL in every one of those,
     # so the Spark side must too.
+    #
+    # r10 CSE fix: the straight-line form (trunc_int64 over a
+    # when-guarded kd, each leaf a try_variant_get on v) expanded to
+    # 16 variant_get sites + 5 RLIKE regex sites PER ROW in the
+    # physical plan — CaseWhen branches/conditions get no codegen
+    # subexpression elimination (CLAUDE.md rule; the l15
+    # quality_score class). LET-BIND each level instead (the
+    # doc_fingerprint transform-of-singleton pattern): bind the
+    # three path extractions on the parsed v once, bind the guarded
+    # double once (one RLIKE), then trunc_int64's five references
+    # read the bound lambda variable. Plan after: 3 variant_get
+    # sites, 1 RLIKE. fan_out: events arrives as ONE parquet file
+    # (one scan partition) at fixture scale — same measured class as
+    # f_json_family (0.74 s with vs 0.98 s without).
     from feray_spark.queries.util import PORTABLE_DOUBLE_RE, trunc_int64
 
-    ks = F.try_variant_get(F.col("v"), "$.k", "string")
-    kd0 = F.try_variant_get(F.col("v"), "$.k", "double")
-    kd = F.when(ks.isNotNull() & ~ks.rlike(PORTABLE_DOUBLE_RE), None).otherwise(
-        kd0
-    )
-    v = e.select(
-        "event_type", F.try_parse_json("props").alias("v")
-    ).select(
+    r = F.transform(
+        F.array(F.try_parse_json("props")),  # bind v: one parse per row
+        lambda v: F.transform(
+            F.array(
+                F.struct(
+                    F.try_variant_get(v, "$.k", "string").alias("ks"),
+                    F.try_variant_get(v, "$.k", "double").alias("kd0"),
+                    F.try_variant_get(v, "$.missing", "bigint").alias("miss"),
+                )
+            ),  # bind s: each path extracted exactly once
+            lambda s: F.struct(
+                F.transform(
+                    F.array(
+                        F.when(
+                            s["ks"].isNotNull()
+                            & ~s["ks"].rlike(PORTABLE_DOUBLE_RE),
+                            F.lit(None).cast("double"),
+                        ).otherwise(s["kd0"])
+                    ),  # bind kd: the RLIKE grammar check runs once
+                    trunc_int64,
+                )[0].alias("k"),
+                s["miss"].alias("miss"),
+            ),
+        )[0],
+    )[0]
+    v = e.select("event_type", r.alias("r")).select(
         "event_type",
-        trunc_int64(kd).alias("k"),
-        F.try_variant_get("v", "$.missing", "bigint").alias("miss"),
+        F.col("r.k").alias("k"),
+        F.col("r.miss").alias("miss"),
     )
     return v.groupBy("event_type").agg(
         F.count("*").alias("n"),
