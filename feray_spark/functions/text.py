@@ -335,10 +335,134 @@ def canonical_text(col: str | Column) -> Column:
     (non-ASCII is stripped AFTER lowercasing) so Spark and DuckDB
     produce bit-identical keys; a production Unicode fold (NFKC)
     replaces this expression without touching the dedup shape.
-    NULL propagates (missing text is not an empty document)."""
+    NULL propagates (missing text is not an empty document).
+
+    The whitespace class is spelled out as ``[\\t\\n\\f\\r ]``, NOT
+    ``\\s`` (r10): Java's ``\\s`` includes vertical tab U+000B while
+    RE2's (the DuckDB oracle twin `_CANON_SQL`, and the Arrow batch
+    path below) does not — a bare ``\\s`` pair silently diverged on
+    VT-bearing text ('a\\x0bb' → Spark 'a b' vs oracle 'ab',
+    measured r10; same class as the canon_lower İ/sigma pins)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "
+            F.regexp_replace(F.lower(c), "[^a-z0-9\t\n\f\r ]", ""),
+            "[\t\n\f\r ]+",
+            " ",
         )
     )
+
+
+#: below this much local input the Column-expression path wins: the
+#: Python boundary costs a fixed ~0.3 s (worker round-trip + losing
+#: whole-stage fusion with the downstream aggregate) while the
+#: JVM-regex penalty is proportional to bytes. Measured crossover is
+#: ~2 MB (sf0.1 0.6 MB: column 0.34 s vs arrow 0.69 s; 64× 38 MB:
+#: column 13.4 s vs arrow 6.5 s — interpolated equal at ~1.8 MB);
+#: 8 MB is conservative, and every driver fixture stays on the
+#: oracle-checked Column path while probe/production corpora take
+#: the Arrow path.
+CANON_ARROW_MIN_BYTES = 8 << 20
+
+
+def _local_scan_bytes(df) -> int | None:
+    """Total bytes of the LOCAL files behind ``df``'s scan, or None
+    when unknowable (remote store, in-memory source, stat failure) —
+    the fan_out probe's file-walk, scoped to a yes/no size question.
+    None means "assume big": a remote store is the production
+    deployment, where the Arrow path is the right default."""
+    import os
+    from urllib.parse import unquote
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        # NOT urlparse (same reason as fan_out): '#'/'?' are legal in
+        # POSIX filenames and would be truncated as fragment/query
+        if f.startswith("file:"):
+            path = unquote(f[5:])
+            while path.startswith("//"):
+                path = path[1:]
+        elif "://" in f:
+            return None
+        else:
+            path = f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
+def with_canonical_text(df, text_col: str, out_col: str):
+    """Append :func:`canonical_text` of ``text_col`` as ``out_col``,
+    choosing the execution path by input size:
+
+    - big (or unknown-size) input: ONE Arrow pass per batch
+      (``mapInArrow`` + pyarrow.compute: utf8proc lowercase, RE2
+      regex — the exact engines the DuckDB oracle runs, so the
+      VT/İ/sigma corners agree by construction). Java's regex engine
+      measured ~40× more core-seconds than RE2 on the strip pass
+      (64× corpus: 13.7 s wall on 12 scan partitions vs 3.8 s on ONE
+      arrow thread for the whole corpus, r10) — the guide-§4.2
+      pattern (let Spark distribute, hand whole batches to
+      vectorized native code) is the scale shape for regex-heavy
+      canonicalization.
+    - small local input (< :data:`CANON_ARROW_MIN_BYTES`): the
+      :func:`canonical_text` Column expression — below the measured
+      ~2 MB crossover the fixed Python-boundary cost exceeds the
+      whole regex bill.
+
+    The two paths are value-identical (same RE2-pinned whitespace
+    class on both; tests/test_llm.py pins the corner set and runs
+    the Arrow leg differentially against the Column leg). Pass only
+    the columns the consumer needs before calling (mapInArrow
+    defeats column pruning); NULL text propagates to NULL canon."""
+    sz = _local_scan_bytes(df)
+    if sz is not None and sz < CANON_ARROW_MIN_BYTES:
+        c = F.col(text_col) if isinstance(text_col, str) else text_col
+        return df.withColumn(out_col, canonical_text(c))
+    return _with_canonical_text_arrow(df, text_col, out_col)
+
+
+def _with_canonical_text_arrow(df, text_col: str, out_col: str):
+    """The mapInArrow leg of :func:`with_canonical_text` (exposed
+    for the differential tests that must exercise it regardless of
+    input size)."""
+    import pyarrow as pa
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # copy, never df.schema.add(...): pyspark caches df.schema and
+    # .add() mutates that cached object in place — the INPUT frame
+    # would then claim the output column and mapInArrow's column
+    # binding fails with UNRESOLVED_COLUMN
+    out_schema = StructType(
+        [*df.schema.fields, StructField(out_col, StringType())]
+    )
+
+    def run(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            canon = pc.utf8_trim(
+                pc.replace_substring_regex(
+                    pc.replace_substring_regex(
+                        pc.utf8_lower(b.column(text_col)),
+                        pattern=r"[^a-z0-9\s]",
+                        replacement="",
+                    ),
+                    pattern=r"\s+",
+                    replacement=" ",
+                ),
+                characters=" ",
+            )
+            yield pa.RecordBatch.from_arrays(
+                [*b.columns, canon], names=[*b.schema.names, out_col]
+            )
+
+    return df.mapInArrow(run, out_schema)

@@ -193,16 +193,28 @@ def l1b_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition — a rank window over the same key would colocate the
     entire group on one executor. Per-row normalization is three
     codegen'd string expressions, zero UDFs."""
-    from feray_spark.functions.text import canonical_text
+    from feray_spark.functions.text import with_canonical_text
 
     d = load_table(spark, sf_dir, "documents")
-    canon = canonical_text("text")
+    # r10: canonicalize via with_canonical_text — the size-gated
+    # Arrow batch path (utf8proc + RE2, the oracle's own engines).
+    # Java's regex measured ~40× more core-seconds on the strip
+    # pass; whole query at the 64× probe corpus 13.4 → 6.5 s
+    # (noop-write A/B), now at DuckDB's absolute level there (6.3 s),
+    # while fixture-scale inputs stay on the Column leg (0.34 s at
+    # sf0.1 — the Python boundary's fixed ~0.3 s exceeds the whole
+    # regex bill below the ~2 MB crossover). Project to the four
+    # consumed columns FIRST — mapInArrow defeats column pruning.
+    canon = F.col("__canon")
     key = F.coalesce(
         F.md5(canon),
         F.concat(F.lit("__null__"), F.col("doc_id").cast("string")),
     )
     return (
-        d.select(
+        with_canonical_text(
+            d.select("doc_id", "lang", "source", "text"), "text", "__canon"
+        )
+        .select(
             "doc_id",
             "lang",
             "source",

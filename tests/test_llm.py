@@ -773,6 +773,86 @@ def test_l1b_canonical_dedup_winner_and_variant_count(spark, tmp_path):
     assert rows[12].n_variants == 1 and rows[12].canon_md5 is None
 
 
+#: canonicalization corner set: ASCII whitespace class members and
+#: near-members (VT is in Java's \s but NOT in RE2's — the r10
+#: divergence canonical_text now pins), C0/C1 controls, NBSP, the
+#: İ/final-sigma case-fold edges, Kelvin sign, NULL/empty/ws-only
+_CANON_CORNERS = [
+    "a\x0bb", "a\tb", "a\nb", "a\x0cb", "a\rb", "a b",
+    "x\x1fy", "a\x85b", "a\xa0b", "a\u2028b",
+    "İstanbul", "ΑΣ ΤΕΛΟΣ ςigma", "K\u212aelvin",
+    "  leading and trailing\t ", "\t \n", "", None,
+    "don't stop-me now!!", "MiXeD 123  Case",
+]
+
+
+def test_canonical_text_paths_and_oracle_agree_on_corners(spark):
+    """The THREE canonicalization legs — the Column expression, the
+    mapInArrow/RE2 batch leg, and the DuckDB oracle `_CANON_SQL` —
+    produce byte-identical output on the corner set. This is the pin
+    that lets with_canonical_text switch legs by input size without
+    parity risk (and the regression net for the r10 \\s/VT fix:
+    Java's \\s contains U+000B, RE2's does not)."""
+    import duckdb
+
+    from feray_spark.functions.text import (
+        _with_canonical_text_arrow,
+        canonical_text,
+    )
+    from feray_spark.queries.llm import _CANON_SQL
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CANON_CORNERS)], "i long, text string"
+    )
+    col_rows = {
+        r.i: r.c
+        for r in df.select("i", canonical_text("text").alias("c")).collect()
+    }
+    arrow_rows = {
+        r.i: r["__canon"]
+        for r in _with_canonical_text_arrow(df, "text", "__canon").collect()
+    }
+    con = duckdb.connect()
+    duck_rows = {
+        i: con.sql(
+            f"SELECT {_CANON_SQL} FROM (SELECT $1 AS text)", params=[t]
+        ).fetchone()[0]
+        for i, t in enumerate(_CANON_CORNERS)
+    }
+    for i, t in enumerate(_CANON_CORNERS):
+        assert col_rows[i] == arrow_rows[i] == duck_rows[i], (
+            i, repr(t), col_rows[i], arrow_rows[i], duck_rows[i]
+        )
+
+
+def test_l1b_arrow_leg_matches_column_leg_on_fixture(spark):
+    """with_canonical_text's size gate keeps driver fixtures on the
+    Column leg, so the Arrow leg needs its own differential run:
+    canonical md5s over the whole sf0.01 corpus must be identical
+    through both legs."""
+    from feray_spark.functions.text import (
+        _with_canonical_text_arrow,
+        canonical_text,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    a = {
+        r.doc_id: r.m
+        for r in _with_canonical_text_arrow(d, "text", "__canon")
+        .select("doc_id", F.md5("__canon").alias("m"))
+        .collect()
+    }
+    c = {
+        r.doc_id: r.m
+        for r in d.select(
+            "doc_id", F.md5(canonical_text("text")).alias("m")
+        ).collect()
+    }
+    assert a == c
+
+
 def test_exact_dedup_canonical_flag(spark):
     """canonical=True collapses case/punct/whitespace variants that
     byte-exact mode keeps; NULL texts still pass through untouched."""
