@@ -1363,6 +1363,18 @@ _EP13_SQL = """
 """
 
 
+#: below this much local lineitem input, ep13's share-of-total runs
+#: as the unpartitioned window (single task over the group table —
+#: sub-0.1 s below ~100k groups, and no extra job); at or above it
+#: (or when the input size is unknowable: a remote store is the
+#: production deployment) the broadcast-totals two-pass takes over.
+#: Sized from measurement: the window's single-task decimal pass
+#: costs ~1.3 us/group (1.69 s at the 64x probe's 1.28M groups)
+#: while the broadcast shape's extra one-row aggregate job is a flat
+#: ~0.2 s — crossover lands near 6x the sf0.1 fixture's 10.8 MB.
+EP13_WINDOW_MAX_BYTES = 64 << 20
+
+
 @register(
     "ep13_value_share",
     oracle=_EP13_SQL,
@@ -1386,18 +1398,18 @@ def ep13_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (Spark-first): share-of-total is an ANALYTIC over
     the grouped aggregate, not a join — one lineitem scan into the
     per-part partial+final hash aggregate (the only wide exchange),
-    then count/total via an unpartitioned window over the GROUP
-    table and a scan-local filter. The window's single partition
-    holds one row per part — group-cardinality-sized, fine up to
-    ~10M groups; past that, two-pass it: aggregate the group table
-    to one (count, total) row and broadcast it back (the l16
-    broadcast-totals pattern). Measured at sf0.1: 1.10 s vs 1.66 s
-    for the canonical HAVING-subquery text, which pays two extra
-    lineitem scans because each scalar subquery replans the fact —
-    the oracle keeps the canonical CTE text, the Spark side ships
-    the single-scan form (plan-asserted: one scan, no join)."""
-    from pyspark.sql import Window
-
+    then count/total over the GROUP table via a size-gated pair of
+    value-identical shapes (r10): an unpartitioned window on small
+    local inputs (one cheap single-task pass, no extra job) and the
+    l16 broadcast-totals two-pass past ``EP13_WINDOW_MAX_BYTES`` —
+    the window's single partition is group-cardinality-sized and
+    its decimal running sum is single-core (isolated at the 64x
+    probe's 1.28M groups: 1.69 s vs 0.45 s broadcast). Measured at
+    sf0.1: 1.10 s vs 1.66 s for the canonical HAVING-subquery text,
+    which pays two extra lineitem scans because each scalar subquery
+    replans the fact — the oracle keeps the canonical CTE text, the
+    Spark side ships the single-scan form (plan-asserted both
+    shapes: one executed scan, window XOR broadcast)."""
     from feray_spark.queries.util import scaled_long
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1419,10 +1431,41 @@ def ep13_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = partial.groupBy("l_partkey").agg(
         F.sum(F.col("__p").cast("decimal(38,0)")).alias("v4")  # v x 10^4
     )
-    w = Window.partitionBy()
+    # count/total: TWO value-identical shapes, picked by input size
+    # (the fan_out/CANON_ARROW_MIN_BYTES gate pattern).
+    #
+    # - big (or unknown-size) input: one-row aggregate broadcast back
+    #   onto the group table (the l16 broadcast-totals pattern). The
+    #   unpartitioned window funnels the whole group table through
+    #   ONE task whose per-row decimal(38,0) running sum is
+    #   single-core BigDecimal work growing linearly with group
+    #   cardinality — isolated on the 64x probe corpus's 1.28M-group
+    #   table: window 1.69 s vs broadcast 0.45 s (whole query
+    #   9.85 -> 9.25 s median, interleaved). The totals branch
+    #   re-reads the final agg's shuffle via AQE stage reuse, so
+    #   lineitem is still scanned ONCE (executed plan: 1 FileScan,
+    #   1 ReusedExchange).
+    # - small local input: the window form — below ~100k groups the
+    #   single-task pass is sub-0.1 s while the broadcast shape's
+    #   extra job costs a flat ~0.15-0.2 s (sf0.1 interleaved A/B:
+    #   window 0.71 s vs broadcast 0.88 s).
+    from feray_spark.functions.text import _local_scan_bytes
+
+    sz = _local_scan_bytes(li)
+    if sz is not None and sz < EP13_WINDOW_MAX_BYTES:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy()
+        shared = g.withColumn("__n", F.count("*").over(w)).withColumn(
+            "__tot", F.sum("v4").over(w)
+        )
+    else:
+        totals = g.agg(
+            F.count("*").alias("__n"), F.sum("v4").alias("__tot")
+        )
+        shared = g.crossJoin(F.broadcast(totals))
     return (
-        g.withColumn("__n", F.count("*").over(w))
-        .withColumn("__tot", F.sum("v4").over(w))
+        shared
         # v * n > 1.5 * tot, cross-multiplied by 2 to stay integral:
         # all-decimal exact compare on the group table
         .filter(

@@ -661,8 +661,9 @@ def test_ep12_threshold_broadcasts_and_anti_join_prunes(spark, sf_dir):
 
 
 def test_ep13_share_filter_is_one_scan_no_join(spark, sf_dir):
-    """ep13 (Q11 shape): share-of-total ships as an analytic over the
-    grouped aggregate — exactly ONE lineitem scan (the canonical
+    """ep13 (Q11 shape), small-input side of the r10 size gate: on
+    the local fixture the share-of-total ships as an analytic over
+    the grouped aggregate — exactly ONE lineitem scan (the canonical
     HAVING-subquery text would replan the fact per scalar subquery),
     a Window for the count/total, and NO join anywhere."""
     import re
@@ -675,6 +676,29 @@ def test_ep13_share_filter_is_one_scan_no_join(spark, sf_dir):
     scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
     assert len(scans) == 1, plan
     assert "Window" in plan, plan
+
+
+def test_ep13_big_input_switches_to_broadcast_totals(spark, sf_dir, monkeypatch):
+    """ep13, big-input side of the r10 size gate: past
+    EP13_WINDOW_MAX_BYTES the count/total must come from a one-row
+    aggregate broadcast back onto the group table (no Window — its
+    single task is group-cardinality-bound single-core decimal
+    work), and the EXECUTED plan must still touch lineitem ONCE:
+    the totals branch re-reads the per-part aggregate's shuffle via
+    AQE stage reuse. The gate is forced by shrinking the threshold,
+    so the fixture exercises the production shape."""
+    from feray_spark.queries import relational
+
+    monkeypatch.setattr(relational, "EP13_WINDOW_MAX_BYTES", 0)
+    q = load_all()["ep13_value_share"]
+    df = q.fn(spark, sf_dir)
+    plan = formatted(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    df.collect()
+    executed = final_plan(df)
+    assert executed.count("FileScan") == 1, executed
+    assert "ReusedExchange" in executed, executed
 
 
 def test_ep14_argmax_keeps_decimal_and_broadcasts_dim(spark, sf_dir):
