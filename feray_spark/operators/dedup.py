@@ -77,17 +77,33 @@ def exact_dedup(
     the L1b catalog query when the per-form variant COUNT matters:
     it uses the skew-immune hash-aggregate shape; this flag keeps the
     operator's keep-every-column contract."""
-    content = F.col(text_col)
     if canonical:
-        from feray_spark.functions.text import canonical_text
+        # canonicalize through the size-gated helper (r10): big
+        # inputs take the mapInArrow utf8proc+RE2 leg (~2x the whole
+        # l1b query at the 64x probe corpus — Java regex measured
+        # ~40x RE2's core-seconds on the strip pass), small local
+        # inputs keep the Column expression, value-identical by the
+        # pinned corner set. The canon column is materialized, the
+        # winner window keys on the attribute, and it is dropped
+        # before returning (keep-every-column contract).
+        from feray_spark.functions.text import with_canonical_text
 
-        content = canonical_text(content)
+        ccol = "__canon"
+        while ccol in df.columns:  # never clobber a caller's column
+            ccol += "_"
+        content = F.col(ccol)
+        keyed = with_canonical_text(df, text_col, ccol)
+    else:
+        content = F.col(text_col)
+        ccol = None
+        keyed = df
     keep = content_keep_flag(content, id_col, content.isNotNull())
-    return (
-        df.withColumn("__keep", keep)
+    out = (
+        keyed.withColumn("__keep", keep)
         .filter(F.col("__keep"))
         .drop("__keep")
     )
+    return out.drop(ccol) if ccol else out
 
 
 def minhash_bands(

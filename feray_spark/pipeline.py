@@ -271,18 +271,29 @@ def attrition_flags(
     the plan contract — single window, single exchange — stays
     auditable after :func:`attrition_report` truncates the lineage
     with its lazy localCheckpoint (tests/test_plans.py pins it)."""
-    from feray_spark.functions.text import canonical_text
+    from feray_spark.functions.text import with_canonical_text
     from feray_spark.operators.dedup import content_keep_flag
 
     gate = F.col(text_col).isNotNull() & (
         quality_score(text_col) >= F.lit(quality_min)
     )
+    # Canonicalization via the size-gated helper (r10): the Arrow
+    # utf8proc+RE2 leg on big inputs (l26 measured 45.7 -> 31.7 s at
+    # the 64x corpus from the same swap in exact_dedup), the Column
+    # leg on fixtures. Project to the two consumed columns FIRST —
+    # mapInArrow defeats column pruning.
+    ccol = "__canon"
+    while ccol in (id_col, text_col):  # never clobber a caller column
+        ccol += "_"
+    src = with_canonical_text(
+        documents.select(id_col, text_col), text_col, ccol
+    )
     # THE exact_dedup winner rule, shared (operators.dedup): ungated
     # rows key on their own id, so they pass through the winner
     # window without contending with any canonical group — the
     # funnel's counts can never drift from the pipeline it audits
-    keep = content_keep_flag(canonical_text(F.col(text_col)), id_col, gate)
-    return documents.select(
+    keep = content_keep_flag(F.col(ccol), id_col, gate)
+    return src.select(
         F.col(id_col),
         F.col(text_col),
         token_count(text_col).alias("__n_tok"),
