@@ -298,7 +298,17 @@ _ROUND10_PRIORITY = [
     #     medium), a5/a5b's bound hoisted to shared constants
     #     (ADVICE r9; value-identical, re-verified anyway). The
     #     displaced tail four (w1_ranking, w2_ntile_percent_rank,
-    #     w3_lag_lead, w4_running_agg) move to the round-11 pool
+    #     w3_lag_lead, w4_running_agg) move to the round-11 pool.
+    #     OPTIMIZATION-ROUND PREPENDS (value-identical by local
+    #     parity + strict sweeps, re-driver-verified anyway per the
+    #     rule): l1b + l26/l26b + l1 (Arrow canonicalization leg,
+    #     exact_dedup restructure), fs10 (decimal-cast hoist), ep13
+    #     (size-gated broadcast-totals), f_variant_family (let-bind +
+    #     fan_out). Displaced tail seven (p4/p5/p5b/p6/p7/s6/s6b)
+    #     move to the round-11 pool by the same age rule.
+    "l1b_canonical_dedup", "l26_curation_pipeline",
+    "l26b_curation_attrition", "l1_exact_dedup", "fs10_drift_report",
+    "ep13_value_share", "f_variant_family",
     "ep6_having_semijoin", "l15_source_cap", "l16_unigram_logprob",
     "l29_temperature_mixture",
     "l22_bpe_tokens", "l5b_ml_tfidf", "a5_approx_count_distinct",
@@ -315,9 +325,7 @@ _ROUND10_PRIORITY = [
     "j6_theta_join", "j6b_nested_loop", "j7_range_join",
     "j7b_interval_join", "j9_point_in_time_spine", "o1_multikey_sort",
     "o2_limit_offset", "p1_project_compute", "p2_rename_drop_cast",
-    "p3_filter_comparison", "p4_boolean_logic", "p5_in_between_like",
-    "p5b_regex_predicate", "p6_null_predicates", "p7_case_banding",
-    "s6_csv_roundtrip", "s6b_ndjson_roundtrip",
+    "p3_filter_comparison",
 ]
 
 #: ROUND-11 ROTATION (swap in as _DRIVER_PRIORITY after
@@ -326,12 +334,21 @@ _ROUND10_PRIORITY = [
 #: addition in the SAME commit that registers it; (2) entries whose
 #: code/oracle changed in round 10 after their last driver row and
 #: NOT in the active r10 window: none (all round-10 changes —
-#: l22/l5b/a5/a5b/ep6/l15/l16/l29 — were prepended into the r10
-#: window and self-verify); (3) oldest evidence first, computed from
-#: CORRECTNESS_r01–r09 + the active r10 window: the r10-displaced
-#: r5/r6-era names (w1/w2/w3/w4, s7/s9/u1), the remaining r7-era
-#: block, then the r8-era block alphabetically to exactly 50.
+#: l22/l5b/a5/a5b/ep6/l15/l16/l29 AND the optimization-round set
+#: l1b/l26/l26b/l1/fs10/ep13/f_variant — were prepended into the
+#: r10 window and self-verify); (3) oldest evidence first, computed
+#: from CORRECTNESS_r01–r09 + the active r10 window: the
+#: r10-displaced r5/r6-era names (p4/p5/p5b/p6/p7/s6/s6b,
+#: w1/w2/w3/w4, s7/s9/u1), the remaining r7-era block, then the
+#: r8-era block alphabetically to exactly 50 (the former tail
+#: f3b/f4/f7/f_array_strings/f_datetime_diff/f_datetime_family/
+#: f_hash_family carries r7/r8 evidence and rolls to round 12).
 _ROUND11_PRIORITY = [
+    # r10-optimization-round displacements (r6-era evidence, pushed
+    # out of the r10 window by the seven changed-entry prepends):
+    "p4_boolean_logic", "p5_in_between_like", "p5b_regex_predicate",
+    "p6_null_predicates", "p7_case_banding", "s6_csv_roundtrip",
+    "s6b_ndjson_roundtrip",
     "s7_inmemory_rows", "s9_metadata_sink",
     "u1_union_all", "w1_ranking",
     "w2_ntile_percent_rank", "w3_lag_lead",
@@ -353,10 +370,7 @@ _ROUND11_PRIORITY = [
     "w6_time_range_frame", "a12_table_profile",
     "a13_heavy_hitters", "a1_groupby_q1",
     "ep3c_tpch_q3", "ep3d_tpch_q5",
-    "ep4_recursive_cte", "f3b_grouped_partial",
-    "f4_pandas_udaf", "f7_isolated_fanout",
-    "f_array_strings", "f_datetime_diff",
-    "f_datetime_family", "f_hash_family",
+    "ep4_recursive_cte",
 ]
 
 #: ACTIVE WINDOW (round 10): the round-10 rotation. CORRECTNESS_r09
