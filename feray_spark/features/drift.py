@@ -15,14 +15,97 @@ whole report is a single DataFrame lineage, so callers pay exactly
 one job at action time; at 100 TB the cost is the two input scans
 feeding one partial+final aggregate, and on `TableStore` tables the
 baseline side can come from time travel for free.
+
+Exact-mean fast paths (round 11). The exact mean's contract is
+``round(cast(sum(cast(c as decimal(28,9))) as double) / count, 6)``.
+Executing that literally costs one per-row JVM decimal conversion
+per column — for DOUBLE columns the cast goes through
+``Double.toString`` + BigDecimal (measured as ~85% of the whole
+report at the 64x probe; the SUM adds themselves are cheap — an
+interleaved microbench showed limb-splitting the sum while keeping
+the casts is a net LOSS). The fast paths below compute the same
+value with per-row long/double arithmetic only, provably equal to
+the cast semantics:
+
+* INTEGRAL columns: ``cast(c as decimal(28,9))`` is exactly ``c``
+  (a long always fits the 19 integer digits), so the exact sum is
+  ``sum(cast(c as decimal(28,0)))`` — a compact (long-backed) per-row
+  conversion — rescaled once per group to decimal(38,9), which
+  nulls at 1e29 exactly like the native sum's overflow check.
+* DECIMAL(p, s<=9) columns: the cast is an exact rescale, nulling
+  values with more than 19 integer digits. Summing at the SOURCE
+  scale via ``cast(c as decimal(19+s, s))`` (identity below 1e19,
+  NULL at exactly the native cast's threshold) gives a
+  decimal(29+s, s) sum whose overflow check also fires at 1e29;
+  one group-level rescale to (38,9) is exact.
+* DOUBLE columns: Spark's double->decimal cast rounds the SHORTEST
+  DECIMAL REPRESENTATION of the double (BigDecimal.valueOf =
+  Double.toString) HALF_UP at scale 9. For a double d with
+  |d| < 1e9, let y = floor(d*100 + 0.5): if y/100.0 == d bitwise,
+  then y/100 is a 2-fractional-digit decimal inside d's rounding
+  interval; the interval (one ulp wide, < 2.4e-7 at |d| < 1e9)
+  contains at most one such decimal, and the shortest representation
+  is value-equal to it — so cast(d as decimal(28,9)) has value
+  y/100 EXACTLY. Such rows contribute the LONG y to a compact
+  scale-0 sum (value 100*sum); all other rows (more than 2
+  fractional digits, |d| >= 1e9, NaN/Inf/NULL) keep the native cast
+  and native decimal sum. The two partial sums recombine exactly
+  once per group: fast_total = cast(sum_y as decimal(34,0)) *
+  0.01 -> decimal(37,2) (exact — no precision-loss adjustment),
+  then either branch alone is rescaled to (38,9), and the mixed case
+  adds at decimal(37,9) + decimal(37,9) -> (38,9), the widest
+  Spark addition that does NOT trigger the precision-loss scale
+  trim (a (38,9)+(38,9) add silently becomes (38,8) and ROUNDS —
+  measured, never use it).
+
+Residual semantic corners, all beyond 1e28-magnitude SUMS (1e12
+rows of 1e16 values): the mixed double branch nulls at 1e28 where
+the native sum nulls at 1e29, and a fast-only double sum nulls at
+1e34 on the intermediate where native's threshold is 1e29 (the
+group-level (38,9) rescale re-imposes 1e29 before anything is
+returned). Fixture, dirty-fixture and property tests pin value
+equality with the generic path (tests/test_features.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
+from decimal import Decimal as _PyDecimal
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _fresh_name(base: str, taken: set[str]) -> str:
+    """A helper-column name colliding with neither the input columns
+    nor a previously generated helper (ADVICE r10: a profiled set
+    like {'a', 'a_', '__dec_a'} must not yield duplicate aliases)."""
+    d = base
+    while d in taken:
+        d += "_"
+    taken.add(d)
+    return d
+
+
+#: default mean-accumulator type — the only target the typed fast
+#: paths are proven for; any override routes through the generic cast
+_DEFAULT_DECIMAL = "decimal(28,9)"
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _route(dtype: T.DataType, decimal: str) -> str:
+    """Which exact-mean strategy a column of ``dtype`` takes."""
+    if decimal.replace(" ", "").lower() != _DEFAULT_DECIMAL:
+        return "generic"
+    if isinstance(dtype, _INTEGRAL):
+        return "integral"
+    if isinstance(dtype, T.DecimalType) and dtype.scale <= 9:
+        return "decimal"
+    if isinstance(dtype, T.DoubleType):
+        return "double"
+    return "generic"
 
 
 def drift_report(
@@ -30,6 +113,7 @@ def drift_report(
     current: DataFrame,
     cols: Sequence[str],
     decimal: str = "decimal(28,9)",
+    _force_generic: bool = False,
 ) -> DataFrame:
     """Per-column drift between two snapshots: row counts, null
     rates, min/max ranges and exact-decimal means on both sides,
@@ -47,6 +131,10 @@ def drift_report(
     correctly rounded, so the raw quotient drifts ~1 ulp between
     engines; 6-decimal rounding on BOTH sides absorbs that while
     staying far above alert thresholds.
+
+    ``_force_generic`` is a test hook: it disables the typed exact
+    fast paths (module docstring) so differential tests can pin the
+    fast and generic legs value-identical.
 
     Fully lazy: returns an unevaluated DataFrame whose plan is one
     global aggregate (both sides' statistics as side-conditional
@@ -68,33 +156,108 @@ def drift_report(
     tagged = baseline.select(F.lit("b").alias("__side"), *cols).unionByName(
         current.select(F.lit("c").alias("__side"), *cols)
     )
-    # Hoist the decimal cast into ONE unconditional projection column
-    # per profiled column. Inlined as `when(side, cast(...))` inside
-    # the sum AND count aggregates, the cast sits in a conditional
-    # branch, which codegen subexpression elimination skips — every
-    # row paid the non-long-backed decimal conversion twice (p > 18
-    # decimals allocate a BigDecimal per conversion). Measured at the
-    # 64x probe corpus this cast work dominated the whole report
-    # (~8 s of ~10 s; the same aggregate with double means runs
-    # 1.4 s). As a projection field it is evaluated once per row and
-    # the aggregates reference the attribute; CollapseProject cannot
-    # inline it back (two non-cheap references).
-    dec_names: dict[str, str] = {}
+    routes = {
+        c: ("generic" if _force_generic else _route(tagged.schema[c].dataType, decimal))
+        for c in cols
+    }
+
+    # Per-row helper fields, hoisted into ONE unconditional projection
+    # (codegen subexpression elimination skips conditional branches,
+    # so an expensive expression inlined under when(side, ...) inside
+    # several aggregate buffers re-evaluates per reference — the r10
+    # fs10 lesson; CollapseProject cannot inline a non-cheap alias
+    # referenced more than once).
+    taken = set(tagged.columns)
+    helpers: list[Column] = []
+    #: per column: dict of helper-column names by role
+    h: dict[str, dict[str, str]] = {}
     for c in cols:
-        d = f"__dec_{c}"
-        while d in tagged.columns:  # never clobber a profiled column
-            d += "_"
-        dec_names[c] = d
-    tagged = tagged.select(
-        "*", *[F.col(c).cast(decimal).alias(dec_names[c]) for c in cols]
-    )
+        r = routes[c]
+        names: dict[str, str] = {}
+        if r == "generic":
+            d = _fresh_name(f"__dec_{c}", taken)
+            helpers.append(F.col(c).cast(decimal).alias(d))
+            names["dec"] = d
+        elif r == "decimal":
+            s = tagged.schema[c].dataType.scale
+            tgt = f"decimal({19 + s},{s})"
+            d = _fresh_name(f"__rc_{c}", taken)
+            # identity below 1e19; NULL at exactly the native
+            # (28,9)-cast's 19-integer-digit threshold
+            helpers.append(F.col(c).cast(tgt).alias(d))
+            names["rc"] = d
+        elif r == "double":
+            y = F.floor(F.col(c) * F.lit(100) + F.lit(0.5))
+            fast = (F.abs(F.col(c)) < F.lit(1e9)) & (
+                y / F.lit(100.0) == F.col(c)
+            )
+            fy = _fresh_name(f"__fy_{c}", taken)
+            ds = _fresh_name(f"__ds_{c}", taken)
+            # fast rows: the long y (100x the exact value); NULL cond
+            # (c IS NULL) falls through to NULL on both helpers
+            helpers.append(F.when(fast, y).alias(fy))
+            helpers.append(
+                F.when(
+                    ~F.coalesce(fast, F.lit(False)),
+                    F.col(c).cast("decimal(28,9)"),
+                ).alias(ds)
+            )
+            names["fy"] = fy
+            names["ds"] = ds
+        h[c] = names
+    if helpers:
+        tagged = tagged.select("*", *helpers)
+
+    def _mean(side: Column, c: str) -> tuple[Column, Column]:
+        """(exact decimal(38,9) sum, castable count) for one side."""
+        r = routes[c]
+        if r == "generic":
+            dv = F.when(side, F.col(h[c]["dec"]))
+            return F.sum(dv).cast("decimal(38,9)"), F.count(dv)
+        if r == "integral":
+            # cast(long as decimal(28,0)) is compact (no 10^9 shift)
+            # and never NULLs; sum -> decimal(38,0); the (38,9)
+            # rescale nulls at 1e29 exactly like the native sum
+            v = F.when(side, F.col(c).cast("decimal(28,0)"))
+            return F.sum(v).cast("decimal(38,9)"), F.count(
+                F.when(side, F.col(c))
+            )
+        if r == "decimal":
+            rc = F.when(side, F.col(h[c]["rc"]))
+            # sum -> decimal(29+s, s): overflow check at 1e29 like
+            # the native sum; group-level rescale to (38,9) is exact
+            return F.sum(rc).cast("decimal(38,9)"), F.count(rc)
+        # double: fast long leg + native-cast slow leg, recombined
+        # exactly once per group (module docstring)
+        fy, ds = F.col(h[c]["fy"]), F.col(h[c]["ds"])
+        sum_y = F.sum(F.when(side, fy).cast("decimal(28,0)"))
+        sum_s = F.sum(F.when(side, ds))
+        # (34,0) * lit(2,2) -> decimal(37,2): EXACT (no precision-
+        # loss trim); the input cap nulls at 1e34, above every value
+        # the final (38,9) rescale would keep anyway
+        t_fast = sum_y.cast("decimal(34,0)") * F.lit(_PyDecimal("0.01"))
+        total = (
+            F.when(sum_y.isNull(), sum_s)
+            .when(sum_s.isNull(), t_fast.cast("decimal(38,9)"))
+            # mixed: (37,9)+(37,9) -> (38,9) is the widest loss-free
+            # decimal add; a (38,9)+(38,9) add precision-trims to
+            # (38,8) and ROUNDS (measured) — never widen this
+            .otherwise(
+                t_fast.cast("decimal(37,9)") + sum_s.cast("decimal(37,9)")
+            )
+        )
+        cnt = F.count(
+            F.when(side & (fy.isNotNull() | ds.isNotNull()), F.lit(1))
+        )
+        return total, cnt
+
     aggs = []
     for s in ("b", "c"):
         side = F.col("__side") == s
         aggs.append(F.count(F.when(side, 1)).alias(f"{s}__n"))
         for c in cols:
             v = F.when(side, F.col(c))
-            dv = F.when(side, F.col(dec_names[c]))
+            total, cnt = _mean(side, c)
             aggs += [
                 F.count(F.when(side & F.col(c).isNull(), 1)).alias(
                     f"{s}_{c}__nulls"
@@ -106,10 +269,9 @@ def drift_report(
                 # NULL, so it must leave the denominator too — else the
                 # mean is sum-of-some over count-of-all (neither the
                 # true mean nor the mean of castables)
-                F.round(
-                    F.sum(dv).cast("double") / F.count(dv),
-                    6,
-                ).alias(f"{s}_{c}__mean"),
+                F.round(total.cast("double") / cnt, 6).alias(
+                    f"{s}_{c}__mean"
+                ),
             ]
     summary = tagged.agg(*aggs)
 

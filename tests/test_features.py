@@ -3,6 +3,7 @@ hit/miss behavior, versioned store semantics, checks, backfill."""
 
 from __future__ import annotations
 
+import math
 import shutil
 import tempfile
 
@@ -1105,15 +1106,18 @@ def test_drift_report_is_lazy_single_aggregate(spark):
 
 
 def test_drift_report_decimal_cast_hoisted_out_of_agg_branches(spark):
-    """The exact-decimal mean's cast must be an unconditional
-    PROJECT field, never inlined as when(side, cast(...)) inside the
-    sum/count buffers: codegen CSE skips conditional branches, so
-    the inlined form paid the non-long-backed decimal(28,9)
-    conversion (a BigDecimal per call) twice per row per column —
-    measured at the 64x probe corpus as the dominant cost of the
-    whole report (interleaved A/B 8.51 -> 7.77 s median after the
-    hoist). Pin: every decimal cast sits in a Project operator, and
-    the aggregate lines carry none."""
+    """The exact-decimal mean must not pay a per-row BigDecimal
+    conversion on the hot path. Round-10 lesson: casts inlined as
+    when(side, cast(...)) inside the sum/count buffers re-evaluate
+    per reference (codegen CSE skips conditional branches). Round-11
+    redesign: a DOUBLE column's mean runs a per-row LONG fast leg
+    (floor(v*100+0.5) + a bitwise y/100.0 == v check, provably equal
+    to the shortest-representation cast semantics) and keeps the
+    decimal(28,9) cast only in the CONDITIONAL slow leg for rows the
+    fast leg cannot represent (64x interleaved A/B: 8.34 -> 2.51 s
+    median). Pins: aggregate lines carry no decimal(28,9) cast; the
+    only decimal(28,9) casts sit under CASE WHEN inside a Project
+    (the slow leg); and the fast leg's FLOOR is projected."""
     from feray_spark.features.drift import drift_report
 
     df = spark.range(1000).select(
@@ -1125,10 +1129,115 @@ def test_drift_report_decimal_cast_hoisted_out_of_agg_branches(spark):
     proj_lines = [l for l in plan.splitlines() if "Project" in l]
     assert agg_lines and proj_lines, plan
     assert not any("as decimal(28,9)" in l for l in agg_lines), agg_lines
-    # one cast per (col, union side) = 2 for the single profiled col
-    assert (
-        sum(l.count("as decimal(28,9)") for l in proj_lines) == 2
+    # the slow-leg cast is conditional: every occurrence lives in a
+    # Project line that also carries the CASE WHEN guard, one per
+    # union side = 2 for the single profiled double column
+    casts = sum(l.count("as decimal(28,9)") for l in proj_lines)
+    assert casts == 2, proj_lines
+    assert all(
+        "CASE WHEN" in l for l in proj_lines if "as decimal(28,9)" in l
     ), proj_lines
+    assert any("FLOOR" in l for l in proj_lines), proj_lines
+
+
+def _rows_equal_nan_aware(a, b):
+    ok = len(a) == len(b)
+    for ra, rb in zip(a, b):
+        for x, y in zip(ra, rb):
+            if isinstance(x, float) and isinstance(y, float):
+                ok = ok and ((math.isnan(x) and math.isnan(y)) or x == y)
+            else:
+                ok = ok and x == y
+    return ok
+
+
+def test_drift_report_fast_paths_match_generic_leg(spark):
+    """The round-11 typed exact-mean fast paths (long fast leg for
+    doubles, scale-0 compact sums for integrals, source-scale sums
+    for decimals) must be VALUE-IDENTICAL to the generic
+    cast-to-decimal(28,9) leg on an adversarial corner set: signed
+    zero, half-way 9th-digit values, |v| at the 1e9 fast-leg gate,
+    values at the decimal(28,9) overflow threshold (1e19), NaN/Inf,
+    Long.MIN/MAX, and a wide decimal(38,0) whose big values the cast
+    NULLs out of numerator and denominator alike."""
+    from decimal import Decimal as D
+
+    from pyspark.sql import types as T
+
+    from feray_spark.features.drift import drift_report
+
+    nan, inf = float("nan"), float("inf")
+    doubles = [
+        0.0, -0.0, 1.25, -1.25, 0.07, 0.005, -0.005, 0.0000000005,
+        1e-18, 2.9999999999999996, 999999999.99, -999999999.99, 1e9,
+        1234567890.25, 6.02e23, 1e300, nan, inf, -inf, None, 0.1,
+        1 / 3, -1 / 3, 2**53 + 1.0, 9.223372036854776e16, 5e18,
+        9.5e18, 1.5e19, 0.995, 123456.78,
+    ]
+    longs = [
+        0, 1, -1, 150000, 2**33 * 64, -(2**33) * 64, (1 << 62),
+        9223372036854775807, -9223372036854775808, None, 999999999,
+        1000000000, -1000000001,
+    ]
+    decs = [
+        D("0"), D("1.25"), D("-1.25"), D("123456789012345.67"),
+        D("9999999999999999.99"), None, D("0.01"), D("-0.01"),
+    ]
+    n = max(len(doubles), len(longs), len(decs))
+    doubles += [None] * (n - len(doubles))
+    longs += [None] * (n - len(longs))
+    decs += [None] * (n - len(decs))
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("g", T.LongType()),
+            T.StructField("m", T.DecimalType(18, 2)),
+        ]
+    )
+    df = spark.createDataFrame(
+        list(zip(range(n), doubles, longs, decs)), schema
+    )
+    base = df.filter(F.col("k") % 3 != 0)
+    cols = ["d", "g", "m", "k"]
+    fast = drift_report(base, df, cols).orderBy("col_name").collect()
+    gen = (
+        drift_report(base, df, cols, _force_generic=True)
+        .orderBy("col_name")
+        .collect()
+    )
+    assert _rows_equal_nan_aware(fast, gen), (fast, gen)
+
+    # wide decimal: values with >19 integer digits leave numerator
+    # AND denominator on both legs
+    wide = spark.createDataFrame(
+        [
+            (1, D("1" + "0" * 19)),
+            (2, D("5")),
+            (3, None),
+            (4, D("-1" + "0" * 20)),
+        ],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("w", T.DecimalType(38, 0)),
+            ]
+        ),
+    )
+    f3 = drift_report(wide, wide, ["w"]).collect()
+    g3 = drift_report(wide, wide, ["w"], _force_generic=True).collect()
+    assert f3 == g3
+    assert f3[0].mean_current == 5.0
+
+    # an empty side stays NULL-meaned on both legs
+    two = spark.createDataFrame(
+        [(1, None, None), (2, 1.5, 7)], "k long, d double, g long"
+    )
+    f4 = drift_report(two.filter("k < 0"), two, ["d", "g"]).collect()
+    g4 = drift_report(
+        two.filter("k < 0"), two, ["d", "g"], _force_generic=True
+    ).collect()
+    assert f4 == g4
 
 
 def test_restore_after_vacuum_fails_loudly(spark, tmp_root):

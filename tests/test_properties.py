@@ -431,6 +431,39 @@ def test_canonical_text_idempotent_and_closed(spark, data):
         assert set(r.once) <= set("abcdefghijklmnopqrstuvwxyz0123456789 "), r.once
 
 
+#: doubles that stress the drift fast-leg gate: money-like 2-decimal
+#: values (the fast leg), many-digit fractions (the slow leg), and
+#: raw IEEE doubles including subnormals/huge magnitudes/NaN/Inf
+_drift_doubles = st.one_of(
+    st.integers(min_value=-10**13, max_value=10**13).map(lambda c: c / 100.0),
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+    st.just(None),
+)
+
+
+@given(data=st.lists(_drift_doubles, min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_drift_fast_mean_equals_generic_mean(spark, data):
+    """The drift report's typed exact-mean fast path (per-row long
+    arithmetic for 2-decimal-representable doubles, conditional
+    decimal cast for the rest) must equal the generic
+    cast-to-decimal(28,9) leg EXACTLY for arbitrary IEEE doubles —
+    the property the 64x fs10 win rests on."""
+    from feray_spark.features.drift import drift_report
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(data)], "k long, v double"
+    )
+    base = df.filter(F.col("k") % 2 == 0)
+    fast = drift_report(base, df, ["v"]).collect()[0]
+    gen = drift_report(base, df, ["v"], _force_generic=True).collect()[0]
+    for x, y in zip(fast, gen):
+        if isinstance(x, float) and isinstance(y, float) and math.isnan(x):
+            assert math.isnan(y)
+        else:
+            assert x == y, (fast, gen)
+
+
 def test_asof_join_with_map_payload_column(spark):
     """A map-typed right payload column must ride along without making
     the tie window unplannable (maps cannot enter an ORDER BY); the
