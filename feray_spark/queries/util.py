@@ -213,9 +213,31 @@ def scaled_long(col: str | Column, decimals: int = 2) -> Column:
     this to o_totalprice, where every current fixture value verifies
     equal on both engines. If money columns ever carry real sub-cent
     precision, round to ``decimals`` digits explicitly on BOTH sides
-    first."""
+    first.
+
+    Fast leg (round 11): Spark's ROUND on a double goes through
+    ``BigDecimal.valueOf`` (a ``Double.toString`` + BigDecimal per
+    row — the same cost class as the drift report's double cast,
+    measured as the dominant per-row cost of a1 at the 64x probe,
+    and re-evaluated per reference inside aggregate buffers). For a
+    double c that IS a d-fractional-digit value, ``y = floor(c*10^d
+    + 0.5)`` with a bitwise ``y/10^d == c`` check identifies it
+    exactly: the check makes c the closest double to the d-digit
+    decimal y/10^d, whose one-ulp rounding interval (|c| bounded to
+    10^(12-d) keeps it far below the 10^-d spacing) contains no
+    other such decimal — so c's shortest representation has value
+    y/10^d and HALF_UP rounding at scale d is the no-op that
+    returns y. Every other row (more digits, huge magnitude,
+    NaN/Inf/NULL) falls back to the original ROUND expression, so
+    the value is unchanged for ALL inputs (pinned by a hypothesis
+    differential in tests/test_properties.py)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * (10 ** decimals)).cast("long")
+    f = 10 ** decimals
+    y = F.floor(c * F.lit(float(f)) + F.lit(0.5))
+    fast = (F.abs(c) < F.lit(10.0 ** (12 - decimals))) & (
+        y / F.lit(float(f)) == c
+    )
+    return F.when(fast, y).otherwise(F.round(c * f).cast("long"))
 
 
 def exact_grouped_sums(

@@ -99,7 +99,10 @@ def test_exact_agg_hot_path_stays_on_longs(spark, sf_dir):
     # exchange, the decimal-exact combine above it
     last_exchange = plan.rindex("Exchange")
     hot = plan[last_exchange:]
-    assert "partial_sum(cast(round(" in hot and "as bigint" in hot, hot
+    # round-11 scaled_long: the partial sums run the FLOOR fast leg
+    # with the BigDecimal ROUND only in the conditional fallback
+    assert "partial_sum(CASE WHEN" in hot and "FLOOR(" in hot, hot
+    assert "round(" in hot and "as bigint" in hot, hot
     assert "decimal(38,0)" not in hot, "decimal leaked into the per-row stage"
     assert "decimal(38,0)" in plan[:last_exchange], "exact combine missing"
 

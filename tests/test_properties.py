@@ -441,6 +441,31 @@ _drift_doubles = st.one_of(
 )
 
 
+@given(
+    data=st.lists(_drift_doubles, min_size=1, max_size=60),
+    decimals=st.sampled_from([2, 3, 4]),
+)
+@settings(**SETTINGS)
+def test_scaled_long_fast_leg_equals_round(spark, data, decimals):
+    """scaled_long's round-11 fast leg (floor(c*10^d + 0.5) guarded
+    by a bitwise y/10^d == c check) must equal the original
+    ROUND(c*10^d) expression for ARBITRARY doubles — money-like,
+    many-digit, huge, NaN/Inf/NULL — at every scale the catalog
+    uses. This is the identity every dsum/davg/exact_grouped_sums
+    consumer rides on."""
+    from feray_spark.queries.util import scaled_long
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(data)], "k long, v double"
+    )
+    out = df.select(
+        scaled_long("v", decimals).alias("fast"),
+        F.round(F.col("v") * (10**decimals)).cast("long").alias("ref"),
+    ).collect()
+    for r in out:
+        assert r.fast == r.ref, (r, decimals)
+
+
 @given(data=st.lists(_drift_doubles, min_size=1, max_size=60))
 @settings(**SETTINGS)
 def test_drift_fast_mean_equals_generic_mean(spark, data):
