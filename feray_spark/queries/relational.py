@@ -1413,23 +1413,24 @@ def ep13_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from feray_spark.queries.util import scaled_long
 
     li = load_table(spark, sf_dir, "lineitem")
-    # Per-row arithmetic on LONGS in whole-stage codegen (the
-    # exact_grouped_sums two-level pattern, inlined because the filter
-    # needs the UNdivided exact value): cents * (100 - disc_cents) is
-    # the discounted price x 10^4 as an exact integer. Partials are
-    # bounded by one scan partition so they can't overflow a long;
-    # only the tiny (groups x partitions) combine runs in decimal.
-    # Interleaved A/B at sf0.1: 0.97 s vs 1.35 s for the decimal-
-    # accumulator form — the per-row BigDecimal was the dominant
-    # term, not the window.
+    # Per-row arithmetic on LONGS in whole-stage codegen:
+    # cents * (100 - disc_cents) is the discounted price x 10^4 as an
+    # exact integer. ONE plain long sum per part (the ep6 single-agg
+    # lesson, r11): the two-level (key, partition_id) pattern bought
+    # overflow headroom this key does not need — rows per l_partkey
+    # is ~30 by lineitem:part construction at every SF, and the long
+    # cap needs ~8e9 max-value lines of ONE part (row_v4 < ~1.1e9) —
+    # while its near-unique-key-per-partition partials reduced 38M
+    # rows only to 22M at the 64x probe and then paid a SECOND
+    # exchange of those partials. Interleaved 64x A/B: 6.48 -> 5.29 s
+    # median, outputs equal (decomposition: scan 1.1 s, row expr
+    # free since the scaled_long fast leg, partial agg + the extra
+    # exchange were the remainder).
     row_v4 = scaled_long("l_extendedprice") * (
         F.lit(100) - scaled_long("l_discount")
     )
-    partial = li.groupBy(
-        "l_partkey", F.spark_partition_id().alias("__pid")
-    ).agg(F.sum(row_v4).alias("__p"))
-    g = partial.groupBy("l_partkey").agg(
-        F.sum(F.col("__p").cast("decimal(38,0)")).alias("v4")  # v x 10^4
+    g = li.groupBy("l_partkey").agg(
+        F.sum(row_v4).cast("decimal(38,0)").alias("v4")  # v x 10^4
     )
     # count/total: TWO value-identical shapes, picked by input size
     # (the fan_out/CANON_ARROW_MIN_BYTES gate pattern).
