@@ -422,12 +422,55 @@ def with_canonical_text(df, text_col: str, out_col: str):
     class on both; tests/test_llm.py pins the corner set and runs
     the Arrow leg differentially against the Column leg). Pass only
     the columns the consumer needs before calling (mapInArrow
-    defeats column pruning); NULL text propagates to NULL canon."""
+    defeats column pruning); NULL text propagates to NULL canon.
+
+    Unknown size means "assume big" ONLY for sources that can BE big
+    (a remote store is the production deployment; an RDD-backed
+    frame can front a localCheckpoint of anything). Two unknown-size
+    cases take the Column leg instead (ADVICE r10): a LITERAL
+    relation (SQL VALUES / optimizer-folded rows — driver-bounded,
+    where the ~0.3 s worker round-trip would dominate; PySpark
+    createDataFrame frames plan as LogicalRDD and deliberately stay
+    on Arrow, since a huge checkpoint prints identically), and a
+    schema mapInArrow cannot convert (fails at RUNTIME where the
+    Column expression works; plain UDTs convert fine on Spark 4 —
+    this guard is for genuinely non-Arrow types)."""
     sz = _local_scan_bytes(df)
     if sz is not None and sz < CANON_ARROW_MIN_BYTES:
         c = F.col(text_col) if isinstance(text_col, str) else text_col
         return df.withColumn(out_col, canonical_text(c))
+    if sz is None and (_is_in_memory_source(df) or not _arrow_convertible(df)):
+        c = F.col(text_col) if isinstance(text_col, str) else text_col
+        return df.withColumn(out_col, canonical_text(c))
     return _with_canonical_text_arrow(df, text_col, out_col)
+
+
+def _is_in_memory_source(df) -> bool:
+    """True when ``df`` reads from LITERAL driver-side rows — a
+    LocalRelation (createDataFrame of plain rows; the optimizer also
+    folds empty relations to it) or OneRowRelation. Such frames are
+    driver-bounded (tiny), so the ~0.3 s Python-worker round-trip
+    would dominate. Deliberately NOT matched: LogicalRDD /
+    ExistingRDD / InMemoryRelation — a localCheckpoint or .cache()
+    boundary prints the same way and can sit in front of a 100 GB
+    frame, where the Arrow leg's measured ~2x win must be kept."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    return "LocalRelation" in plan or "OneRowRelation" in plan
+
+
+def _arrow_convertible(df) -> bool:
+    """True when every column of ``df`` converts to an Arrow field —
+    the precondition mapInArrow enforces at runtime."""
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        to_arrow_schema(df.schema)
+        return True
+    except Exception:
+        return False
 
 
 def _with_canonical_text_arrow(df, text_col: str, out_col: str):

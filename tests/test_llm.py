@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from feray_spark.catalog import load_table
 from feray_spark.multimodal import attach_media, extract_media_features, fake_decode
+from tests.conftest import SF_DIR
 from feray_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, simhash
 from feray_spark.operators.similarity import (
     brute_force_topk,
@@ -851,6 +852,143 @@ def test_l1b_arrow_leg_matches_column_leg_on_fixture(spark):
         ).collect()
     }
     assert a == c
+
+
+def test_with_canonical_text_in_memory_frame_stays_on_column_leg(spark):
+    """ADVICE r10: a literal in-memory frame (LocalRelation) has no
+    files behind it, so the size gate reads 'unknown' — but it is
+    driver-bounded (tiny), so it must take the Column leg, never pay
+    the ~0.3 s mapInArrow worker round-trip. A LogicalRDD (e.g. a
+    localCheckpoint boundary) deliberately keeps the Arrow leg — it
+    can front a huge frame — and a UDT column survives that leg
+    (mapInArrow converts UDTs via their sqlType on Spark 4)."""
+    from pyspark.ml.linalg import Vectors
+
+    from feray_spark.functions.text import with_canonical_text
+
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 'Hello, World!'), "
+        "(2, CAST(NULL AS STRING)) AS t(i, text)"
+    )
+    out = with_canonical_text(df, "text", "__canon")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInArrow" not in plan, plan
+    rows = {r.i: r["__canon"] for r in out.collect()}
+    assert rows == {1: "hello world", 2: None}
+
+    # UDT frame: createDataFrame-with-UDT plans as LogicalRDD, takes
+    # the Arrow leg, and must come back with the UDT intact
+    udt = spark.createDataFrame(
+        [(1, "Hello, World!", Vectors.dense([1.0, 2.0]))],
+        ["i", "text", "vec"],
+    )
+    got = with_canonical_text(udt, "text", "__canon").collect()
+    assert got[0]["__canon"] == "hello world"
+    assert list(got[0]["vec"]) == [1.0, 2.0]
+
+
+def test_arrow_leg_matches_column_leg_on_dirty_fixture(spark, tmp_path):
+    """ADVICE r10: the dirty-fixture parity sweep runs at fixture
+    scale, where the size gate keeps everything on the Column leg —
+    so the production Arrow leg (utf8proc lowercase vs Java lower)
+    never saw the dirty unicode edges. Force it here: the Arrow and
+    Column legs must agree byte-for-byte on the dirty documents
+    clone (NULL text, empty text, İ/ς case-folding edges, unicode
+    whitespace, regex metacharacters, CJK, control whitespace)."""
+    from tests.test_dirty_edges import _edge_rows
+
+    from feray_spark.functions.text import (
+        _with_canonical_text_arrow,
+        canonical_text,
+    )
+
+    rows = _edge_rows(SF_DIR)["documents"]
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    # materialize to parquet so the Arrow leg runs over a real scan
+    p = str(tmp_path / "dirty_docs.parquet")
+    base.unionByName(extra).write.mode("overwrite").parquet(p)
+    d = spark.read.parquet(p)
+    a = {
+        r.doc_id: r["__canon"]
+        for r in _with_canonical_text_arrow(d, "text", "__canon").collect()
+    }
+    c = {
+        r.doc_id: r.c
+        for r in d.select("doc_id", canonical_text("text").alias("c")).collect()
+    }
+    assert a == c
+
+
+def test_canonical_gate_takes_arrow_leg_past_threshold_and_matches_oracle(
+    spark, tmp_path
+):
+    """VERDICT r10 item 2: the leg that actually runs at scale must
+    be oracle-checked, not just corner-pinned. Build a >8 MB corpus
+    (sf0.01 texts salted per replica with the unicode corner set so
+    content varies), check the PUBLIC gate routes it through
+    mapInArrow, and hash-compare every canonical form against the
+    DuckDB `_CANON_SQL` twin over the same parquet."""
+    import duckdb
+
+    from feray_spark.functions.text import (
+        CANON_ARROW_MIN_BYTES,
+        with_canonical_text,
+    )
+    from feray_spark.queries.llm import _CANON_SQL
+    from tests.test_llm import _CANON_CORNERS
+
+    salt = " ".join(t for t in _CANON_CORNERS if t is not None)
+    d = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    reps = spark.range(80).withColumnRenamed("id", "__r")
+    # per-row sha chains make the salted text incompressible enough
+    # that the written parquet actually crosses the byte gate
+    chain = F.concat_ws(
+        " ",
+        *[
+            F.sha2(
+                F.concat_ws("|", F.col("doc_id"), F.col("__r"), F.lit(j)),
+                256,
+            )
+            for j in range(8)
+        ],
+    )
+    big = d.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") * 1000 + F.col("__r")).alias("doc_id"),
+        F.concat_ws(" ", "text", F.lit(salt), chain).alias("text"),
+    )
+    p = str(tmp_path / "big_docs.parquet")
+    big.write.mode("overwrite").parquet(p)
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(p, f))
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    )
+    assert total > CANON_ARROW_MIN_BYTES, total
+
+    scan = spark.read.parquet(p)
+    out = with_canonical_text(scan, "text", "__canon")
+    assert "MapInArrow" in out._jdf.queryExecution().optimizedPlan().toString()
+    got = {
+        r.doc_id: r.m
+        for r in out.select(
+            "doc_id", F.md5("__canon").alias("m")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        i: m
+        for i, m in con.sql(
+            f"SELECT doc_id, md5({_CANON_SQL}) FROM read_parquet('{p}/*.parquet')"
+        ).fetchall()
+    }
+    assert got == want
 
 
 def test_exact_dedup_canonical_flag(spark):
