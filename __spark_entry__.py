@@ -344,6 +344,22 @@ _ROUND10_PRIORITY = [
 #: f3b/f4/f7/f_array_strings/f_datetime_diff/f_datetime_family/
 #: f_hash_family carries r7/r8 evidence and rolls to round 12).
 _ROUND11_PRIORITY = [
+    # (2) code changed in ROUND 11 after their last driver row,
+    #     prepended in the committing round per the construction
+    #     rule: fs10 (typed exact-mean fast paths), ep13 (single-
+    #     level long aggregate), a1 (already below — flagship rides
+    #     the scaled_long fast leg, as do ALL dsum/davg consumers;
+    #     the full local parity + strict sweeps cover the rest of
+    #     that class, and ep6/w4 re-verify it inside this window).
+    #     ep10 joins per verdict-r10 item 6: one SHJ-rewrite-affected
+    #     entry closes the session-conf loop (ep17/l2 covered by the
+    #     local sweeps). The displaced tail four (ep3c_tpch_q3,
+    #     ep3d_tpch_q5, ep4_recursive_cte — canonical SQL-text
+    #     entries, no round-11 code path change — and
+    #     a13_heavy_hitters) move to the round-12 pool by the same
+    #     age rule.
+    "fs10_drift_report", "ep13_value_share",
+    "ep10_sole_late_supplier", "ep6_having_semijoin",
     # r10-optimization-round displacements (r6-era evidence, pushed
     # out of the r10 window by the seven changed-entry prepends):
     "p4_boolean_logic", "p5_in_between_like", "p5b_regex_predicate",
@@ -368,18 +384,33 @@ _ROUND11_PRIORITY = [
     "t1_tumbling_window", "t5_dedup",
     "t6_stateful_running", "w5_sliding_rows",
     "w6_time_range_frame", "a12_table_profile",
-    "a13_heavy_hitters", "a1_groupby_q1",
-    "ep3c_tpch_q3", "ep3d_tpch_q5",
-    "ep4_recursive_cte",
+    "a1_groupby_q1",
 ]
 
-#: ACTIVE WINDOW (round 10): the round-10 rotation. CORRECTNESS_r09
-#: landed green rows for the whole round-9 window (49 hash-green +
-#: l22 rows-only exactly as staged), so the swap is pure evidence
-#: gain: it re-verifies this round's l22/l5b/a5/a5b oracle changes
-#: and refreshes the oldest driver evidence in the catalog — the
-#: r5-era leftovers (w7/s6e/s6d/w8) and the r6-era block.
-_DRIVER_PRIORITY = _ROUND10_PRIORITY
+#: ROUND-12 ROTATION (swap in as _DRIVER_PRIORITY after
+#: CORRECTNESS_r11 lands — EXACTLY 50 names). Construction rule:
+#: (1) catalog entries ADDED in round 11: none — prepend any later
+#: addition in the SAME commit that registers it; (2) entries whose
+#: code/oracle changed in round 11 after their last driver row and
+#: NOT in the active r11 window: none expected (fs10/ep13/a1 are in
+#: the r11 window and self-verify; the scaled_long class re-verifies
+#: through ep6/w4/a1 there plus the local sweeps); (3) oldest
+#: evidence first — the r11-displaced tail (ep3c_tpch_q3,
+#: ep3d_tpch_q5, ep4_recursive_cte, a13_heavy_hitters), the
+#: r7/r8-era leftovers
+#: (f3b_grouped_partial, f4_pandas_udaf, f7_isolated_fanout,
+#: f_array_strings, f_datetime_diff, f_datetime_family,
+#: f_hash_family, f_hash_native), then the r8-era block
+#: alphabetically to exactly 50.
+
+#: ACTIVE WINDOW (round 11): the round-11 rotation. CORRECTNESS_r10
+#: landed 50/50 hash-green for the whole round-10 window, so the
+#: swap is pure evidence gain: it re-verifies this round's changed
+#: entries (fs10/ep13 prepends, a1 and the ep6/w4 scaled_long
+#: representatives inside the window), closes the r10 SHJ-conf loop
+#: via ep10, and refreshes the r6-era displaced block
+#: (p4..p7/s6/s6b, w1-w4, s7/s9/u1) plus the r7-era remainder.
+_DRIVER_PRIORITY = _ROUND11_PRIORITY
 
 
 def _ordered(registry):

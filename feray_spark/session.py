@@ -57,10 +57,16 @@ ENGINE_PERF_CONF: dict[str, str] = {
     # join when every post-shuffle partition of the build side is
     # under this bound (default 0 = never): drops both sort passes
     # from fact-fact joins. The bound is PER PARTITION, so it stays
-    # valid as data grows — partitions are AQE-advisory-sized, and a
-    # 128 MB per-task hash table is modest against executor memory at
-    # any topology (32 local tasks x 128 MB = 4 GB worst case under
-    # the 16 GB local driver). Measured at the 64x probe corpus
+    # valid as data grows — partitions are AQE-advisory-sized. NOTE
+    # (ADVICE r10): the threshold bounds a partition's COMPRESSED
+    # shuffle bytes, not the built hash table's heap footprint —
+    # decompression plus Java object/row overhead can multiply it
+    # several-fold, so the local worst case is "32 tasks x 128 MB
+    # compressed" = 4 GB of shuffle input whose in-memory build side
+    # may be a small multiple of that; sized against the 16 GB local
+    # heap with that multiple in mind, and a topology with less
+    # memory per task slot should shrink this bound rather than
+    # trust the 4 GB figure. Measured at the 64x probe corpus
     # (interleaved noop A/B, outputs equal): ep10 12.44 -> 10.45 s,
     # ep17 3.10 -> 2.71 s, ep7 neutral; sf0.1 neutral-to-positive on
     # every probed SMJ query (ep17 0.83 -> 0.64 s, l2 2.15 -> 1.78 s,
