@@ -312,12 +312,20 @@ def compact_line(result: dict, budget: int = LINE_BUDGET) -> str:
             sum(v for n, v in timings.items() if n not in keep), 2
         )
 
-    # pinned names first (stable membership), ordered slowest-first so
-    # the line stays informative if the budget ever truncates it
+    # pinned names are UNCONDITIONAL (stable membership is the
+    # contract — the first cut of this logic budget-dropped the two
+    # fastest pinned names on a sweep whose over2x block ran long);
+    # the over2x preview shrinks instead if the line runs over
     order = sorted(timings, key=timings.get, reverse=True)
-    for name in [n for n in order if n in LINE_PINNED] + [
-        n for n in order if n not in LINE_PINNED
-    ]:
+    for name in order:
+        if name in LINE_PINNED:
+            keep[name] = round(timings[name], 2)
+    refresh_omitted()
+    while len(render()) > budget and base.get("over2x"):
+        base["over2x"].popitem()
+    for name in order:
+        if name in keep:
+            continue
         keep[name] = round(timings[name], 2)
         refresh_omitted()
         if len(render()) > budget:

@@ -62,3 +62,16 @@ def test_line_stays_under_budget():
     line = compact_line(_fake_result(timings))
     assert len(line) <= 1850, len(line)
     json.loads(line)
+
+
+def test_pinned_survive_budget_pressure_by_trimming_over2x():
+    """Regression (r11): a long over2x block once budget-dropped the
+    two FASTEST pinned names. Under pressure the over2x preview must
+    shrink instead — pinned membership is the contract."""
+    benched = [n for n in load_all() if n not in BENCH_SKIP]
+    timings = {n: 123.4567 for n in benched}
+    parsed = json.loads(compact_line(_fake_result(timings), budget=1400))
+    assert LINE_PINNED <= set(parsed["queries"]), sorted(
+        LINE_PINNED - set(parsed["queries"])
+    )
+    assert len(parsed.get("over2x", {})) < 10
