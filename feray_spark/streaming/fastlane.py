@@ -143,12 +143,19 @@ def tumbling_counts(
     """T1 (+T4): tumbling event-time windows per event_type with a
     watermark bounding state and dropping data later than the horizon."""
     if events.isStreaming:
-        # streaming: one aggregation only (Structured Streaming allows a
-        # single stateful agg) — decimal accumulator keeps the sum exact
+        # streaming: one aggregation only (Structured Streaming allows
+        # a single stateful agg) — dsum IS one sum aggregate (scaled-
+        # long cents) plus a stateless post-division, so the exact
+        # money sum no longer pays the per-row decimal(18,2) cast
+        # (a Double.toString+BigDecimal per row, the r11 cast-cost
+        # class) the original streaming leg carried; value-identical
+        # to it and to the batch leg below, pinned by batch-parity
+        from feray_spark.queries.util import dsum
+
         src = events.withWatermark("ts", watermark)
         agged = src.groupBy(F.window("ts", width).alias("win"), "event_type").agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+            dsum("value").alias("total"),
         )
     else:
         # batch parity: exact money sum at long speed. Unlike the
