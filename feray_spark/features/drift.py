@@ -40,13 +40,14 @@ the cast semantics:
   one group-level rescale to (38,9) is exact.
 * DOUBLE columns: Spark's double->decimal cast rounds the SHORTEST
   DECIMAL REPRESENTATION of the double (BigDecimal.valueOf =
-  Double.toString) HALF_UP at scale 9. For a double d with
-  |d| < 1e9, let y = floor(d*100 + 0.5): if y/100.0 == d bitwise,
-  then y/100 is a 2-fractional-digit decimal inside d's rounding
-  interval; the interval (one ulp wide, < 2.4e-7 at |d| < 1e9)
-  contains at most one such decimal, and the shortest representation
-  is value-equal to it — so cast(d as decimal(28,9)) has value
-  y/100 EXACTLY. Such rows contribute the LONG y to a compact
+  Double.toString) HALF_UP at scale 9. The shared
+  ``queries.util.money_fast_parts`` construction (one home for the
+  proof) identifies rows whose value IS a 2-fractional-digit
+  decimal: y = floor(d*100 + 0.5) with a bitwise y/100.0 == d check
+  under a |d| < 1e10 magnitude gate — for such d,
+  cast(d as decimal(28,9)) has value y/100 EXACTLY (and never
+  NULLs: 1e10 is far under the cast's 1e19 overflow threshold).
+  Such rows contribute the LONG y to a compact
   scale-0 sum (value 100*sum); all other rows (more than 2
   fractional digits, |d| >= 1e9, NaN/Inf/NULL) keep the native cast
   and native decimal sum. The two partial sums recombine exactly
@@ -187,10 +188,12 @@ def drift_report(
             helpers.append(F.col(c).cast(tgt).alias(d))
             names["rc"] = d
         elif r == "double":
-            y = F.floor(F.col(c) * F.lit(100) + F.lit(0.5))
-            fast = (F.abs(F.col(c)) < F.lit(1e9)) & (
-                y / F.lit(100.0) == F.col(c)
-            )
+            # the shared shortest-repr fast-leg construction (proof
+            # lives on money_fast_parts): fast rows' cast(c as
+            # decimal(28,9)) has value y/100 exactly
+            from feray_spark.queries.util import money_fast_parts
+
+            y, fast = money_fast_parts(F.col(c), 2)
             fy = _fresh_name(f"__fy_{c}", taken)
             ds = _fresh_name(f"__ds_{c}", taken)
             # fast rows: the long y (100x the exact value); NULL cond

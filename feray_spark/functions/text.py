@@ -446,19 +446,25 @@ def with_canonical_text(df, text_col: str, out_col: str):
 
 
 def _is_in_memory_source(df) -> bool:
-    """True when ``df`` reads from LITERAL driver-side rows — a
-    LocalRelation (createDataFrame of plain rows; the optimizer also
-    folds empty relations to it) or OneRowRelation. Such frames are
-    driver-bounded (tiny), so the ~0.3 s Python-worker round-trip
-    would dominate. Deliberately NOT matched: LogicalRDD /
-    ExistingRDD / InMemoryRelation — a localCheckpoint or .cache()
-    boundary prints the same way and can sit in front of a 100 GB
+    """True when EVERY leaf of ``df``'s plan is a LITERAL relation —
+    LocalRelation (SQL VALUES / optimizer-folded rows) or
+    OneRowRelation. Such frames are driver-bounded (tiny), so the
+    ~0.3 s Python-worker round-trip would dominate. Leaves are
+    inspected individually (never a substring match over the plan
+    tree): a 100 GB remote scan JOINED with a tiny VALUES lookup
+    contains a LocalRelation but must keep the Arrow leg.
+    Deliberately NOT matched: LogicalRDD / ExistingRDD /
+    InMemoryRelation — a localCheckpoint or .cache() boundary prints
+    the same way as a tiny createDataFrame and can front a 100 GB
     frame, where the Arrow leg's measured ~2x win must be kept."""
     try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
     except Exception:
         return False
-    return "LocalRelation" in plan or "OneRowRelation" in plan
+    return bool(names) and all(
+        n in ("LocalRelation", "OneRowRelation") for n in names
+    )
 
 
 def _arrow_convertible(df) -> bool:

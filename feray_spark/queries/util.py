@@ -232,12 +232,36 @@ def scaled_long(col: str | Column, decimals: int = 2) -> Column:
     the value is unchanged for ALL inputs (pinned by a hypothesis
     differential in tests/test_properties.py)."""
     c = F.col(col) if isinstance(col, str) else col
+    y, fast = money_fast_parts(c, decimals)
+    return F.when(fast, y).otherwise(F.round(c * (10 ** decimals)).cast("long"))
+
+
+def money_fast_parts(c: Column, decimals: int = 2) -> tuple[Column, Column]:
+    """THE shortest-representation fast-leg construction, shared by
+    :func:`scaled_long` and the drift report's double-column mean
+    (one home for the proof, per the r11 review): returns
+    ``(y, fast)`` where ``y = floor(c*10^d + 0.5)`` (long) and
+    ``fast`` is true exactly when ``y/10^d`` is bit-equal to ``c``
+    and ``|c| < 10^(12-d)``.
+
+    When ``fast`` holds, ``y`` IS the exact unscaled HALF_UP
+    rounding of c's shortest decimal representation at scale d:
+    the bit-equality makes c the closest double to the d-digit
+    decimal y/10^d, whose one-ulp rounding interval (the magnitude
+    bound keeps ulp(c)*10^d < ~1e-3, far under the 10^-d spacing)
+    contains no other d-digit decimal — so the shortest
+    representation (what BigDecimal.valueOf/Double.toString yields,
+    i.e. what Spark's ROUND and double->decimal casts round) is
+    value-equal to y/10^d and its HALF_UP rounding at scale d is
+    the no-op returning y. Everything else (more digits, huge
+    magnitude, NaN/Inf/NULL — all of which make ``fast`` false or
+    NULL) must take the caller's exact fallback."""
     f = 10 ** decimals
     y = F.floor(c * F.lit(float(f)) + F.lit(0.5))
     fast = (F.abs(c) < F.lit(10.0 ** (12 - decimals))) & (
         y / F.lit(float(f)) == c
     )
-    return F.when(fast, y).otherwise(F.round(c * f).cast("long"))
+    return y, fast
 
 
 def exact_grouped_sums(

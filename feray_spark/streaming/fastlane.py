@@ -148,8 +148,15 @@ def tumbling_counts(
         # long cents) plus a stateless post-division, so the exact
         # money sum no longer pays the per-row decimal(18,2) cast
         # (a Double.toString+BigDecimal per row, the r11 cast-cost
-        # class) the original streaming leg carried; value-identical
-        # to it and to the batch leg below, pinned by batch-parity
+        # class) the original streaming leg carried. This ALIGNS the
+        # streaming leg with the batch leg below (same expression,
+        # pinned by batch-parity): on money-like <=2-fractional-digit
+        # values the two accumulators were already identical, while
+        # on sub-cent doubles (e.g. 1.005, whose shortest repr rounds
+        # differently through cast-then-sum vs round(v*100)) the OLD
+        # streaming leg disagreed with batch — the operator's
+        # batch-parity contract makes dsum the correct semantics,
+        # not a neutral swap
         from feray_spark.queries.util import dsum
 
         src = events.withWatermark("ts", watermark)

@@ -886,6 +886,19 @@ def test_with_canonical_text_in_memory_frame_stays_on_column_leg(spark):
     assert got[0]["__canon"] == "hello world"
     assert list(got[0]["vec"]) == [1.0, 2.0]
 
+    # r11 review regression: an unknown-size frame that merely
+    # CONTAINS a literal relation (big side joined with a VALUES
+    # lookup) must KEEP the Arrow leg — the in-memory test inspects
+    # plan LEAVES, never substring-matches the tree
+    lookup = spark.sql("SELECT * FROM VALUES (1), (2) AS t(i)")
+    big_side = spark.createDataFrame(
+        [(1, "Mixed Plan!"), (2, "other")], ["i", "text"]
+    )  # LogicalRDD leaf: size unknown, not literal
+    mixed = big_side.join(lookup, "i")
+    out2 = with_canonical_text(mixed, "text", "__canon")
+    assert "MapInArrow" in out2._jdf.queryExecution().optimizedPlan().toString()
+    assert {r["__canon"] for r in out2.collect()} == {"mixed plan", "other"}
+
 
 def test_arrow_leg_matches_column_leg_on_dirty_fixture(spark, tmp_path):
     """ADVICE r10: the dirty-fixture parity sweep runs at fixture
